@@ -1,0 +1,157 @@
+"""Bilinear grid sampling with PyTorch `F.grid_sample` semantics
+(``align_corners=True``, ``padding_mode='zeros'``), the core lookup used by
+the factored feature grids (reference: nlf/nets/tensorf_base.py:1059-1100,
+nlf/nets/tensorf_dynamic.py:287-371).
+
+TPU-first layout choices:
+  * grids carry the channel axis LAST (``[H, W, C]``) so each corner gather is
+    a contiguous lane-dim read and the 4-corner lerp vectorises on the VPU;
+  * callers pass flat coordinate batches ``[N, 2]`` and receive ``[N, C]``,
+    which keeps the downstream component-product a lane-wise multiply.
+
+These are the pure-XLA reference implementations; the fused Pallas render
+core builds on the same index math.
+"""
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size):
+    """Map [-1, 1] -> [0, size-1] pixel coordinates (align_corners=True)."""
+    return (coord + 1.0) * 0.5 * (size - 1)
+
+
+def grid_sample_2d(grid_hwc, coords):
+    """Sample a 2D grid bilinearly.
+
+    Args:
+      grid_hwc: [H, W, C] feature plane.
+      coords:   [..., 2] normalized coords in [-1, 1]; coords[..., 0] indexes
+                the W (x) axis and coords[..., 1] the H (y) axis, matching
+                torch.nn.functional.grid_sample's grid convention.
+
+    Returns:
+      [..., C] sampled features; out-of-range corners contribute zeros.
+    """
+    H, W, C = grid_hwc.shape
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = x - x0
+    wx0 = 1.0 - wx1
+    wy1 = y - y0
+    wy0 = 1.0 - wy1
+
+    def corner(yc, xc, wy, wx):
+        inb = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
+        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        val = grid_hwc[yi, xi]  # [..., C]
+        w = (wy * wx) * inb.astype(grid_hwc.dtype)
+        return val * w[..., None]
+
+    out = (
+        corner(y0, x0, wy0, wx0)
+        + corner(y0, x1, wy0, wx1)
+        + corner(y1, x0, wy1, wx0)
+        + corner(y1, x1, wy1, wx1)
+    )
+    return out
+
+
+def grid_sample_1d(line_lc, coords):
+    """Sample a 1D line bilinearly (reference uses a [1, C, L, 1] plane with a
+    zero x-coordinate — equivalent to pure 1D interpolation along L).
+
+    Args:
+      line_lc: [L, C] feature line.
+      coords:  [...] normalized coords in [-1, 1] indexing the L axis.
+
+    Returns:
+      [..., C]
+    """
+    L, C = line_lc.shape
+    z = _unnormalize(coords, L)
+    z0 = jnp.floor(z)
+    z1 = z0 + 1.0
+    wz1 = z - z0
+    wz0 = 1.0 - wz1
+
+    def corner(zc, w):
+        inb = (zc >= 0) & (zc <= L - 1)
+        zi = jnp.clip(zc, 0, L - 1).astype(jnp.int32)
+        return line_lc[zi] * (w * inb.astype(line_lc.dtype))[..., None]
+
+    return corner(z0, wz0) + corner(z1, wz1)
+
+
+def grid_sample_3d(vol_dhwc, coords):
+    """Trilinear sampling of a 3D volume (used by the alpha-grid occupancy
+    mask, reference utils/tensorf_utils.py:459-484).
+
+    Args:
+      vol_dhwc: [D, H, W, C] volume.
+      coords:   [..., 3]; coords[..., 0] indexes W, [..., 1] H, [..., 2] D
+                (torch grid_sample 3D convention).
+
+    Returns:
+      [..., C]
+    """
+    D, H, W, C = vol_dhwc.shape
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    z = _unnormalize(coords[..., 2], D)
+
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+
+    out = jnp.zeros(coords.shape[:-1] + (C,), vol_dhwc.dtype)
+    for dz in (0.0, 1.0):
+        for dy in (0.0, 1.0):
+            for dx in (0.0, 1.0):
+                xc, yc, zc = x0 + dx, y0 + dy, z0 + dz
+                wx = 1.0 - jnp.abs(x - xc)
+                wy = 1.0 - jnp.abs(y - yc)
+                wz = 1.0 - jnp.abs(z - zc)
+                inb = (
+                    (xc >= 0) & (xc <= W - 1)
+                    & (yc >= 0) & (yc <= H - 1)
+                    & (zc >= 0) & (zc <= D - 1)
+                )
+                xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+                yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+                zi = jnp.clip(zc, 0, D - 1).astype(jnp.int32)
+                val = vol_dhwc[zi, yi, xi]
+                w = (wx * wy * wz) * inb.astype(vol_dhwc.dtype)
+                out = out + val * w[..., None]
+    return out
+
+
+def resize_bilinear_2d(grid_hwc, new_h, new_w):
+    """Bilinear resize with align_corners=True (torch F.interpolate
+    equivalent; used for volume-grid upsampling,
+    reference nlf/nets/tensorf_base.py:1151-1188)."""
+    H, W, _ = grid_hwc.shape
+    ys = jnp.linspace(-1.0, 1.0, new_h) if new_h > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(-1.0, 1.0, new_w) if new_w > 1 else jnp.zeros((1,))
+    # Guard degenerate source axes (align_corners maps everything to pixel 0).
+    if H == 1:
+        ys = jnp.full((new_h,), -1.0)
+    if W == 1:
+        xs = jnp.full((new_w,), -1.0)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.stack([gx, gy], -1)
+    return grid_sample_2d(grid_hwc, coords)
+
+
+def resize_linear_1d(line_lc, new_l):
+    """1D align_corners=True resize for line factors."""
+    L, _ = line_lc.shape
+    zs = jnp.linspace(-1.0, 1.0, new_l) if new_l > 1 else jnp.zeros((1,))
+    if L == 1:
+        zs = jnp.full((new_l,), -1.0)
+    return grid_sample_1d(line_lc, zs)
