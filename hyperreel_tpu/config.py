@@ -1,0 +1,120 @@
+"""Config system (reference: Hydra tree under conf/ — SURVEY.md §5).
+
+Hydra isn't a dependency here; this keeps the same *surface* — config groups
+(params/dataset/model/training/regularizers), `a.b.c=value` CLI overrides,
+`${...}`-free plain YAML — with stdlib + PyYAML. Model configs can name a
+preset from hyperreel_tpu.configs.presets or be spelled out inline.
+"""
+
+import copy
+import os
+from typing import List, Optional
+
+import yaml
+
+from hyperreel_tpu.configs import presets
+
+
+DEFAULT_TRAINING = {
+    "batch_size": 16384,
+    "ray_chunk": 65536,
+    "num_iters": 4000,
+    "num_epochs": 40,
+    "val_every": 10,
+    "render_every": 40,
+    "ckpt_every": 40,
+    "log_every": 100,
+    "sample_with_replacement": True,
+    "loss": {"type": "mse"},
+    "optimizers": {
+        "color": {
+            "optimizer": "adam", "lr": 0.02, "lr_scheduler": "exp",
+            "decay_epoch": 100, "decay_gamma": 0.125, "warmup_epochs": 0,
+            "reset_opt_list": [4000, 6000, 8000, 10000, 12000],
+        },
+        "color_impl": {
+            "optimizer": "adam", "lr": 0.001, "lr_scheduler": "exp",
+            "decay_epoch": 100, "decay_gamma": 0.125, "warmup_epochs": 0,
+            "reset_opt_list": [4000, 6000, 8000, 10000, 12000],
+        },
+        "embedding": {
+            "optimizer": "adam", "lr": 0.01, "lr_scheduler": "exp",
+            "decay_epoch": 100, "decay_gamma": 0.125, "warmup_epochs": 0,
+            "reset_opt_list": [4000, 6000, 8000, 10000, 12000],
+        },
+        "embedding_impl": {
+            "optimizer": "adam", "lr": 0.00075, "lr_scheduler": "exp",
+            "decay_epoch": 100, "decay_gamma": 0.125, "warmup_epochs": 0,
+            "reset_opt_list": [4000, 6000, 8000, 10000, 12000],
+        },
+    },
+}
+
+MODEL_PRESETS = {
+    "technicolor_z_plane": presets.technicolor_z_plane,
+    "llff_z_plane": presets.llff_z_plane,
+    "tiny_static": presets.tiny_static,
+    "tiny_dynamic": presets.tiny_dynamic,
+}
+
+
+def deep_update(base, override):
+    out = copy.deepcopy(base)
+    for k, v in (override or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_update(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def _parse_value(s):
+    try:
+        return yaml.safe_load(s)
+    except yaml.YAMLError:
+        return s
+
+
+def apply_overrides(cfg, overrides: Optional[List[str]]):
+    """Hydra-style dotted overrides: `training.batch_size=8192`."""
+    cfg = copy.deepcopy(cfg)
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov}")
+        key, val = ov.split("=", 1)
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = _parse_value(val)
+    return cfg
+
+
+def load_config(path=None, overrides=None):
+    cfg = {
+        "params": {"seed": 0, "save_dir": "runs", "name": "experiment"},
+        "dataset": {"name": "synthetic_blobs"},
+        "model": "tiny_static",
+        "training": copy.deepcopy(DEFAULT_TRAINING),
+        "regularizers": {},
+    }
+    if path:
+        with open(path) as f:
+            file_cfg = yaml.safe_load(f) or {}
+        cfg = deep_update(cfg, file_cfg)
+    cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def resolve_model_cfg(cfg, iters_per_epoch):
+    """Turn the config's `model` entry (preset name or inline dict) into a
+    fully resolved model dict with epoch->iter conversion applied."""
+    model = cfg["model"]
+    if isinstance(model, str):
+        model_cfg = MODEL_PRESETS[model]()
+    elif isinstance(model, dict) and "preset" in model:
+        model_cfg = MODEL_PRESETS[model["preset"]]()
+        model_cfg = deep_update(model_cfg, model.get("overrides", {}))
+    else:
+        model_cfg = copy.deepcopy(model)
+    return presets.convert_epochs_to_iters(model_cfg, iters_per_epoch)

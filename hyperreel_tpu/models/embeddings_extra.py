@@ -1,0 +1,334 @@
+"""Capability-parity embedding stages beyond the shipped hot path
+(reference: nlf/embedding/ray.py Calibrate*, nlf/embedding/affine.py,
+nlf/embedding/feature.py, nlf/embedding/point.py sample-count / reflect
+stages).
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.models.activations import get_activation
+from hyperreel_tpu.models.mlp import build_net, _linear_init, _linear_apply
+from hyperreel_tpu.ops.intersect_math import intersect_axis_plane
+from hyperreel_tpu.ops.rotation import quaternion_apply
+
+
+def _normalize(v, axis=-1, eps=1e-12):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+
+
+@dataclass
+class CalibrateEmbedding:
+    """Learnable per-camera pose (quaternion + translation) and time offsets
+    with a pinned constant_id camera (reference nlf/embedding/ray.py:91-210).
+    """
+
+    cfg: dict
+    num_views: int = 1
+    group: str = "calibration"
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.rays_name = cfg.get("rays_name", "rays")
+        self.use_pose = bool(cfg.get("use_pose", False))
+        self.use_time = bool(cfg.get("use_time", False))
+        self.constant_id = int(cfg.get("constant_id", 0))
+        self.quaternion_activation = get_activation(
+            cfg.get("quaternion_activation", "identity"))
+        self.translation_activation = get_activation(
+            cfg.get("translation_activation", "identity"))
+        self.time_activation = get_activation(
+            cfg.get("time_activation", "identity"))
+
+    def init(self, key):
+        params = {}
+        if self.use_pose:
+            params["quaternions"] = jnp.zeros((self.num_views, 4), jnp.float32)
+            params["translations"] = jnp.zeros((self.num_views, 3), jnp.float32)
+        if self.use_time:
+            params["time_offsets"] = jnp.zeros((self.num_views, 1), jnp.float32)
+        return params
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        rays = x[self.rays_name]
+        rays_o = rays[..., 0:3]
+        rays_d = rays[..., 3:6]
+        cam = jnp.round(
+            rays[..., -2] if rays.shape[-1] > 7 else rays[..., -1]
+        ).astype(jnp.int32)
+
+        if self.use_pose:
+            q_off = self.quaternion_activation(params["quaternions"], ctx)
+            # pin the reference camera (ray.py:162)
+            pin = jnp.arange(self.num_views)[:, None] == self.constant_id
+            q_off = jnp.where(pin, 0.0, q_off)
+            base_q = jnp.zeros((self.num_views, 4)).at[:, 0].set(1.0)
+            quats = (base_q + q_off)[cam]
+            t_off = self.translation_activation(params["translations"], ctx)
+            t_off = jnp.where(pin, 0.0, t_off)[cam]
+            rays_d = quaternion_apply(quats, rays_d)
+            rays_o = rays_o + t_off
+            updated = jnp.concatenate([rays_o, rays_d], -1)
+        else:
+            updated = rays[..., :6]
+
+        if self.use_time:
+            time_off = self.time_activation(params["time_offsets"], ctx)
+            pin = jnp.arange(self.num_views)[:, None] == self.constant_id
+            time_off = jnp.where(pin, 0.0, time_off)[cam]
+            rays_t = rays[..., -1:] + time_off
+            rays = jnp.concatenate([updated, rays[..., 6:-1], rays_t], -1)
+        else:
+            rays = jnp.concatenate([updated, rays[..., 6:]], -1)
+
+        x[self.rays_name] = rays
+        return x
+
+
+@dataclass
+class CalibratePlanarEmbedding:
+    """Learnable 2D origin offset for planar light fields
+    (reference nlf/embedding/ray.py:28-88)."""
+
+    cfg: dict
+    group: str = "calibration"
+
+    def __post_init__(self):
+        self.rays_name = self.cfg.get("rays_name", "rays")
+        self.activation = get_activation(self.cfg.get("activation", "identity"))
+
+    def init(self, key):
+        return {"offset": jnp.zeros((1, 2), jnp.float32)}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        rays = x[self.rays_name]
+        rays_o, rays_d = rays[..., :3], rays[..., 3:6]
+        t = intersect_axis_plane(rays, 0.0, 2)
+        target = rays_o + t[..., None] * rays_d
+        offset = self.activation(params["offset"], ctx)
+        rays_o = jnp.concatenate([rays_o[..., :2] + offset, rays_o[..., 2:]], -1)
+        rays_d = _normalize(target - rays_o)
+        x[self.rays_name] = jnp.concatenate([rays_o, rays_d], -1)
+        return x
+
+
+@dataclass
+class AffineEmbedding:
+    """Single learned linear layer on rays
+    (reference nlf/embedding/affine.py:13-32)."""
+
+    cfg: dict
+    group: str = "embedding"
+
+    def __post_init__(self):
+        self.rays_name = self.cfg.get("rays_name", "rays")
+        self.in_channels = int(self.cfg.get("in_channels", 6))
+        self.out_channels = int(self.cfg.get("out_channels", self.in_channels))
+
+    def init(self, key):
+        p = _linear_init(key, self.in_channels, self.out_channels)
+        # initialize near identity
+        eye = jnp.eye(self.in_channels, self.out_channels)
+        return {"w": eye, "b": p["b"] * 0.0}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        rays = x[self.rays_name]
+        out = _linear_apply(params, rays[..., : self.in_channels])
+        x[self.rays_name] = jnp.concatenate(
+            [out, rays[..., self.in_channels:]], -1)
+        return x
+
+
+@dataclass
+class LocalAffineEmbedding:
+    """An MLP predicts a per-ray transform applied to the ray's own
+    parameterization (reference nlf/embedding/affine.py:35-216)."""
+
+    cfg: dict
+    group: str = "embedding"
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.rays_name = cfg.get("rays_name", "rays")
+        self.param_channels = int(cfg.get("param_channels", 6))
+        self.tform_out_channels = int(cfg.get("tform_out_channels",
+                                              self.param_channels))
+        self.use_bias = bool(cfg.get("use_bias", True))
+        out = self.tform_out_channels * self.param_channels + (
+            self.tform_out_channels if self.use_bias else 0)
+        self.net = build_net(self.param_channels, out, dict(cfg["net"]))
+
+    def init(self, key):
+        return {"net": self.net.init(key)}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        rays = x[self.rays_name]
+        pred = self.net.apply(params["net"], rays[..., :self.param_channels],
+                              ctx)
+        M = pred[..., : self.tform_out_channels * self.param_channels]
+        M = M.reshape(rays.shape[0], self.tform_out_channels,
+                      self.param_channels)
+        out = jnp.einsum("bij,bj->bi", M, rays[..., :self.param_channels])
+        if self.use_bias:
+            out = out + pred[..., -self.tform_out_channels:]
+        x[self.rays_name] = jnp.concatenate(
+            [out, rays[..., self.param_channels:]], -1)
+        return x
+
+
+@dataclass
+class FeatureEmbedding:
+    """Plain MLP feature lift; depth 0 = identity
+    (reference nlf/embedding/feature.py:11-53)."""
+
+    cfg: dict
+    group: str = "embedding"
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.rays_name = cfg.get("rays_name", "rays")
+        self.in_channels = int(cfg.get("in_channels", 6))
+        self.out_channels = int(cfg.get("out_channels", 64))
+        self.net = build_net(self.in_channels, self.out_channels,
+                             dict(cfg.get("net", {"type": "base"})))
+
+    def init(self, key):
+        return {"net": self.net.init(key)}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        x[self.rays_name] = self.net.apply(
+            params["net"], x[self.rays_name], ctx)
+        return x
+
+
+@dataclass
+class GenerateNumSamplesEmbedding:
+    """Train-time random sample count in `sample_range`; static-shape TPU
+    realization: the count rides along as a ray feature and SelectPoints
+    masks instead of slicing (reference nlf/embedding/point.py:402-449)."""
+
+    cfg: dict
+    group: str = "embedding"
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.sample_range = tuple(cfg["sample_range"])
+        self.inference_samples = int(cfg["inference_samples"])
+        self.total_samples = int(cfg["total_samples"])
+        self.rays_name = cfg.get("rays_name", "rays")
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        if ctx.training:
+            lo, hi = self.sample_range
+            n = jnp.round(
+                jax.random.uniform(ctx.rng, ()) * (hi - lo) + lo)
+        else:
+            n = jnp.asarray(float(self.inference_samples))
+        x["num_samples"] = n
+        x["total_samples"] = self.total_samples
+        rays = x[self.rays_name]
+        x[self.rays_name] = jnp.concatenate(
+            [rays, jnp.full_like(rays[..., :1], 1.0) * n], -1)
+        return x
+
+
+@dataclass
+class SelectPointsEmbedding:
+    """Subselect every k-th sample from all per-sample fields. Static-shape
+    variant: samples beyond num_samples are masked invalid (weights zeroed,
+    distances zeroed) rather than sliced out
+    (reference nlf/embedding/point.py:452-480)."""
+
+    cfg: dict
+    group: str = "embedding"
+
+    def __post_init__(self):
+        self.fields = list(self.cfg.get(
+            "fields", ["points", "distances", "weights"]))
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        if "num_samples" not in x:
+            return x
+        n = x["num_samples"]
+        total = x.get("total_samples", x["points"].shape[1])
+        S = x["points"].shape[1]
+        idx = jnp.arange(S)
+        # keep ~n evenly spaced samples: every round(total/n)-th
+        stride = jnp.maximum(jnp.round(total / jnp.maximum(n, 1.0)), 1.0)
+        keep = (jnp.mod(idx.astype(jnp.float32), stride) < 1.0)
+        x["weights"] = x["weights"] * keep[None, :, None]
+        x["distances"] = x["distances"] * keep[None, :, None]
+        return x
+
+
+@dataclass
+class RandomOffsetEmbedding:
+    """Jitter sample points uniformly between neighbors every `frequency`
+    iters (reference nlf/embedding/point.py:483-555)."""
+
+    cfg: dict
+    group: str = "embedding"
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.frequency = int(cfg.get("frequency", 2))
+        self.stop_iter = float(cfg.get("stop_iter", float("inf")))
+        self.rays_name = cfg.get("rays_name", "rays")
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        if not ctx.training:
+            return x
+        dists = x["distances"][..., 0]
+        gaps = jnp.concatenate(
+            [dists[:, 1:] - dists[:, :-1],
+             jnp.zeros_like(dists[:, :1])], -1)
+        u = jax.random.uniform(ctx.rng, dists.shape)
+        jitter = u * gaps
+        gate = ((ctx.it % self.frequency) == 0) & (ctx.it < self.stop_iter)
+        new_d = jnp.where(gate, dists + jitter, dists)[..., None]
+        rays = x[self.rays_name]
+        x["distances"] = new_d
+        x["points"] = rays[..., None, :3] + rays[..., None, 3:6] * new_d
+        return x
+
+
+@dataclass
+class ReflectEmbedding:
+    """Reflection rays for RefNeRF-style shading: reflect viewdirs about
+    predicted normals (reference nlf/embedding/point.py:673-738)."""
+
+    cfg: dict
+    group: str = "embedding"
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.rays_name = cfg.get("rays_name", "rays")
+        self.in_normal_field = cfg.get("in_normal_field", "normal")
+        self.out_field = cfg.get("out_field", "viewdirs")
+        self.normal_activation = get_activation(
+            cfg.get("normal_activation", "identity"))
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        rays = x[self.rays_name]
+        S = x["points"].shape[1]
+        d = jnp.broadcast_to(rays[..., None, 3:6],
+                             (rays.shape[0], S, 3))
+        n = _normalize(self.normal_activation(x[self.in_normal_field], ctx))
+        refl = d - 2.0 * jnp.sum(d * n, -1, keepdims=True) * n
+        x[self.out_field] = refl
+        return x

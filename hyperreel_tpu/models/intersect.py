@@ -1,0 +1,413 @@
+"""Ray-primitive intersect stages (reference: nlf/intersect/).
+
+TPU-first redesign of `Intersect.forward` (nlf/intersect/base.py:142-259):
+static shapes throughout — invalid samples keep distance 0 and are masked by
+the downstream color net rather than compacted; the sort is a static
+argsort + gathers; iteration-gated dropout is a `jnp.where` on ``ctx.it``.
+
+Each stage is an object with `.init(key)` (usually {}) and
+`.apply(params, rays, x, ctx, render_kwargs)` mutating the sample-state dict.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.models.activations import get_activation
+from hyperreel_tpu.ops.contract import get_contract
+from hyperreel_tpu.ops.intersect_math import (
+    intersect_axis_plane,
+    intersect_plane,
+    intersect_sphere,
+    intersect_cylinder,
+    intersect_voxel_grid,
+    min_sphere_radius,
+    min_cylinder_radius,
+    pluecker_closest_point,
+    sort_z,
+    sort_with,
+)
+
+
+def _uniform_weight_fn(cfg):
+    def fn(rays, dists):
+        return jnp.ones_like(dists)
+
+    return fn
+
+
+def _ease_max_weight_fn(cfg):
+    """Down-weight rays whose dominant direction component is near an axis
+    boundary (reference nlf/intersect/base.py:32-43)."""
+    w_start = float(cfg.get("weight_start", 1.0))
+    w_end = float(cfg.get("weight_end", 0.95))
+
+    def fn(rays, dists):
+        d = rays[..., 3:6]
+        inf_norm = jnp.max(jnp.abs(d), axis=-1, keepdims=True)
+        d_norm = jnp.abs(d) / jnp.maximum(inf_norm, 1e-12)
+        w = jnp.clip((d_norm - w_end) / (w_start - w_end), 0.0, 1.0)
+        reps = dists.shape[1] // 3
+        return jnp.tile(w[:, None, :], (1, reps, 1)).reshape(w.shape[0], -1)
+
+    return fn
+
+
+weight_fn_dict = {
+    "uniform": _uniform_weight_fn,
+    "ease_max": _ease_max_weight_fn,
+}
+
+
+@dataclass
+class IntersectStage:
+    """Shared z-processing / sort / mask driver. Subclass-like behaviour is
+    provided through `intersect_fn(params, rays, z_vals)` supplied by the
+    concrete builders below."""
+
+    z_channels: int
+    cfg: dict
+    # filled by builder:
+    samples: np.ndarray = None          # [Z, 1] anchor values
+    z_scale: np.ndarray = None          # [*, 1]
+    name: str = "intersect"
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.in_density_field = cfg.get("in_density_field", "sigma")
+        self.out_points = cfg.get("out_points", None)
+        self.out_distance = cfg.get("out_distance", None)
+        self.sort = bool(cfg.get("sort", False))
+        self.normalize = bool(cfg.get("normalize", False))
+        self.residual_z = bool(cfg.get("residual_z", False))
+        self.residual_distance = bool(cfg.get("residual_distance", False))
+        self.clamp = bool(cfg.get("clamp", False))
+        self.use_disparity = bool(cfg.get("use_disparity", False))
+        self.use_sigma = bool(cfg.get("use_sigma", False))
+        self.origin = jnp.asarray(cfg.get("origin", [0.0, 0.0, 0.0]), jnp.float32)
+        self.near = float(cfg.get("near", 0.0))
+        self.far = float(cfg.get("far", float("inf")))
+        self.mask_stop_iters = float(cfg.get("mask", {}).get("stop_iters", float("inf")))
+        self.contract = get_contract(cfg.get("contract", None))
+        self.contract_stop_iters = float(
+            cfg.get("contract", {}).get("stop_iters", float("inf"))
+            if cfg.get("contract") else float("inf")
+        )
+        self.activation = get_activation(cfg.get("activation", "identity"))
+        wf = cfg.get("weight_fn", None)
+        self.weight_fn = weight_fn_dict[wf["type"]](wf) if wf else None
+        self.sort_outputs: List[str] = list(cfg.get("sort_outputs", []))
+        if self.weight_fn is not None:
+            self.sort_outputs.append("weights")
+        dropout = cfg.get("dropout", None)
+        self.use_dropout = dropout is not None
+        self.dropout_frequency = int(dropout.get("frequency", 2)) if dropout else 2
+        self.dropout_stop_iter = float(dropout.get("stop_iter", float("inf"))) if dropout else float("inf")
+
+    def init(self, key):
+        return {}
+
+    # --- hooks implemented per primitive ---
+    def intersect(self, params, rays, z_vals, x):
+        raise NotImplementedError
+
+    def process_z_vals(self, z_vals):
+        """scale/shift against anchors, then undo sample-space contraction
+        (reference nlf/intersect/base.py:128-140)."""
+        B = z_vals.shape[0]
+        z = z_vals.reshape(B, -1, self.z_scale.shape[-1])
+        z = z * jnp.asarray(self.z_scale)[None] + jnp.asarray(self.samples)[None]
+        z = z.reshape(B, -1)
+        if self.contract.contract_samples:
+            z = self.contract.inverse_contract_distance(z)
+        elif self.use_disparity:
+            z = jnp.where(jnp.abs(z) < 1e-8, jnp.full_like(z, 1e8), z)
+            z = 1.0 / z
+        return z
+
+    def apply(self, params, rays, x, ctx, render_kwargs=None):
+        render_kwargs = render_kwargs or {}
+        rays = jnp.concatenate(
+            [rays[..., :3] - self.origin, rays[..., 3:6]], -1
+        )
+        B = rays.shape[0]
+
+        z_vals = x["z_vals"].reshape(B, -1)
+
+        if self.use_sigma and self.in_density_field in x:
+            sigma = x[self.in_density_field].reshape(B, -1)
+        else:
+            sigma = jnp.zeros_like(z_vals)
+
+        z3 = z_vals.reshape(B, sigma.shape[1], -1)
+        z3 = self.activation(z3, ctx) * (1.0 - sigma[..., None])
+        z_vals = z3.reshape(B, -1)
+
+        # train-time dropout of predicted offsets (base.py:164-165)
+        if self.use_dropout and ctx.training:
+            gate = ((ctx.it % self.dropout_frequency) == 0) & (
+                ctx.it < self.dropout_stop_iter
+            )
+            z_vals = jnp.where(gate, jnp.zeros_like(z_vals), z_vals)
+
+        z_vals = self.process_z_vals(z_vals)
+
+        if self.residual_z and "last_z" in x:
+            last_z = x["last_z"].reshape(B, -1, 1)
+            z_vals = (z_vals.reshape(B, last_z.shape[1], -1) + last_z).reshape(B, -1)
+        else:
+            x["last_z"] = z_vals
+
+        dists = self.intersect(params, rays, z_vals, x)
+
+        if self.weight_fn is not None:
+            weights = self.weight_fn(rays, dists)
+        else:
+            weights = jnp.ones_like(dists)
+
+        if "weights" not in x or x["weights"].shape[1] != weights.shape[1]:
+            x["weights"] = weights[..., None]
+        else:
+            x["weights"] = x["weights"] * weights[..., None]
+
+        mask = (dists <= self.near) | (dists >= self.far) | (weights == 0.0)
+        mask = jnp.where(ctx.it > self.mask_stop_iters, jnp.zeros_like(mask), mask)
+        dists = jnp.where(mask, jnp.zeros_like(dists), dists)
+
+        if self.sort:
+            dists, sort_idx = sort_z(dists)
+            for key in self.sort_outputs:
+                x[key] = sort_with(sort_idx, x[key])
+
+        dists = dists[..., None]
+        mask = dists == 0.0
+
+        if self.residual_distance and "last_distance" in x:
+            last = x["last_distance"].reshape(B, -1, 1, 1)
+            dists = (dists.reshape(B, last.shape[1], -1, 1) + last).reshape(B, -1, 1)
+        else:
+            x["last_distance"] = dists
+
+        points = rays[..., None, :3] + rays[..., None, 3:6] * dists
+
+        if self.normalize:
+            # cylindrical re-normalization (base.py:229-239)
+            r = z_vals[..., None] + 1.0
+            fac = 1.0 / jnp.sqrt((1.0 - r) ** 2 + r * r + 1e-8)
+            points = jnp.concatenate(
+                [points[..., :2] * fac, points[..., 2:3]], -1
+            )
+
+        if self.contract.name != "identity":
+            points_c, dists_c = self.contract.contract_points_and_distance(
+                rays[..., :3], points, dists
+            )
+            keep = ctx.it > self.contract_stop_iters
+            points = jnp.where(keep, points, points_c)
+            dists = jnp.where(keep, dists, jnp.where(mask, 0.0, dists_c))
+
+        if self.out_points is not None:
+            x[self.out_points] = points
+        if self.out_distance is not None:
+            x[self.out_distance] = dists
+
+        x["points"] = points
+        x["distances"] = dists
+        x["z_vals"] = z_vals
+        return x
+
+
+def _make_anchor_schedule(z_channels, cfg, contract, near=None, far=None):
+    """linspace anchors + z_scale (reference nlf/intersect/z.py:26-71)."""
+    initial = float(cfg.get("initial", 0.0)) if near is None else near
+    end = float(cfg.get("end", 1.0)) if far is None else far
+    num_repeat = int(cfg.get("num_repeat", 1))
+    use_disparity = bool(cfg.get("use_disparity", False))
+
+    if contract.contract_samples:
+        initial = float(contract.contract_distance(jnp.asarray(initial)))
+        end = float(contract.contract_distance(jnp.asarray(end)))
+
+    n = z_channels // num_repeat
+    if use_disparity:
+        samples = np.linspace(1.0 / end, 1.0 / initial, n)[::-1].copy()
+    else:
+        samples = np.linspace(initial, end, n)
+    samples = np.tile(samples, num_repeat).reshape(-1, 1).astype(np.float32)
+
+    if z_channels > 1:
+        if "z_scale" in cfg:
+            z_scale = float(cfg["z_scale"])
+        elif "num_samples_for_scale" in cfg:
+            z_scale = abs(samples[1, 0] - samples[0, 0]) * (
+                z_channels / float(cfg["num_samples_for_scale"])
+            )
+        else:
+            z_scale = abs(samples[1, 0] - samples[0, 0])
+    else:
+        z_scale = float(cfg.get("z_scale", 1.0))
+    z_scale = np.asarray(z_scale, np.float32).reshape(-1, 1)
+    return samples, z_scale, initial, end
+
+
+@dataclass
+class IntersectZPlane(IntersectStage):
+    """Axis-aligned z-plane intersection (reference nlf/intersect/z.py)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        near = far = None
+        if cfg.get("use_dataset_bounds", False):
+            ds = cfg.get("_dataset_bounds", (0.0, 1.0))
+            near, far = -float(ds[0]), -float(ds[1])
+        self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
+            self.z_channels, cfg, self.contract, near, far
+        )
+        self.use_local_prediction = bool(cfg.get("use_local_prediction", False))
+        self.voxel_size = float(cfg.get("voxel_size", 1.0))
+
+    def intersect(self, params, rays, z_vals, x):
+        B = z_vals.shape[0]
+        z_vals = z_vals.reshape(B, -1)
+        if self.clamp:
+            z_vals = jnp.clip(z_vals, self.initial, self.end)
+        if self.use_local_prediction:
+            origin = jnp.round(rays[..., 2:3] / self.voxel_size) * self.voxel_size
+            z_vals = z_vals + origin
+        return intersect_axis_plane(rays[:, None, :], z_vals, 2)
+
+
+@dataclass
+class IntersectSphere(IntersectStage):
+    """Concentric spheres (reference nlf/intersect/primitive.py:366-471)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        near = far = None
+        if cfg.get("use_dataset_bounds", False):
+            ds = cfg.get("_dataset_bounds", (0.0, 1.0))
+            near, far = float(ds[0]), float(ds[1])
+        self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
+            self.z_channels, cfg, self.contract, near, far
+        )
+
+    def intersect(self, params, rays, z_vals, x):
+        B = z_vals.shape[0]
+        radii = z_vals.reshape(B, -1)
+        if self.clamp:
+            radii = jnp.clip(radii, self.initial, self.end)
+        return intersect_sphere(rays[:, None, :], jnp.zeros(3), radii)
+
+
+@dataclass
+class IntersectSphereNew(IntersectStage):
+    """Spheres with per-primitive resize + miss fallback
+    (reference nlf/intersect/primitive.py:474-545): rays that miss a sphere
+    fall back to the min-touch radius sphere distance via the Pluecker
+    closest point."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        near = far = None
+        if cfg.get("use_dataset_bounds", False):
+            ds = cfg.get("_dataset_bounds", (0.0, 1.0))
+            near, far = float(ds[0]), float(ds[1])
+        self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
+            self.z_channels, cfg, self.contract, near, far
+        )
+        self.resize = jnp.asarray(cfg.get("resize", [1.0, 1.0, 1.0]), jnp.float32)
+
+    def intersect(self, params, rays, z_vals, x):
+        B = z_vals.shape[0]
+        radii = z_vals.reshape(B, -1)
+        r = jnp.concatenate([rays[..., :3] * self.resize, rays[..., 3:6] * self.resize], -1)
+        min_r = min_sphere_radius(r, jnp.zeros(3))[:, None]
+        hit = radii >= min_r
+        t = intersect_sphere(r[:, None, :], jnp.zeros(3), jnp.maximum(radii, min_r))
+        # base distance to the closest point for non-hit spheres
+        p = pluecker_closest_point(r[..., :3], r[..., 3:6])
+        d_unit = r[..., 3:6] / jnp.maximum(
+            jnp.linalg.norm(r[..., 3:6], axis=-1, keepdims=True), 1e-12
+        )
+        t_base = jnp.sum((p - r[..., :3]) * d_unit, -1)[:, None]
+        return jnp.where(hit, t, t_base)
+
+
+@dataclass
+class IntersectCylinder(IntersectStage):
+    """Concentric y-axis cylinders (reference
+    nlf/intersect/primitive.py:181-363)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
+            self.z_channels, cfg, self.contract
+        )
+
+    def intersect(self, params, rays, z_vals, x):
+        B = z_vals.shape[0]
+        radii = z_vals.reshape(B, -1)
+        if self.clamp:
+            radii = jnp.clip(radii, self.initial, self.end)
+        return intersect_cylinder(rays[:, None, :], jnp.zeros(3), radii)
+
+
+@dataclass
+class IntersectVoxelGrid(IntersectStage):
+    """Axis-aligned planes in all 3 dims, z_channels/3 per axis
+    (reference nlf/intersect/voxel.py:19-112)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        self.outward_facing = bool(cfg.get("outward_facing", False))
+        self.max_axis = bool(cfg.get("max_axis", False))
+        n = self.z_channels  # z_vals carry [.., S, 3] offsets flattened
+        self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
+            n, cfg, self.contract
+        )
+
+    def intersect(self, params, rays, z_vals, x):
+        B = z_vals.shape[0]
+        vals = z_vals.reshape(B, -1, 3)
+        if self.outward_facing:
+            d = rays[..., 3:6]
+            vals = vals * jnp.sign(d)[:, None, :]
+        return intersect_voxel_grid(rays[:, None, :], jnp.zeros(3), vals)
+
+
+@dataclass
+class IntersectEuclidean(IntersectStage):
+    """Direct distance prediction (reference
+    nlf/intersect/primitive.py:72-130)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
+            self.z_channels, cfg, self.contract
+        )
+
+    def intersect(self, params, rays, z_vals, x):
+        return z_vals.reshape(z_vals.shape[0], -1)
+
+
+intersect_dict = {
+    "z_plane": IntersectZPlane,
+    "sphere": IntersectSphere,
+    "sphere_new": IntersectSphereNew,
+    "cylinder": IntersectCylinder,
+    "voxel_grid": IntersectVoxelGrid,
+    "euclidean_distance": IntersectEuclidean,
+}
+
+
+def build_intersect(z_channels, cfg, **kwargs):
+    return intersect_dict[cfg["type"]](z_channels=z_channels, cfg=cfg)

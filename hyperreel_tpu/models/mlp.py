@@ -1,0 +1,200 @@
+"""MLP nets (reference: nlf/nets/mlp.py:60-179).
+
+Functional modules: `build()` returns (init, apply). Parameters are plain
+dicts of jnp arrays. Weights use the reference's default init
+(torch nn.Linear: U(-1/sqrt(fan_in), 1/sqrt(fan_in))) so training dynamics
+match. The matmul chain runs in `compute_dtype` (bf16 on TPU by default at
+call sites that opt in) with f32 params/accumulation.
+"""
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.models.activations import get_activation
+from hyperreel_tpu.models.pe import get_pe, identity_pe
+
+
+def _linear_init(key, fan_in, fan_out, bias=True):
+    bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1))
+    wkey, bkey = jax.random.split(key)
+    w = jax.random.uniform(wkey, (fan_in, fan_out), jnp.float32, -bound, bound)
+    p = {"w": w}
+    if bias:
+        p["b"] = jax.random.uniform(bkey, (fan_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def _linear_apply(p, x, compute_dtype=None):
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = x @ w
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+@dataclass
+class BaseMLP:
+    """Skip-connection MLP (reference nlf/nets/mlp.py:60-179).
+
+    Layer stack: D+2 linears; skips concatenate the (encoded) input; the
+    inter-layer activation is applied to layers i < D (+1 when
+    linear_last=False). The ray-prediction embedding builds this with
+    depth=cfg.depth-2, linear_last=False (reference nlf/embedding/ray.py:283).
+    """
+
+    in_channels: int
+    out_channels: int
+    depth: int
+    hidden: int
+    skips: List[int] = field(default_factory=list)
+    linear_last: bool = True
+    bias: bool = True
+    activation: str = "identity"
+    layer_activation: str = "leaky_relu"
+    pe_cfg: Optional[dict] = None
+    compute_dtype: Optional[jnp.dtype] = None
+
+    def __post_init__(self):
+        self.pe = get_pe(self.in_channels, self.pe_cfg) if self.pe_cfg else \
+            identity_pe(self.in_channels)
+        self.net_in = self.pe.out_channels
+        self.out_act = get_activation(self.activation)
+        self.layer_act = get_activation(self.layer_activation)
+        if self.depth == 0:
+            self.out_channels = self.in_channels
+
+    def init(self, key):
+        if self.depth == 0:
+            return {}
+        params = {}
+        keys = jax.random.split(key, self.depth + 2)
+        for i in range(self.depth + 2):
+            if i == 0:
+                fan_in = self.net_in
+                fan_out = self.hidden
+            elif i == self.depth + 1:
+                fan_in = self.hidden
+                fan_out = self.out_channels
+            elif i in self.skips:
+                fan_in = self.hidden + self.net_in
+                fan_out = self.hidden
+            else:
+                fan_in = self.hidden
+                fan_out = self.hidden
+            params[f"layer_{i}"] = _linear_init(keys[i], fan_in, fan_out, self.bias)
+        return params
+
+    def apply(self, params, x, ctx=None):
+        if self.depth == 0:
+            return x
+        x = self.pe.apply(x, ctx)
+        input_x = x
+        act_until = self.depth if self.linear_last else self.depth + 1
+        for i in range(self.depth + 2):
+            if i in self.skips:
+                x = jnp.concatenate([input_x.astype(x.dtype), x], -1)
+            x = _linear_apply(params[f"layer_{i}"], x, self.compute_dtype)
+            if i < act_until:
+                x = self.layer_act(x, ctx)
+        x = x.astype(jnp.float32)
+        return self.out_act(x, ctx)
+
+
+@dataclass
+class ZeroMLP:
+    """Constant-zero net (reference nlf/nets/mlp.py:14-33)."""
+
+    in_channels: int
+    out_channels: int
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, x, ctx=None):
+        return jnp.zeros(x.shape[:-1] + (self.out_channels,), x.dtype)
+
+
+@dataclass
+class ConstantMLP:
+    """Learned constant output (reference nlf/nets/mlp.py:36-57)."""
+
+    in_channels: int
+    out_channels: int
+
+    def init(self, key):
+        return {"value": jnp.zeros((self.out_channels,), jnp.float32)}
+
+    def apply(self, params, x, ctx=None):
+        return jnp.broadcast_to(params["value"], x.shape[:-1] + (self.out_channels,))
+
+
+@dataclass
+class Siren:
+    """SIREN sine-MLP with omega_0=30 init (reference nlf/nets/siren.py)."""
+
+    in_channels: int
+    out_channels: int
+    depth: int
+    hidden: int
+    omega_0: float = 30.0
+
+    def init(self, key):
+        params = {}
+        keys = jax.random.split(key, self.depth + 2)
+        for i in range(self.depth + 2):
+            fan_in = self.in_channels if i == 0 else self.hidden
+            fan_out = self.out_channels if i == self.depth + 1 else self.hidden
+            if i == 0:
+                bound = 1.0 / fan_in
+            else:
+                bound = jnp.sqrt(6.0 / fan_in) / self.omega_0
+            wk, bk = jax.random.split(keys[i])
+            params[f"layer_{i}"] = {
+                "w": jax.random.uniform(wk, (fan_in, fan_out), jnp.float32,
+                                        -bound, bound),
+                "b": jax.random.uniform(bk, (fan_out,), jnp.float32,
+                                        -bound, bound),
+            }
+        return params
+
+    def apply(self, params, x, ctx=None):
+        for i in range(self.depth + 2):
+            x = _linear_apply(params[f"layer_{i}"], x)
+            if i < self.depth + 1:
+                x = jnp.sin(self.omega_0 * x)
+        return x
+
+
+def build_net(in_channels, out_channels, cfg, **kwargs):
+    """net_dict-style MLP construction from config
+    (reference nlf/nets/nets.py:12-136 for the mlp family)."""
+    t = cfg.get("type", "base")
+    if t in ("base", "mlp"):
+        return BaseMLP(
+            in_channels=in_channels,
+            out_channels=out_channels,
+            depth=int(cfg.get("depth", 6)),
+            hidden=int(cfg.get("hidden_channels", 256)),
+            skips=list(cfg.get("skips", [])),
+            linear_last=bool(cfg.get("linear_last", True)),
+            bias=bool(cfg.get("bias", True)),
+            activation=cfg.get("activation", "identity"),
+            layer_activation=cfg.get("layer_activation", "leaky_relu"),
+            pe_cfg=cfg.get("pe", None),
+            compute_dtype=kwargs.get("compute_dtype", None),
+        )
+    if t == "zero":
+        return ZeroMLP(in_channels, out_channels)
+    if t == "constant":
+        return ConstantMLP(in_channels, out_channels)
+    if t == "siren":
+        return Siren(in_channels, out_channels, int(cfg.get("depth", 6)),
+                     int(cfg.get("hidden_channels", 256)),
+                     float(cfg.get("omega_0", 30.0)))
+    raise ValueError(f"unknown mlp net type {t}")

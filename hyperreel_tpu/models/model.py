@@ -1,0 +1,75 @@
+"""Model composition (reference: nlf/models/models.py).
+
+LightfieldModel: forward(rays) = color_net(embedding_chain(param(rays))).
+Functional: `.init(key) -> params`, `.apply(params, rays, ctx, kwargs)`.
+`param_groups` labels every leaf with its optimizer group for
+optax.multi_transform (mirroring the reference's named opt_group attrs,
+nlf/__init__.py:374-388).
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.models.embeddings import build_embedding_chain
+from hyperreel_tpu.models.ray_param import get_ray_param
+from hyperreel_tpu.models.tensorf import build_color_net
+
+
+@dataclass
+class LightfieldModel:
+    cfg: dict
+    dataset_info: Optional[dict] = None
+    compute_dtype: Optional[jnp.dtype] = None
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.ray_param = get_ray_param(cfg.get("param", {"fn": "identity"}))
+        self.embedding = build_embedding_chain(
+            cfg["embedding"], self.dataset_info, self.compute_dtype)
+        self.color_net = build_color_net(cfg["color"]["net"], self.dataset_info)
+
+    def init(self, key):
+        k_embed, k_color = jax.random.split(key)
+        return {
+            "embedding": self.embedding.init(k_embed),
+            "color": self.color_net.init(k_color),
+        }
+
+    def apply(self, params, rays, ctx, render_kwargs=None):
+        render_kwargs = render_kwargs or {}
+        rays = self.ray_param.apply(rays)
+        x = self.embedding.apply(params["embedding"], rays, ctx, render_kwargs)
+        return self.color_net.apply(params["color"], x, ctx, render_kwargs)
+
+    def embed(self, params, rays, ctx, render_kwargs=None):
+        """Run only the embedding chain — used by visualizers and the
+        geometry regularizers (reference render_fn.embed paths)."""
+        render_kwargs = render_kwargs or {}
+        rays = self.ray_param.apply(rays)
+        return self.embedding.apply(params["embedding"], rays, ctx,
+                                    render_kwargs)
+
+    def param_groups(self, params):
+        embed_groups = {}
+        for name, stage in self.embedding.stages:
+            group = getattr(stage, "group", "embedding")
+            # nets configured with their own group (e.g. embedding_impl for
+            # the ray MLP, reference conf model yaml net.group)
+            stage_params = params["embedding"][name]
+            embed_groups[name] = jax.tree.map(lambda _: group, stage_params)
+        return {
+            "embedding": embed_groups,
+            "color": self.color_net.param_groups(params["color"]),
+        }
+
+
+model_dict = {"lightfield": LightfieldModel}
+
+
+def build_model(cfg, dataset_info=None, compute_dtype=None):
+    t = cfg.get("type", "lightfield")
+    return model_dict[t](cfg=cfg, dataset_info=dataset_info,
+                         compute_dtype=compute_dtype)

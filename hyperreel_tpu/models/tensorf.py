@@ -1,0 +1,939 @@
+"""Factored feature-grid color nets (reference: nlf/nets/tensorf_base.py,
+tensorf_no_sample.py, tensorf_dynamic.py).
+
+TPU-first redesign:
+  * grids are channel-last pytree leaves ([H, W, C] planes, [L, C] lines) so
+    bilinear gathers are lane-contiguous;
+  * no boolean compaction — densities/colors are computed for every sample
+    and multiplied by validity masks (static shapes for XLA);
+  * the alpha-composite uses a log-space associative scan (ops/render_math);
+  * grid upsample / shrink / alpha-mask are host-side param rebuilds between
+    training segments (reference TensorBase.set_iter semantics,
+    tensorf_base.py:509-553).
+
+Shipped-config coverage (SURVEY.md §2.10): `tensor_vm_split_no_sample` and
+`tensor_vm_split_time` are the entire shipped surface; both are here.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.ops.grid_sample import (
+    grid_sample_2d,
+    grid_sample_1d,
+    grid_sample_3d,
+    resize_bilinear_2d,
+    resize_linear_1d,
+)
+from hyperreel_tpu.ops.render_math import (
+    raw2alpha,
+    alpha2weights,
+    scale_shift_color_all,
+    scale_shift_color_one,
+    transform_color_all,
+    transform_color_one,
+)
+from hyperreel_tpu.ops.sh import sh_render, eval_sh_bases
+from hyperreel_tpu.models.mlp import _linear_init, _linear_apply
+from hyperreel_tpu.models.pe import basic_pe
+
+
+def n_to_reso(n_voxels, aabb):
+    """Cube-root voxel count -> per-axis resolution
+    (reference utils/tensorf_utils.py:65-69)."""
+    aabb = np.asarray(aabb, np.float64)
+    ext = aabb[1] - aabb[0]
+    voxel_size = (ext.prod() / n_voxels) ** (1.0 / 3.0)
+    return [int(x) for x in (ext / voxel_size)]
+
+
+def upsample_schedule(n_init, n_final, n_steps):
+    """Log-spaced voxel-count schedule
+    (reference nlf/nets/tensorf_base.py:171-198)."""
+    return [
+        int(round(float(x)))
+        for x in np.exp(np.linspace(np.log(n_init), np.log(n_final), n_steps + 1))
+    ][1:]
+
+
+# ---------------------------------------------------------------------------
+# Shading heads (reference utils/tensorf_utils.py:334-456,
+# nlf/nets/tensorf_base.py:38-135)
+# ---------------------------------------------------------------------------
+
+def _shading_sh(deg=2):
+    def render(params, pts, viewdirs, features, kw):
+        return sh_render(viewdirs, features, deg=deg)
+
+    return render, {}
+
+
+def _shading_rgb():
+    def render(params, pts, viewdirs, features, kw):
+        return jax.nn.sigmoid(features)
+
+    return render, {}
+
+
+def _shading_rgb_identity():
+    def render(params, pts, viewdirs, features, kw):
+        return jnp.abs(features + 0.5)
+
+    return render, {}
+
+
+def _shading_rgbt_linear():
+    def render(params, pts, viewdirs, features, kw):
+        coeffs = features.reshape(features.shape[:-1] + (3, 2))
+        t = kw["times"][..., :1]
+        basis = jnp.concatenate([jnp.ones_like(t), t], -1)
+        return jnp.maximum(jnp.sum(basis[..., None, :] * coeffs, -1) + 0.5, 0.0)
+
+    return render, {}
+
+
+def _time_fourier_basis(kw):
+    fpk = kw["frames_per_keyframe"]
+    K = kw["num_keyframes"]
+    F = kw["total_num_frames"]
+    scale = K * (F - 1) / F
+    time_offset = kw["time_offset"][..., :1] * scale
+    t = kw["times"][..., :1]
+    freqs = jnp.arange(fpk, dtype=jnp.float32)
+    ang = time_offset * freqs * 2.0 * np.pi
+    return jnp.concatenate([t, jnp.cos(ang), jnp.sin(ang)], -1)
+
+
+def _shading_rgbt_fourier():
+    def render(params, pts, viewdirs, features, kw):
+        fpk = kw["frames_per_keyframe"]
+        coeffs = features.reshape(features.shape[:-1] + (3, fpk * 2 + 1))
+        basis = _time_fourier_basis(kw)
+        return jnp.maximum(jnp.sum(basis[..., None, :] * coeffs, -1) + 0.5, 0.0)
+
+    return render, {}
+
+
+def _mlp_render_init(key, app_dim, viewpe, feape, hidden):
+    in_c = 2 * viewpe * 3 + 2 * feape * app_dim + 3 + app_dim
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "l0": _linear_init(k1, in_c, hidden),
+        "l1": _linear_init(k2, hidden, hidden),
+        "l2": {**_linear_init(k3, hidden, 3), "b": jnp.zeros((3,), jnp.float32)},
+    }
+
+
+def _positional_encoding(x, n):
+    freqs = 2.0 ** jnp.arange(n, dtype=jnp.float32)
+    ang = (x[..., None] * freqs).reshape(x.shape[:-1] + (-1,))
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], -1)
+
+
+def _shading_mlp_fea(app_dim, viewpe=6, feape=6, hidden=128):
+    """MLPRender_Fea (reference nlf/nets/tensorf_base.py:38-69)."""
+
+    def render(params, pts, viewdirs, features, kw):
+        parts = [features, viewdirs]
+        if feape > 0:
+            parts.append(_positional_encoding(features, feape))
+        if viewpe > 0:
+            parts.append(_positional_encoding(viewdirs, viewpe))
+        h = jnp.concatenate(parts, -1)
+        h = jnp.maximum(_linear_apply(params["l0"], h), 0.0)
+        h = jnp.maximum(_linear_apply(params["l1"], h), 0.0)
+        return jax.nn.sigmoid(_linear_apply(params["l2"], h))
+
+    def init(key):
+        return _mlp_render_init(key, app_dim, viewpe, feape, hidden)
+
+    return render, init
+
+
+# density decode heads (reference utils/tensorf_utils.py:430-456)
+
+def _density_plain(features, kw):
+    return features[..., 0]
+
+
+def _density_linear(features, kw):
+    coeffs = features.reshape(features.shape[:-1] + (1, 2))
+    t = kw["times"][..., :1]
+    basis = jnp.concatenate([jnp.ones_like(t), t], -1)
+    return jnp.sum(basis[..., None, :] * coeffs, -1)[..., 0]
+
+
+def _density_fourier(features, kw):
+    fpk = kw["frames_per_keyframe"]
+    coeffs = features.reshape(features.shape[:-1] + (1, fpk * 2 + 1))
+    basis = _time_fourier_basis(kw)
+    return jnp.sum(basis[..., None, :] * coeffs, -1)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Static net: TensorVMSplit (no-sample variant)
+# ---------------------------------------------------------------------------
+
+MAT_MODE = ((0, 1), (0, 2), (1, 2))
+VEC_MODE = (2, 1, 0)
+
+
+@dataclass
+class TensorVMNoSample:
+    """Static HyperReel color net (reference nlf/nets/tensorf_no_sample.py).
+
+    Consumes externally predicted points/distances/viewdirs/weights and
+    over-composites densities from a VM-factorized grid.
+    """
+
+    cfg: dict
+    grid_size: Optional[List[int]] = None  # current resolution (host state)
+    aabb: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.white_bg = int(cfg.get("white_bg", 0))
+        self.black_bg = int(cfg.get("black_bg", 0))
+        self.fea2dense = cfg.get("fea2denseAct", "softplus")
+        self.density_shift = float(cfg.get("density_shift", -10.0))
+        self.distance_scale = float(cfg.get("distance_scale", 25.0))
+        self.ray_march_weight_thres = float(cfg.get("rm_weight_mask_thre", 1e-4))
+        self.alpha_mask_thres = float(cfg.get("alpha_mask_thre", 1e-3))
+        if self.aabb is None:
+            self.aabb = np.asarray(cfg["aabb"], np.float32)
+        self.density_n_comp = list(cfg.get("n_lamb_sigma", [8, 8, 8]))
+        self.app_n_comp = list(cfg.get("n_lamb_sh", [24, 24, 24]))
+        self.app_dim = int(cfg.get("data_dim_color", 27))
+        self.shading_mode = cfg.get("shadingMode", "SH")
+        if self.grid_size is None:
+            self.grid_size = n_to_reso(int(cfg["N_voxel_init"]), self.aabb)
+        self.upsamp_list = list(cfg.get("upsamp_list", []))
+        self.update_alphamask_list = list(cfg.get("update_AlphaMask_list", []))
+        self.n_voxel_list = upsample_schedule(
+            int(cfg.get("N_voxel_init", 2097152)),
+            int(cfg.get("N_voxel_final", 2097152)),
+            len(self.upsamp_list),
+        ) if self.upsamp_list else []
+        self.lr_upsample_reset = bool(cfg.get("lr_upsample_reset", True))
+
+        fcfg = cfg.get("filter", None)
+        self.apply_filter_weights = fcfg is not None
+        self.filter_weight_thresh = float(fcfg.get("weight_thresh", 1e-3)) if fcfg else 1e-3
+        self.filter_max_samples = int(fcfg.get("max_samples", 32)) if fcfg else 32
+        self.filter_wait_iters = float(fcfg.get("wait_iters", 12000)) if fcfg else 12000.0
+
+        self.active_density = [i for i in range(3) if self.density_n_comp[i] > 0]
+        self.active_app = [i for i in range(3) if self.app_n_comp[i] > 0]
+
+        if self.shading_mode == "SH":
+            deg = int(round(math.sqrt(self.app_dim / 3))) - 1
+            self.render_fn, _ = _shading_sh(deg)
+            self.render_init = None
+        elif self.shading_mode == "RGB":
+            self.render_fn, _ = _shading_rgb()
+            self.render_init = None
+        elif self.shading_mode == "RGBIdentity":
+            self.render_fn, _ = _shading_rgb_identity()
+            self.render_init = None
+        elif self.shading_mode == "MLP_Fea":
+            self.render_fn, self.render_init = _shading_mlp_fea(
+                self.app_dim,
+                int(cfg.get("view_pe", 6)),
+                int(cfg.get("fea_pe", 6)),
+                int(cfg.get("featureC", 128)),
+            )
+        else:
+            raise ValueError(f"unsupported shadingMode {self.shading_mode}")
+
+    # -- params ------------------------------------------------------------
+
+    def _init_vm(self, key, n_comp, scale, uniform=False):
+        params = {}
+        gs = self.grid_size
+        for i in range(3):
+            if n_comp[i] == 0:
+                continue
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            k1, k2, key = jax.random.split(key, 3)
+            if uniform:
+                plane = jnp.clip(
+                    scale * jax.random.uniform(k1, (gs[m1], gs[m0], n_comp[i])),
+                    1e-2, 1e8)
+                line = jnp.clip(
+                    scale * jax.random.uniform(k2, (gs[v], n_comp[i])),
+                    1e-2, 1e8)
+            else:
+                plane = scale * jax.random.normal(k1, (gs[m1], gs[m0], n_comp[i]))
+                line = scale * jax.random.normal(k2, (gs[v], n_comp[i]))
+            params[f"plane_{i}"] = plane
+            params[f"line_{i}"] = line
+        return params
+
+    def init(self, key):
+        kd, ka, kb, kr = jax.random.split(key, 4)
+        # init scales per reference tensorf_base.py:895-991
+        if self.fea2dense == "softplus":
+            density = self._init_vm(kd, self.density_n_comp, 0.1)
+        else:
+            density = self._init_vm(kd, self.density_n_comp, 1e-2, uniform=True)
+        app = self._init_vm(ka, self.app_n_comp, 0.1)
+        params = {
+            "density": density,
+            "app": app,
+            "basis_mat": _linear_init(
+                kb, sum(self.app_n_comp), self.app_dim, bias=False),
+        }
+        if self.render_init is not None:
+            params["render"] = self.render_init(kr)
+        return params
+
+    def param_groups(self, params):
+        """Optimizer-group labels mirroring reference opt_group wiring
+        (tensorf_base.py:869-893)."""
+        groups = {
+            "density": jax.tree.map(lambda _: "color", params["density"]),
+            "app": jax.tree.map(lambda _: "color", params["app"]),
+        }
+        impl = "color_impl" if "MLP" in self.shading_mode else "color"
+        groups["basis_mat"] = jax.tree.map(lambda _: impl, params["basis_mat"])
+        if "render" in params:
+            groups["render"] = jax.tree.map(lambda _: "color_impl",
+                                            params["render"])
+        return groups
+
+    # -- sampling ----------------------------------------------------------
+
+    def normalize_coord(self, pts):
+        aabb = jnp.asarray(self.aabb)
+        inv = 2.0 / (aabb[1] - aabb[0])
+        return (pts - aabb[0]) * inv - 1.0
+
+    def valid_mask(self, pts):
+        aabb = jnp.asarray(self.aabb)
+        out = jnp.any((pts < aabb[0]) | (pts > aabb[1]), -1)
+        return ~out
+
+    def _sample_density(self, params, xyz):
+        """Sigma feature: sum_i plane_i(mat coords) . line_i(vec coord)
+        (reference tensorf_no_sample.py:47-80)."""
+        feat = None
+        for i in self.active_density:
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            uv = jnp.stack([xyz[..., m0], xyz[..., m1]], -1)
+            p = grid_sample_2d(params["density"][f"plane_{i}"], uv)
+            l = grid_sample_1d(params["density"][f"line_{i}"], xyz[..., v])
+            s = jnp.sum(p * l, -1)
+            feat = s if feat is None else feat + s
+        return feat
+
+    def _sample_app(self, params, xyz):
+        feats = []
+        for i in self.active_app:
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            uv = jnp.stack([xyz[..., m0], xyz[..., m1]], -1)
+            p = grid_sample_2d(params["app"][f"plane_{i}"], uv)
+            l = grid_sample_1d(params["app"][f"line_{i}"], xyz[..., v])
+            feats.append(p * l)
+        feat = jnp.concatenate(feats, -1)
+        return _linear_apply(params["basis_mat"], feat)
+
+    def feature2density(self, feat):
+        if self.fea2dense == "softplus":
+            return jnp.logaddexp(feat + self.density_shift, 0.0)
+        if self.fea2dense == "relu":
+            return jnp.maximum(feat, 0.0)
+        if self.fea2dense == "relu_abs":
+            return jnp.abs(feat)
+        raise ValueError(self.fea2dense)
+
+    # -- regularizer hooks (reference tensorf_base.py:1024-1057) ------------
+
+    def density_l1(self, params):
+        total = 0.0
+        for i in self.active_density:
+            total = total + jnp.mean(jnp.abs(params["density"][f"plane_{i}"]))
+            total = total + jnp.mean(jnp.abs(params["density"][f"line_{i}"]))
+        return total
+
+    def tv_loss_density(self, params):
+        return sum(_tv2d(params["density"][f"plane_{i}"]) * 1e-2
+                   for i in self.active_density)
+
+    def tv_loss_app(self, params):
+        return sum(_tv2d(params["app"][f"plane_{i}"]) * 1e-2
+                   for i in self.active_app)
+
+    # -- forward -----------------------------------------------------------
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        render_kwargs = render_kwargs or {}
+        B = x["viewdirs"].shape[0]
+        pts = x["points"].reshape(B, -1, 3)
+        S = pts.shape[1]
+        dists = x["distances"].reshape(B, S)
+        deltas = jnp.concatenate(
+            [dists[..., 1:] - dists[..., :-1],
+             jnp.full_like(dists[:, :1], 1e10)], -1)
+        viewdirs = x["viewdirs"].reshape(B, S, 3)
+        weights = x["weights"].reshape(B, S)
+
+        ray_valid = self.valid_mask(pts) & (dists > 0)
+
+        # top-k weight filtering (tensorf_no_sample.py:159-167)
+        if self.apply_filter_weights:
+            kth = jax.lax.top_k(weights, self.filter_max_samples)[0][..., -1:]
+            filt = (weights >= (kth - 1e-8)) & (weights > self.filter_weight_thresh)
+            active = ctx.it >= self.filter_wait_iters
+            ray_valid = ray_valid & jnp.where(active, filt,
+                                              jnp.ones_like(filt))
+
+        xyz = self.normalize_coord(pts)
+        feat = self._sample_density(params, xyz)
+        feat = feat * weights
+        if "weights_shift" in x:
+            feat = feat + x["weights_shift"].reshape(B, S)
+        sigma = jnp.where(ray_valid, self.feature2density(feat), 0.0)
+
+        alpha, weight, bg_weight = raw2alpha(sigma, deltas * self.distance_scale)
+        app_mask = weight > self.ray_march_weight_thres
+
+        app_feat = self._sample_app(params, xyz)
+        rgb = self.render_fn(params.get("render"), xyz, viewdirs, app_feat,
+                             render_kwargs)
+        rgb = jnp.where(app_mask[..., None], rgb, 0.0)
+
+        if "color_scale" in x:
+            rgb = scale_shift_color_all(
+                rgb,
+                x["color_scale"].reshape(B, S, 3),
+                x["color_shift"].reshape(B, S, 3))
+        elif "color_transform" in x:
+            rgb = transform_color_all(
+                rgb,
+                x["color_transform"].reshape(B, S, 3, 3),
+                x["color_shift"].reshape(B, S, 3))
+
+        acc_map = jnp.sum(weight, -1)
+        rgb_map = jnp.sum(weight[..., None] * rgb, -2)
+
+        # white-background (coin flip per batch in training,
+        # tensorf_no_sample.py:236)
+        if not self.black_bg:
+            if self.white_bg:
+                rgb_map = rgb_map + (1.0 - acc_map[:, None])
+            elif ctx.training:
+                coin = jax.random.uniform(ctx.rng, ()) < 0.5
+                rgb_map = jnp.where(coin,
+                                    rgb_map + (1.0 - acc_map[:, None]),
+                                    rgb_map)
+
+        if "color_scale_global" in x:
+            rgb_map = scale_shift_color_one(
+                rgb_map,
+                x["color_scale_global"].reshape(B, S, 3)[:, 0],
+                x["color_shift_global"].reshape(B, S, 3)[:, 0])
+        elif "color_transform_global" in x:
+            rgb_map = transform_color_one(
+                rgb_map,
+                x["color_transform_global"].reshape(B, S, 3, 3)[:, 0],
+                x["color_shift_global"].reshape(B, S, 3)[:, 0])
+
+        if not ctx.training:
+            rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+
+        outputs = {"rgb": rgb_map}
+        fields = render_kwargs.get("fields", [])
+        no_over = render_kwargs.get("no_over_fields", [])
+        pred_w = render_kwargs.get("pred_weights_fields", [])
+        if fields:
+            if pred_w:
+                pw = alpha2weights(weights)
+            for key in fields:
+                if key == "render_weights":
+                    outputs[key] = weight
+                elif key in no_over:
+                    outputs[key] = x[key].reshape(B, -1)
+                elif key in pred_w:
+                    outputs[key] = jnp.sum(
+                        pw[..., None] * x[key].reshape(B, S, -1), -2)
+                else:
+                    outputs[key] = jnp.sum(
+                        weight[..., None] * x[key].reshape(B, S, -1), -2)
+        return outputs
+
+    # -- host-side grid events (reference tensorf_base.py:509-553) ----------
+
+    def upsample(self, params, new_grid_size):
+        """Bilinear upsample all planes/lines to the new resolution
+        (reference tensorf_base.py:1151-1188)."""
+        new = {k: dict(v) if isinstance(v, dict) else v
+               for k, v in params.items()}
+        for fam, comps in (("density", self.density_n_comp),
+                           ("app", self.app_n_comp)):
+            for i in range(3):
+                if comps[i] == 0:
+                    continue
+                m0, m1 = MAT_MODE[i]
+                v = VEC_MODE[i]
+                new[fam][f"plane_{i}"] = resize_bilinear_2d(
+                    params[fam][f"plane_{i}"],
+                    new_grid_size[m1], new_grid_size[m0])
+                new[fam][f"line_{i}"] = resize_linear_1d(
+                    params[fam][f"line_{i}"], new_grid_size[v])
+        self.grid_size = list(new_grid_size)
+        return new
+
+    def shrink(self, params, new_aabb):
+        """Crop grids to a tightened aabb (reference
+        tensorf_base.py:1190-1232)."""
+        aabb = np.asarray(self.aabb, np.float64)
+        gs = np.asarray(self.grid_size)
+        units = (aabb[1] - aabb[0]) / (gs - 1)
+        t_l = np.round(np.round((np.asarray(new_aabb[0]) - aabb[0]) / units)).astype(int)
+        b_r = (np.round((np.asarray(new_aabb[1]) - aabb[0]) / units)).astype(int) + 1
+        b_r = np.minimum(b_r, gs)
+        t_l = np.maximum(t_l, 0)
+
+        new = {k: dict(v) if isinstance(v, dict) else v
+               for k, v in params.items()}
+        for fam, comps in (("density", self.density_n_comp),
+                           ("app", self.app_n_comp)):
+            for i in range(3):
+                if comps[i] == 0:
+                    continue
+                m0, m1 = MAT_MODE[i]
+                v = VEC_MODE[i]
+                new[fam][f"plane_{i}"] = params[fam][f"plane_{i}"][
+                    t_l[m1]:b_r[m1], t_l[m0]:b_r[m0], :]
+                new[fam][f"line_{i}"] = params[fam][f"line_{i}"][
+                    t_l[v]:b_r[v], :]
+
+        t_l_r = t_l / (gs - 1)
+        b_r_r = (b_r - 1) / (gs - 1)
+        corrected = np.stack([
+            (1 - t_l_r) * aabb[0] + t_l_r * aabb[1],
+            (1 - b_r_r) * aabb[0] + b_r_r * aabb[1],
+        ]).astype(np.float32)
+        self.aabb = corrected
+        self.grid_size = [int(x) for x in (b_r - t_l)]
+        return new
+
+    def compute_alpha_grid(self, params, grid_size=(200, 200, 200)):
+        """Dense alpha evaluation + 3^3 max-pool + threshold; returns
+        (alpha binary volume [D,H,W] with D=z, new_aabb)
+        (reference tensorf_base.py:384-429)."""
+        gx, gy, gz = grid_size
+        aabb = jnp.asarray(self.aabb)
+        xs = jnp.linspace(0.0, 1.0, gx)
+        ys = jnp.linspace(0.0, 1.0, gy)
+        zs = jnp.linspace(0.0, 1.0, gz)
+        grid = jnp.stack(jnp.meshgrid(xs, ys, zs, indexing="ij"), -1)
+        pts = aabb[0] * (1 - grid) + aabb[1] * grid  # [gx, gy, gz, 3]
+
+        def row_alpha(row_pts):
+            xyz = self.normalize_coord(row_pts.reshape(-1, 3))
+            feat = self._sample_density(params, xyz)
+            sigma = self.feature2density(feat)
+            return (1.0 - jnp.exp(-sigma * 0.01)).reshape(gy, gz)
+
+        alpha = jax.lax.map(row_alpha, pts)  # [gx, gy, gz]
+        alpha = jnp.clip(alpha, 0.0, 1.0)
+        # transpose to [gz, gy, gx] (torch volume convention D,H,W)
+        alpha_t = jnp.transpose(alpha, (2, 1, 0))
+        pooled = jax.lax.reduce_window(
+            alpha_t, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+        binary = (pooled >= self.alpha_mask_thres).astype(jnp.float32)
+
+        occupied = binary > 0.5
+        pts_t = jnp.transpose(pts, (2, 1, 0, 3))
+        big = jnp.full((3,), jnp.inf)
+        mins = jnp.min(jnp.where(occupied[..., None], pts_t, big[None, None, None]),
+                       axis=(0, 1, 2))
+        maxs = jnp.max(jnp.where(occupied[..., None], pts_t, -big[None, None, None]),
+                       axis=(0, 1, 2))
+        return binary, jnp.stack([mins, maxs])
+
+
+def _tv2d(plane_hwc):
+    """Mean squared difference TV (reference utils/tensorf_utils.py:150-166:
+    TVLoss with weight 1, h/w counts)."""
+    h_tv = jnp.mean((plane_hwc[1:, :, :] - plane_hwc[:-1, :, :]) ** 2)
+    w_tv = jnp.mean((plane_hwc[:, 1:, :] - plane_hwc[:, :-1, :]) ** 2)
+    return 2.0 * (h_tv + w_tv)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic net: TensorVMKeyframeTime
+# ---------------------------------------------------------------------------
+
+MAT_MODE_SPACE = ((0, 1), (0, 2), (1, 2))
+MAT_MODE_TIME = ((2, 3), (1, 3), (0, 3))
+
+
+@dataclass
+class TensorVMKeyframeTime(TensorVMNoSample):
+    """Dynamic HyperReel color net (reference nlf/nets/tensorf_dynamic.py):
+    4-D (x, y, z, t_keyframe) factorization into space-plane x time-plane
+    products, density/color decoded per frame via linear/Fourier time bases.
+    """
+
+    num_keyframes: int = 1
+    total_num_frames: int = 1
+
+    def __post_init__(self):
+        cfg = dict(self.cfg)
+        self.frames_per_keyframe = int(cfg.get(
+            "frames_per_keyframe",
+            max(self.total_num_frames // max(self.num_keyframes, 1), 1)))
+        self.time_scale_factor = (self.total_num_frames - 1) / self.total_num_frames
+        self.time_pixel_offset = 0.5 / self.num_keyframes
+
+        self.density_mode = cfg.get("densityMode", "Density")
+        if self.density_mode == "Density":
+            self.data_dim_density = 1
+        elif self.density_mode == "DensityLinear":
+            self.data_dim_density = 2
+        elif self.density_mode == "DensityFourier":
+            self.data_dim_density = self.frames_per_keyframe * 2 + 1
+        else:
+            raise ValueError(self.density_mode)
+
+        shading = cfg.get("shadingMode", "SH")
+        if shading == "RGBtLinear":
+            cfg["data_dim_color"] = 2 * 3
+        elif shading == "RGBtFourier":
+            cfg["data_dim_color"] = (self.frames_per_keyframe * 2 + 1) * 3
+        self.cfg = cfg
+        super().__post_init__()
+
+        if shading == "RGBtLinear":
+            self.render_fn, _ = _shading_rgbt_linear()
+            self.render_init = None
+        elif shading == "RGBtFourier":
+            self.render_fn, _ = _shading_rgbt_fourier()
+            self.render_init = None
+
+        if self.density_mode == "Density":
+            self.density_decode = _density_plain
+        elif self.density_mode == "DensityLinear":
+            self.density_decode = _density_linear
+        else:
+            self.density_decode = _density_fourier
+
+    # -- params ------------------------------------------------------------
+
+    def _init_vm_time(self, key, n_comp, scale, uniform=False):
+        params = {}
+        gs = self.grid_size
+        K = self.num_keyframes
+        for i in range(3):
+            if n_comp[i] == 0:
+                continue
+            ms0, ms1 = MAT_MODE_SPACE[i]
+            mt0, _ = MAT_MODE_TIME[i]
+            k1, k2, key = jax.random.split(key, 3)
+            if uniform:
+                space = jnp.clip(
+                    scale * jax.random.uniform(k1, (gs[ms1], gs[ms0], n_comp[i])),
+                    1e-2, 1e8)
+                time = jnp.clip(
+                    scale * jax.random.uniform(k2, (K, gs[mt0], n_comp[i])),
+                    1e-2, 1e8)
+            else:
+                space = scale * jax.random.normal(k1, (gs[ms1], gs[ms0], n_comp[i]))
+                time = scale * jax.random.normal(k2, (K, gs[mt0], n_comp[i]))
+            params[f"space_{i}"] = space
+            params[f"time_{i}"] = time
+        return params
+
+    def init(self, key):
+        kd, ka, kb, kbd, kr = jax.random.split(key, 5)
+        if self.fea2dense == "softplus":
+            density = self._init_vm_time(kd, self.density_n_comp, 0.1)
+        else:
+            density = self._init_vm_time(kd, self.density_n_comp, 1e-2,
+                                         uniform=True)
+        app = self._init_vm_time(ka, self.app_n_comp, 0.1)
+        params = {
+            "density": density,
+            "app": app,
+            "basis_mat": _linear_init(kb, sum(self.app_n_comp), self.app_dim,
+                                      bias=False),
+        }
+        if self.density_mode != "Density":
+            params["basis_mat_density"] = _linear_init(
+                kbd, sum(self.density_n_comp), self.data_dim_density, bias=False)
+        if self.render_init is not None:
+            params["render"] = self.render_init(kr)
+        return params
+
+    def param_groups(self, params):
+        groups = {
+            "density": jax.tree.map(lambda _: "color", params["density"]),
+            "app": jax.tree.map(lambda _: "color", params["app"]),
+        }
+        impl = "color_impl" if "MLP" in self.shading_mode else "color"
+        groups["basis_mat"] = jax.tree.map(lambda _: impl, params["basis_mat"])
+        if "basis_mat_density" in params:
+            groups["basis_mat_density"] = jax.tree.map(
+                lambda _: impl, params["basis_mat_density"])
+        if "render" in params:
+            groups["render"] = jax.tree.map(lambda _: "color_impl",
+                                            params["render"])
+        return groups
+
+    # -- sampling ----------------------------------------------------------
+
+    def normalize_time_coord(self, t):
+        """(reference tensorf_dynamic.py:615-616)."""
+        return (t * self.time_scale_factor + self.time_pixel_offset) * 2.0 - 1.0
+
+    def _sample_family(self, params, fam, active, xyzt):
+        feats = []
+        for i in active:
+            ms0, ms1 = MAT_MODE_SPACE[i]
+            mt0, mt1 = MAT_MODE_TIME[i]
+            uv_s = jnp.stack([xyzt[..., ms0], xyzt[..., ms1]], -1)
+            uv_t = jnp.stack([xyzt[..., mt0], xyzt[..., mt1]], -1)
+            ps = grid_sample_2d(params[fam][f"space_{i}"], uv_s)
+            pt = grid_sample_2d(params[fam][f"time_{i}"], uv_t)
+            feats.append(ps * pt)
+        return jnp.concatenate(feats, -1)
+
+    def _sample_density_t(self, params, xyzt):
+        feat = self._sample_family(params, "density", self.active_density, xyzt)
+        if self.density_mode != "Density":
+            return _linear_apply(params["basis_mat_density"], feat)
+        return jnp.sum(feat, -1, keepdims=True)
+
+    def _sample_app_t(self, params, xyzt):
+        feat = self._sample_family(params, "app", self.active_app, xyzt)
+        return _linear_apply(params["basis_mat"], feat)
+
+    # -- forward -----------------------------------------------------------
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        render_kwargs = render_kwargs or {}
+        B = x["viewdirs"].shape[0]
+        pts = x["points"].reshape(B, -1, 3)
+        S = pts.shape[1]
+        base_times = x["base_times"].reshape(B, S, 1)
+        dists = x["distances"].reshape(B, S)
+        deltas = jnp.concatenate(
+            [dists[..., 1:] - dists[..., :-1],
+             jnp.full_like(dists[:, :1], 1e10)], -1)
+        times = x["times"].reshape(B, S, 1)
+        time_offset = x["time_offset"].reshape(B, S, 1)
+        viewdirs = x["viewdirs"].reshape(B, S, 3)
+
+        ray_valid = self.valid_mask(pts) & (dists > 0)
+
+        # predicted weights are overridden to ones in the dynamic net
+        # (reference tensorf_dynamic.py:702-709 "TODO: maybe remove")
+        weights = jnp.ones((B, S), pts.dtype)
+        if self.apply_filter_weights:
+            w_pred = x["weights"].reshape(B, S)
+            kth = jax.lax.top_k(w_pred, self.filter_max_samples)[0][..., -1:]
+            filt = (w_pred >= (kth - 1e-8)) & (w_pred > self.filter_weight_thresh)
+            active = ctx.it >= self.filter_wait_iters
+            ray_valid = ray_valid & jnp.where(active, filt,
+                                              jnp.ones_like(filt))
+
+        xyzt = jnp.concatenate(
+            [self.normalize_coord(pts),
+             self.normalize_time_coord(base_times)], -1)
+
+        kw = {
+            "frames_per_keyframe": self.frames_per_keyframe,
+            "num_keyframes": self.num_keyframes,
+            "total_num_frames": self.total_num_frames,
+            "times": times,
+            "time_offset": time_offset,
+        }
+
+        feat = self._sample_density_t(params, xyzt)
+        sigma_raw = self.density_decode(feat, kw) * weights
+        sigma = jnp.where(ray_valid, self.feature2density(sigma_raw), 0.0)
+
+        alpha, weight, bg_weight = raw2alpha(sigma, deltas * self.distance_scale)
+        app_mask = weight > self.ray_march_weight_thres
+
+        app_feat = self._sample_app_t(params, xyzt)
+        rgb = self.render_fn(params.get("render"), xyzt, viewdirs, app_feat, kw)
+        rgb = jnp.where(app_mask[..., None], rgb, 0.0)
+
+        if "color_scale" in x:
+            rgb = scale_shift_color_all(
+                rgb,
+                x["color_scale"].reshape(B, S, 3),
+                x["color_shift"].reshape(B, S, 3))
+        elif "color_transform" in x:
+            rgb = transform_color_all(
+                rgb,
+                x["color_transform"].reshape(B, S, 3, 3),
+                x["color_shift"].reshape(B, S, 3))
+
+        acc_map = jnp.sum(weight, -1)
+        rgb_map = jnp.sum(weight[..., None] * rgb, -2)
+
+        if not self.black_bg:
+            if self.white_bg:
+                rgb_map = rgb_map + (1.0 - acc_map[:, None])
+            elif ctx.training:
+                coin = jax.random.uniform(ctx.rng, ()) < 0.5
+                rgb_map = jnp.where(coin,
+                                    rgb_map + (1.0 - acc_map[:, None]),
+                                    rgb_map)
+
+        if "color_scale_global" in x:
+            rgb_map = scale_shift_color_one(
+                rgb_map,
+                x["color_scale_global"].reshape(B, S, 3)[:, 0],
+                x["color_shift_global"].reshape(B, S, 3)[:, 0])
+        elif "color_transform_global" in x:
+            rgb_map = transform_color_one(
+                rgb_map,
+                x["color_transform_global"].reshape(B, S, 3, 3)[:, 0],
+                x["color_shift_global"].reshape(B, S, 3)[:, 0])
+
+        if not ctx.training:
+            rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+
+        outputs = {"rgb": rgb_map}
+        fields = render_kwargs.get("fields", [])
+        no_over = render_kwargs.get("no_over_fields", [])
+        pred_w = render_kwargs.get("pred_weights_fields", [])
+        if fields:
+            if pred_w:
+                pw = alpha2weights(x["weights"].reshape(B, S))
+            for key in fields:
+                if key == "render_weights":
+                    outputs[key] = weight
+                elif key in no_over:
+                    outputs[key] = x[key].reshape(B, -1)
+                elif key in pred_w:
+                    outputs[key] = jnp.sum(
+                        pw[..., None] * x[key].reshape(B, S, -1), -2)
+                else:
+                    outputs[key] = jnp.sum(
+                        weight[..., None] * x[key].reshape(B, S, -1), -2)
+        return outputs
+
+    # -- grid events -------------------------------------------------------
+
+    def upsample(self, params, new_grid_size):
+        """(reference tensorf_dynamic.py:395-440)."""
+        new = {k: dict(v) if isinstance(v, dict) else v
+               for k, v in params.items()}
+        for fam, comps in (("density", self.density_n_comp),
+                           ("app", self.app_n_comp)):
+            for i in range(3):
+                if comps[i] == 0:
+                    continue
+                ms0, ms1 = MAT_MODE_SPACE[i]
+                mt0, _ = MAT_MODE_TIME[i]
+                new[fam][f"space_{i}"] = resize_bilinear_2d(
+                    params[fam][f"space_{i}"],
+                    new_grid_size[ms1], new_grid_size[ms0])
+                new[fam][f"time_{i}"] = resize_bilinear_2d(
+                    params[fam][f"time_{i}"],
+                    self.num_keyframes, new_grid_size[mt0])
+        self.grid_size = list(new_grid_size)
+        return new
+
+    def shrink(self, params, new_aabb):
+        """Dynamic net never shrinks in the reference shipped configs
+        (update_AlphaMask only tightens aabb on the static net); keep grids
+        and only tighten aabb."""
+        self.aabb = np.asarray(new_aabb, np.float32)
+        return params
+
+    def density_l1(self, params):
+        total = 0.0
+        for i in self.active_density:
+            total = total + jnp.mean(jnp.abs(params["density"][f"space_{i}"]))
+            total = total + jnp.mean(jnp.abs(params["density"][f"time_{i}"]))
+        return total
+
+    def tv_loss_density(self, params):
+        return sum(_tv2d(params["density"][f"space_{i}"]) * 1e-2
+                   for i in self.active_density)
+
+    def tv_loss_app(self, params):
+        return sum(_tv2d(params["app"][f"space_{i}"]) * 1e-2
+                   for i in self.active_app)
+
+    def compute_alpha_grid(self, params, grid_size=(200, 200, 200)):
+        """Dense alpha across keyframes: max over time
+        (reference tensorf_dynamic.py:442-520 getDenseAlpha loops frames)."""
+        gx, gy, gz = grid_size
+        aabb = jnp.asarray(self.aabb)
+        xs = jnp.linspace(0.0, 1.0, gx)
+        ys = jnp.linspace(0.0, 1.0, gy)
+        zs = jnp.linspace(0.0, 1.0, gz)
+        grid = jnp.stack(jnp.meshgrid(xs, ys, zs, indexing="ij"), -1)
+        pts = aabb[0] * (1 - grid) + aabb[1] * grid
+
+        t_norm = self.normalize_time_coord(
+            jnp.linspace(0.0, 1.0, self.num_keyframes))
+
+        def row_alpha(row_pts):
+            xyz = self.normalize_coord(row_pts.reshape(-1, 3))
+
+            def one_t(t):
+                xyzt = jnp.concatenate(
+                    [xyz, jnp.full_like(xyz[..., :1], t)], -1)
+                feat = self._sample_density_t(params, xyzt)
+                kw = {"times": jnp.zeros_like(xyz[..., :1]),
+                      "time_offset": jnp.zeros_like(xyz[..., :1]),
+                      "frames_per_keyframe": self.frames_per_keyframe,
+                      "num_keyframes": self.num_keyframes,
+                      "total_num_frames": self.total_num_frames}
+                sigma = self.feature2density(self.density_decode(feat, kw))
+                return 1.0 - jnp.exp(-sigma * 0.01)
+
+            a = jnp.max(jax.vmap(one_t)(t_norm), 0)
+            return a.reshape(gy, gz)
+
+        alpha = jax.lax.map(row_alpha, pts)
+        alpha = jnp.clip(alpha, 0.0, 1.0)
+        alpha_t = jnp.transpose(alpha, (2, 1, 0))
+        pooled = jax.lax.reduce_window(
+            alpha_t, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+        binary = (pooled >= self.alpha_mask_thres).astype(jnp.float32)
+        occupied = binary > 0.5
+        pts_t = jnp.transpose(pts, (2, 1, 0, 3))
+        big = jnp.full((3,), jnp.inf)
+        mins = jnp.min(jnp.where(occupied[..., None], pts_t, big[None, None, None]),
+                       axis=(0, 1, 2))
+        maxs = jnp.max(jnp.where(occupied[..., None], pts_t, -big[None, None, None]),
+                       axis=(0, 1, 2))
+        return binary, jnp.stack([mins, maxs])
+
+
+net_dict = {
+    "tensor_vm_split_no_sample": TensorVMNoSample,
+    "tensor_vm_split_time": TensorVMKeyframeTime,
+}
+
+
+def build_color_net(cfg, dataset_info=None):
+    dataset_info = dataset_info or {}
+    t = cfg["type"]
+    if t == "tensor_vm_split_no_sample":
+        return TensorVMNoSample(cfg=dict(cfg))
+    if t == "tensor_vm_split_time":
+        return TensorVMKeyframeTime(
+            cfg=dict(cfg),
+            num_keyframes=int(dataset_info.get("num_keyframes", 1)),
+            total_num_frames=int(dataset_info.get("num_frames", 1)),
+        )
+    raise ValueError(f"unknown color net type {t}")

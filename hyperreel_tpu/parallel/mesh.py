@@ -1,0 +1,110 @@
+"""Multi-chip execution (SURVEY.md §2.11 "TPU-native equivalent").
+
+The reference scales with PyTorch-Lightning DDP over NCCL (main.py:174,
+186-204). Here: a `jax.sharding.Mesh` with a `data` axis — rays are
+embarrassingly parallel — and parameters replicated (factored grids are tens
+of MB). Arrays are placed explicitly (`device_put` with NamedShardings) and
+a plain `jax.jit` lets XLA propagate shardings: the gradient reduction
+appears as a psum over ICI because the replicated-parameter update consumes
+data-sharded per-ray losses.
+
+Eval shards image rows the same way (replacing the reference's DDP
+rank-striping, nlf/__init__.py:896). Multi-host would add
+`jax.distributed.initialize()` + per-host ray shards; the batch iterator
+seeds by `jax.process_index()`.
+"""
+
+from typing import Optional
+
+import numpy as np
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hyperreel_tpu.models.ctx import StepCtx
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name="data",
+              devices=None):
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(batch, mesh, axis_name="data"):
+    sharding = NamedSharding(mesh, P(axis_name))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate(tree, mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+class ShardedTrainer:
+    """Wraps a Trainer with data-parallel placement over a mesh."""
+
+    def __init__(self, trainer, mesh, axis_name="data"):
+        self.trainer = trainer
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def place_state(self, state):
+        from hyperreel_tpu.train.trainer import TrainState
+        return TrainState(
+            params=replicate(state.params, self.mesh),
+            opt_state=replicate(state.opt_state, self.mesh),
+            it=state.it,
+        )
+
+    def make_train_step(self, params_example):
+        optimizer = self.trainer._make_optimizer(params_example)
+
+        def step(params, opt_state, batch, it, rng):
+            ctx = StepCtx(it=it, rng=rng, training=True)
+            (_, metrics), grads = jax.value_and_grad(
+                self.trainer._loss_and_metrics, has_aux=True)(
+                    params, batch, ctx)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1)), optimizer
+
+    def run(self, state, batch_iter, num_iters, rng):
+        """One segment of sharded training (grid events go through the inner
+        trainer between calls)."""
+        state = self.place_state(state)
+        step, _ = self.make_train_step(state.params)
+        params, opt_state = state.params, state.opt_state
+        metrics = None
+        import jax.numpy as jnp
+        from hyperreel_tpu.train.trainer import TrainState
+        for i in range(num_iters):
+            batch = next(batch_iter)
+            batch = shard_batch(batch, self.mesh, self.axis_name)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, metrics = step(
+                params, opt_state, batch,
+                jnp.asarray(state.it + i, jnp.int32), sub)
+        return TrainState(params, opt_state, state.it + num_iters), metrics
+
+
+def make_sharded_render(model, mesh, axis_name="data"):
+    """Eval forward with rays sharded across devices; outputs stay sharded
+    on rays (gather host-side with np.asarray)."""
+    data = NamedSharding(mesh, P(axis_name))
+
+    def fwd(params, rays, it):
+        ctx = StepCtx(it=it, rng=jax.random.PRNGKey(0), training=False)
+        return model.apply(params, rays, ctx)
+
+    jitted = jax.jit(fwd)
+
+    def render(params, rays, it):
+        import jax.numpy as jnp
+        rays = jax.device_put(jnp.asarray(rays), data)
+        return jitted(params, rays, jnp.asarray(it, jnp.int32))
+
+    return render

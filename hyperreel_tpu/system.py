@@ -1,0 +1,169 @@
+"""Top-level system: wires dataset + model + trainer + renderer + eval
+(reference: nlf/__init__.py INRSystem / INRDataModule and main.py run()).
+
+Usage:
+    python -m hyperreel_tpu.main dataset.name=synthetic_blobs \
+        model=tiny_static training.num_epochs=2
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.config import resolve_model_cfg
+from hyperreel_tpu.data import get_dataset
+from hyperreel_tpu.models.model import build_model
+from hyperreel_tpu.train.trainer import Trainer
+from hyperreel_tpu.train.render import Renderer
+from hyperreel_tpu.train.metrics import psnr, ssim, get_mean_outputs
+from hyperreel_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
+from hyperreel_tpu.ops.pose_math import create_spiral_poses, interpolate_poses
+
+
+class System:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        ds_cfg = dict(cfg["dataset"])
+        name = ds_cfg.pop("name")
+        root = ds_cfg.pop("root_dir", None)
+        args = [root] if root else []
+        self.train_dataset = get_dataset(name, *args, **ds_cfg)
+        try:
+            self.val_dataset = get_dataset(name, *args, split="val", **{
+                k: v for k, v in ds_cfg.items() if k != "split"})
+        except Exception:
+            self.val_dataset = self.train_dataset
+
+        tcfg = cfg["training"]
+        if tcfg.get("sample_with_replacement", True):
+            self.iters_per_epoch = int(tcfg.get("num_iters", 4000))
+        else:
+            self.iters_per_epoch = int(np.ceil(
+                self.train_dataset.num_rays / tcfg["batch_size"]))
+
+        model_cfg = resolve_model_cfg(cfg, self.iters_per_epoch)
+        self.model = build_model(model_cfg,
+                                 dataset_info=self.train_dataset.info())
+        self.trainer = Trainer(
+            self.model, tcfg,
+            regularizer_cfgs=cfg.get("regularizers"),
+            iters_per_epoch=self.iters_per_epoch)
+        self.renderer = Renderer(self.model,
+                                 ray_chunk=int(tcfg.get("ray_chunk", 65536)))
+        self.save_dir = os.path.join(
+            cfg["params"].get("save_dir", "runs"),
+            cfg["params"].get("name", "experiment"))
+        os.makedirs(self.save_dir, exist_ok=True)
+
+    # -- training ----------------------------------------------------------
+
+    def fit(self, resume_from=None):
+        cfg = self.cfg["training"]
+        key = jax.random.PRNGKey(int(self.cfg["params"].get("seed", 0)))
+        if resume_from:
+            state = restore_checkpoint(resume_from, self.trainer)
+        else:
+            state = self.trainer.init_state(key)
+
+        total_iters = int(cfg.get("num_epochs", 40)) * self.iters_per_epoch
+        batch_size = int(cfg.get("batch_size", 16384))
+        log_every = int(cfg.get("log_every", 100))
+        val_every = int(cfg.get("val_every", 10)) * self.iters_per_epoch
+        ckpt_every = int(cfg.get("ckpt_every", 40)) * self.iters_per_epoch
+
+        def batches():
+            for b in self.train_dataset.batch_iterator(
+                    batch_size, seed=int(self.cfg["params"].get("seed", 0))):
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+        batch_iter = batches()
+        rng = jax.random.PRNGKey(1234)
+        metrics_log = []
+        t_start = time.time()
+
+        while state.it < total_iters:
+            chunk = min(val_every, total_iters - state.it)
+            state, history = self.trainer.fit(
+                state, batch_iter, num_iters=chunk, rng=rng,
+                log_every=log_every,
+                callback=lambda m: print(
+                    f"it {m['it']}: loss {m['loss']:.5f} "
+                    f"psnr {m['psnr']:.2f}"))
+            metrics_log += history
+            val_metrics = self.validate(state, max_images=2)
+            print(f"[val @ it {state.it}] {val_metrics}")
+            with open(os.path.join(self.save_dir, "metrics.txt"), "a") as f:
+                f.write(json.dumps(
+                    {"it": state.it, **val_metrics}) + "\n")
+            if ckpt_every and state.it % ckpt_every == 0:
+                save_checkpoint(
+                    os.path.join(self.save_dir, "last"), state, self.model)
+
+        save_checkpoint(os.path.join(self.save_dir, "last"), state,
+                        self.model)
+        print(f"training done in {time.time() - t_start:.1f}s")
+        return state, metrics_log
+
+    # -- evaluation (reference nlf/__init__.py:895-1028) ---------------------
+
+    def validate(self, state, max_images=None):
+        ds = self.val_dataset
+        n = ds.num_images if max_images is None else min(
+            ds.num_images, max_images)
+        outs = []
+        for i in range(n):
+            img_batch = ds.image(i)
+            out = self.renderer.render_image(
+                state.params, img_batch["rays"], ds.img_wh, it=state.it)
+            W, H = ds.img_wh
+            gt = img_batch["rgb"].reshape(H, W, 3)
+            pred = np.clip(out["rgb"], 0, 1)
+            outs.append({
+                "psnr": float(psnr(jnp.asarray(pred), jnp.asarray(gt))),
+                "ssim": float(ssim(jnp.asarray(pred), jnp.asarray(gt))),
+            })
+        return get_mean_outputs(outs)
+
+    def render_spiral(self, state, n_poses=30, save_frames=True):
+        """Spiral-path video render (reference validation_video,
+        nlf/__init__.py:809-893)."""
+        from hyperreel_tpu.ops.ray_math import get_ray_directions_K, get_rays
+        ds = self.train_dataset
+        W, H = ds.img_wh
+        f = 1.2 * W
+        K = [[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]
+        radii = np.array([0.2, 0.2, 0.1])
+        poses = create_spiral_poses(radii, focus_depth=1.5, n_poses=n_poses)
+        frames = []
+        times = []
+        for i, pose in enumerate(poses):
+            dirs = get_ray_directions_K(H, W, K, centered_pixels=True)
+            rays_o, rays_d = get_rays(dirs, pose)
+            rays = np.concatenate([rays_o, rays_d], -1).astype(np.float32)
+            ray_width = ds.all_coords.shape[-1]
+            if ray_width == 8:
+                t = (i % n_poses) / max(n_poses - 1, 1)
+                rays = np.concatenate([
+                    rays, np.ones((rays.shape[0], 1), np.float32),
+                    np.full((rays.shape[0], 1), t, np.float32)], -1)
+            elif ray_width == 7:
+                rays = np.concatenate([
+                    rays, np.ones((rays.shape[0], 1), np.float32)], -1)
+            t0 = time.time()
+            out = self.renderer.render_image(state.params, rays,
+                                             ds.img_wh, it=state.it)
+            times.append(time.time() - t0)
+            frames.append((np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))
+        print(f"mean frame time: {np.mean(times[1:]):.3f}s")
+        if save_frames:
+            from PIL import Image
+            vid_dir = os.path.join(self.save_dir, "spiral")
+            os.makedirs(vid_dir, exist_ok=True)
+            for i, fr in enumerate(frames):
+                Image.fromarray(fr).save(
+                    os.path.join(vid_dir, f"{i:04d}.png"))
+        return frames

@@ -1,0 +1,179 @@
+"""Regularizers (reference: nlf/regularizers/).
+
+Each regularizer exposes `loss(model, params, batch, ctx, system) -> scalar`
+with a weight schedule (wait/warmup/stop iters; reference
+nlf/regularizers/base.py:19-100). The tensorf L1+TV regularizer is the only
+one exercised by the shipped training scripts
+(`+experiment/regularizers/tensorf=tv_4000`).
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+
+from hyperreel_tpu.train.losses import get_loss
+
+
+def schedule_weight(cfg, it):
+    """wait/warmup/stop-iteration weight window
+    (reference nlf/regularizers/base.py)."""
+    weight = float(cfg.get("weight", 1.0))
+    wait = float(cfg.get("wait_iters", 0))
+    stop = float(cfg.get("stop_iters", float("inf")))
+    warmup = float(cfg.get("warmup_iters", 0))
+    it_f = it.astype(jnp.float32) if hasattr(it, "astype") else float(it)
+    cur = it_f - wait
+    w = jnp.where(cur < 0, 0.0, weight)
+    if warmup > 0:
+        w = w * jnp.clip(cur / warmup, 0.0, 1.0)
+    w = jnp.where(it_f >= stop, 0.0, w)
+    return w
+
+
+@dataclass
+class TensorfRegularizer:
+    """Plane/line L1 + TV on density/app planes with per-step decays
+    (reference nlf/regularizers/tensorf.py:57-96,
+    conf/experiment/regularizers/tensorf/tv_4000.yaml)."""
+
+    cfg: dict
+
+    def __post_init__(self):
+        import math
+        cfg = self.cfg
+        self.l1_weight_initial = float(cfg.get("L1_weight_initial", 8e-5))
+        self.l1_weight_rest = float(cfg.get("L1_weight_rest", 4e-5))
+        # L1 weight drops at the first alpha-mask update iteration
+        # (reference tensorf.py:95-100)
+        mask_list = list(cfg.get("update_AlphaMask_list", [4000]))
+        self.l1_switch_iter = float(mask_list[0]) if mask_list else float("inf")
+        self.tv_weight_density = float(cfg.get("TV_weight_density", 0.0))
+        self.tv_weight_app = float(cfg.get("TV_weight_app", 0.0))
+        # TV runs at its constant config weight until total_num_tv_iters
+        # (reference tensorf.py:50-53: the per-step decayed copy is only used
+        # for the cutoff; the loss itself uses the cfg constant)
+        ratio = float(cfg.get("lr_decay_target_ratio", 0.1))
+        n_iters = float(cfg.get("n_iters", 30000))
+        self.total_num_tv_iters = float(cfg.get(
+            "total_num_tv_iters",
+            round((math.log(1e-4) / math.log(ratio)) * n_iters)))
+
+    def loss(self, model, params, batch, ctx, system=None):
+        net = model.color_net
+        cp = params["color"]
+        it = ctx.it.astype(jnp.float32)
+
+        l1_w = jnp.where(it < self.l1_switch_iter,
+                         self.l1_weight_initial, self.l1_weight_rest)
+        total = l1_w * net.density_l1(cp)
+
+        if self.tv_weight_density > 0 or self.tv_weight_app > 0:
+            tv_on = (it <= self.total_num_tv_iters).astype(jnp.float32)
+            if self.tv_weight_density > 0:
+                total = total + self.tv_weight_density * tv_on * \
+                    net.tv_loss_density(cp)
+            if self.tv_weight_app > 0:
+                total = total + self.tv_weight_app * tv_on * \
+                    net.tv_loss_app(cp)
+        return total
+
+
+@dataclass
+class RenderWeightRegularizer:
+    """Prior pushing render weights toward the predicted weights
+    (reference nlf/regularizers/geometry.py:266+)."""
+
+    cfg: dict
+
+    def loss(self, model, params, batch, ctx, system=None):
+        rays = batch["rays"]
+        out = model.apply(params, rays, ctx,
+                          {"fields": ["render_weights", "weights"],
+                           "no_over_fields": ["weights"]})
+        rw = out["render_weights"]
+        pw = out["weights"].reshape(rw.shape)
+        base = schedule_weight(self.cfg, ctx.it)
+        return base * jnp.mean((rw - pw) ** 2)
+
+
+@dataclass
+class GeometryRegularizer:
+    """Depth/point supervision vs dataset ground truth
+    (reference nlf/regularizers/geometry.py:48-85): L2 between render-weight
+    composited sample points and GT depth points."""
+
+    cfg: dict
+
+    def __post_init__(self):
+        self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
+
+    def loss(self, model, params, batch, ctx, system=None):
+        if "depth" not in batch:
+            return jnp.asarray(0.0)
+        rays = batch["rays"]
+        out = model.apply(params, rays, ctx, {"fields": ["points"]})
+        pts = out["points"].reshape(rays.shape[0], 3)
+        gt_points = batch["points"]
+        valid = (batch["depth"] > 0).astype(pts.dtype)
+        base = schedule_weight(self.cfg, ctx.it)
+        return base * jnp.sum(
+            valid * jnp.sum((pts - gt_points) ** 2, -1, keepdims=True)
+        ) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+@dataclass
+class VoxelSparsityRegularizer:
+    """Sparsity on densities at random points in the aabb
+    (reference nlf/regularizers/voxel_sparsity.py:24-40)."""
+
+    cfg: dict
+
+    def loss(self, model, params, batch, ctx, system=None):
+        import jax
+        net = model.color_net
+        n = int(self.cfg.get("num_points", 4096))
+        aabb = jnp.asarray(net.aabb)
+        pts = jax.random.uniform(ctx.rng, (n, 3)) * (aabb[1] - aabb[0]) + aabb[0]
+        xyz = net.normalize_coord(pts)
+        if hasattr(net, "_sample_density_t"):
+            xyzt = jnp.concatenate([xyz, jnp.zeros_like(xyz[..., :1])], -1)
+            feat = net._sample_density_t(params["color"], xyzt)[..., 0]
+        else:
+            feat = net._sample_density(params["color"], xyz)
+        sigma = net.feature2density(feat)
+        base = schedule_weight(self.cfg, ctx.it)
+        return base * jnp.mean(1.0 - jnp.exp(-sigma * 0.01))
+
+
+regularizer_dict = {
+    "tensorf": TensorfRegularizer,
+    "render_weight": RenderWeightRegularizer,
+    "geometry": GeometryRegularizer,
+    "voxel_sparsity": VoxelSparsityRegularizer,
+}
+
+
+def build_regularizers(cfgs):
+    regs = []
+    for name, cfg in (cfgs or {}).items():
+        t = cfg.get("type", name)
+        regs.append((name, regularizer_dict[t](cfg=dict(cfg))))
+    return regs
+
+
+def tv_4000_defaults():
+    """The shipped `tv_4000` regularizer config
+    (reference conf/experiment/regularizers/tensorf/tv_4000.yaml)."""
+    return {
+        "tensorf": {
+            "type": "tensorf",
+            "L1_weight_initial": 8e-5,
+            "L1_weight_rest": 4e-5,
+            "update_AlphaMask_list": [4000, 8000],
+            "TV_weight_density": 0.05,
+            "TV_weight_app": 0.05,
+            "lr_decay_target_ratio": 0.1,
+            "n_iters": 30000,
+        }
+    }

@@ -1,0 +1,167 @@
+"""Training orchestration (reference: nlf/__init__.py INRSystem +
+TensorBase.set_iter grid events).
+
+TPU-first structure: one jitted `train_step` per *segment*; grid-shape
+events (upsample @ upsamp_list, alpha-mask/shrink @ update_AlphaMask_list)
+are host-side rebuild points between segments — param shapes change, the
+optimizer state is re-initialized (reference reset_opt_list), and XLA
+recompiles once per segment. Inside a segment everything (losses,
+regularizers, schedules) is traced with the iteration as data.
+"""
+
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from hyperreel_tpu.models.ctx import StepCtx
+from hyperreel_tpu.models.tensorf import n_to_reso
+from hyperreel_tpu.train.losses import get_loss
+from hyperreel_tpu.train.optim import build_optimizer
+from hyperreel_tpu.train.regularizers import build_regularizers
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: object
+    it: int  # host-side integer
+
+
+class Trainer:
+    """Single-model trainer with segment-based grid events."""
+
+    def __init__(self, model, training_cfg, regularizer_cfgs=None,
+                 iters_per_epoch=4000, mesh=None, donate=True):
+        self.model = model
+        self.training_cfg = training_cfg
+        self.iters_per_epoch = iters_per_epoch
+        self.loss_fn = get_loss(training_cfg.get("loss", {"type": "mse"}))
+        self.regularizers = build_regularizers(regularizer_cfgs)
+        self.optimizers_cfg = training_cfg["optimizers"]
+        self.mesh = mesh
+        self.donate = donate
+        self._cached_step = None
+
+        net = model.color_net
+        self.upsamp_list = list(net.upsamp_list)
+        self.alpha_list = list(net.update_alphamask_list)
+        self.n_voxel_list = list(net.n_voxel_list)
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, key, it=0):
+        params = self.model.init(key)
+        opt = self._make_optimizer(params)
+        return TrainState(params=params, opt_state=opt.init(params), it=it)
+
+    def _make_optimizer(self, params):
+        labels = self.model.param_groups(params)
+        return build_optimizer(self.optimizers_cfg, labels,
+                               self.iters_per_epoch)
+
+    # -- the jitted step ---------------------------------------------------
+
+    def _loss_and_metrics(self, params, batch, ctx):
+        out = self.model.apply(params, batch["rays"], ctx)
+        rgb = out["rgb"]
+        target = batch["rgb"]
+        weights = batch.get("weights", None)
+        if weights is not None:
+            image_loss = self.loss_fn(rgb * weights, target * weights)
+        else:
+            image_loss = self.loss_fn(rgb, target)
+        total = image_loss
+        for name, reg in self.regularizers:
+            total = total + reg.loss(self.model, params, batch, ctx)
+        mse = jnp.mean((rgb - target) ** 2)
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        return total, {"loss": total, "image_loss": image_loss, "psnr": psnr}
+
+    def make_train_step(self, params_example):
+        optimizer = self._make_optimizer(params_example)
+
+        def train_step(params, opt_state, batch, it, rng):
+            ctx = StepCtx(it=it, rng=rng, training=True)
+            (_, metrics), grads = jax.value_and_grad(
+                self._loss_and_metrics, has_aux=True)(params, batch, ctx)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        donate = (0, 1) if self.donate else ()
+        return jax.jit(train_step, donate_argnums=donate), optimizer
+
+    # -- host-side grid events (reference tensorf_base.py:509-553) ----------
+
+    def pending_events(self, start_it, end_it):
+        """Event iterations in (start_it, end_it]."""
+        evts = sorted(set(
+            [i for i in self.upsamp_list if start_it < i <= end_it]
+            + [i for i in self.alpha_list if start_it < i <= end_it]))
+        return evts
+
+    def apply_event(self, state: TrainState, it: int) -> TrainState:
+        """Mirror TensorBase.set_iter at iteration `it`: alpha-mask update
+        (+shrink on the first), then upsample, then optimizer reset."""
+        net = self.model.color_net
+        params = state.params
+        changed = False
+
+        if it in self.alpha_list:
+            reso = tuple(min(g, 200) for g in net.grid_size)
+            binary, new_aabb = net.compute_alpha_grid(params["color"], reso)
+            new_aabb = np.asarray(new_aabb)
+            self.alpha_grid = np.asarray(binary)
+            if it == self.alpha_list[0] and np.all(np.isfinite(new_aabb)):
+                params = dict(params,
+                              color=net.shrink(params["color"], new_aabb))
+                changed = True
+
+        if it in self.upsamp_list and self.n_voxel_list:
+            idx = self.upsamp_list.index(it)
+            n_voxels = self.n_voxel_list[idx]
+            reso = n_to_reso(n_voxels, net.aabb)
+            params = dict(params, color=net.upsample(params["color"], reso))
+            changed = True
+
+        if changed or net.lr_upsample_reset:
+            opt = self._make_optimizer(params)
+            opt_state = opt.init(params)
+        else:
+            opt_state = state.opt_state
+        return TrainState(params=params, opt_state=opt_state, it=it)
+
+    # -- the segment loop --------------------------------------------------
+
+    def fit(self, state: TrainState, batch_iter, num_iters, rng,
+            log_every=0, callback=None):
+        """Run `num_iters` steps from state.it, handling grid events.
+        `batch_iter` yields batches (dicts of jnp arrays)."""
+        end_it = state.it + num_iters
+        history = []
+        while state.it < end_it:
+            events = self.pending_events(state.it, end_it)
+            seg_end = events[0] if events else end_it
+            step, _ = self.make_train_step(state.params)
+            params, opt_state = state.params, state.opt_state
+            while state.it < seg_end:
+                batch = next(batch_iter)
+                rng, sub = jax.random.split(rng)
+                params, opt_state, metrics = step(
+                    params, opt_state, batch,
+                    jnp.asarray(state.it, jnp.int32), sub)
+                state = TrainState(params, opt_state, state.it + 1)
+                if log_every and state.it % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["it"] = state.it
+                    history.append(m)
+                    if callback:
+                        callback(m)
+            if events and state.it == seg_end:
+                state = self.apply_event(state, seg_end)
+        return state, history
