@@ -23,20 +23,23 @@ def main():
 
     fn, (params, rays, it, rng) = entry()
 
-    # a viewer-scale forward: 1,048,576 rays per call
-    # (reference demo chunk, scripts/demo_technicolor.sh:21-23)
+    # megapixel-scale frame (reference demo pushes 1,048,576 rays/forward,
+    # scripts/demo_technicolor.sh:21-23) rendered as chunked forwards; the
+    # chunk keeps peak HBM for per-sample intermediates in check
+    chunk = 1 << 18
     n = 1 << 20
-    reps = int(np.ceil(n / rays.shape[0]))
-    big_rays = jnp.tile(rays, (reps, 1))[:n]
+    reps = int(np.ceil(chunk / rays.shape[0]))
+    chunk_rays = jnp.tile(rays, (reps, 1))[:chunk]
 
     jitted = jax.jit(fn)
-    out = jitted(params, big_rays, it, rng)
+    out = jitted(params, chunk_rays, it, rng)
     out.block_until_ready()
 
-    n_timed = 10
+    n_timed = 3
     t0 = time.perf_counter()
     for _ in range(n_timed):
-        out = jitted(params, big_rays, it, rng)
+        for _ in range(n // chunk):
+            out = jitted(params, chunk_rays, it, rng)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_timed
 

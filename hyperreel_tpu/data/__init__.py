@@ -25,6 +25,14 @@ dataset_dict = {
     "shiny": _lazy("hyperreel_tpu.data.shiny.load_shiny"),
     "spaces": _lazy("hyperreel_tpu.data.spaces.load_spaces"),
     "eikonal": _lazy("hyperreel_tpu.data.eikonal.load_eikonal"),
+    "catacaustics": _lazy("hyperreel_tpu.data.catacaustics.load_catacaustics"),
+    "video3d_static": _lazy("hyperreel_tpu.data.video3d.load_video3d_static"),
+    "video3d_time": _lazy("hyperreel_tpu.data.video3d.load_video3d_time"),
+    "video3d_ground_truth": _lazy(
+        "hyperreel_tpu.data.video3d.load_video3d_ground_truth"),
+    "fourier": _lazy("hyperreel_tpu.data.aux_datasets.fourier_dataset"),
+    "random_ray": _lazy("hyperreel_tpu.data.aux_datasets.random_ray_view_dataset"),
+    "random_pixel": _lazy("hyperreel_tpu.data.aux_datasets.random_pixel_dataset"),
     "synthetic_blobs": gaussian_blob_scene,
     "random": random_ray_dataset,
 }

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from hyperreel_tpu.ops.grid_sample import (
     grid_sample_2d,
     grid_sample_1d,
+    grid_sample_2d_cf,
+    grid_sample_1d_cf,
     grid_sample_3d,
     resize_bilinear_2d,
     resize_linear_1d,
@@ -232,6 +234,7 @@ class TensorVMNoSample:
 
         if self.shading_mode == "SH":
             deg = int(round(math.sqrt(self.app_dim / 3))) - 1
+            self._sh_deg = deg
             self.render_fn, _ = _shading_sh(deg)
             self.render_init = None
         elif self.shading_mode == "RGB":
@@ -321,29 +324,41 @@ class TensorVMNoSample:
 
     def _sample_density(self, params, xyz):
         """Sigma feature: sum_i plane_i(mat coords) . line_i(vec coord)
-        (reference tensorf_no_sample.py:47-80)."""
+        (reference tensorf_no_sample.py:47-80). Channels-first gathers keep
+        the batch axis on TPU lanes; the channel reduction happens before
+        anything [N, C]-shaped is materialized."""
+        shape = xyz.shape[:-1]
+        flat = xyz.reshape(-1, 3)
         feat = None
         for i in self.active_density:
             m0, m1 = MAT_MODE[i]
             v = VEC_MODE[i]
-            uv = jnp.stack([xyz[..., m0], xyz[..., m1]], -1)
-            p = grid_sample_2d(params["density"][f"plane_{i}"], uv)
-            l = grid_sample_1d(params["density"][f"line_{i}"], xyz[..., v])
-            s = jnp.sum(p * l, -1)
+            uv = jnp.stack([flat[:, m0], flat[:, m1]], -1)
+            p = grid_sample_2d_cf(params["density"][f"plane_{i}"], uv)
+            l = grid_sample_1d_cf(params["density"][f"line_{i}"], flat[:, v])
+            s = jnp.sum(p * l, 0)
             feat = s if feat is None else feat + s
-        return feat
+        return feat.reshape(shape)
 
-    def _sample_app(self, params, xyz):
+    def _sample_app_cf(self, params, flat_xyz):
+        """App features channels-first: [app_dim, N]."""
         feats = []
         for i in self.active_app:
             m0, m1 = MAT_MODE[i]
             v = VEC_MODE[i]
-            uv = jnp.stack([xyz[..., m0], xyz[..., m1]], -1)
-            p = grid_sample_2d(params["app"][f"plane_{i}"], uv)
-            l = grid_sample_1d(params["app"][f"line_{i}"], xyz[..., v])
+            uv = jnp.stack([flat_xyz[:, m0], flat_xyz[:, m1]], -1)
+            p = grid_sample_2d_cf(params["app"][f"plane_{i}"], uv)
+            l = grid_sample_1d_cf(params["app"][f"line_{i}"], flat_xyz[:, v])
             feats.append(p * l)
-        feat = jnp.concatenate(feats, -1)
-        return _linear_apply(params["basis_mat"], feat)
+        feat_cf = jnp.concatenate(feats, 0)  # [C_tot, N]
+        w = params["basis_mat"]["w"]         # [C_tot, app_dim]
+        return jnp.einsum("cn,cd->dn", feat_cf, w,
+                          preferred_element_type=jnp.float32)
+
+    def _sample_app(self, params, xyz):
+        shape = xyz.shape[:-1]
+        app_cf = self._sample_app_cf(params, xyz.reshape(-1, 3))
+        return app_cf.T.reshape(shape + (self.app_dim,))
 
     def feature2density(self, feat):
         if self.fea2dense == "softplus":
@@ -405,9 +420,15 @@ class TensorVMNoSample:
         alpha, weight, bg_weight = raw2alpha(sigma, deltas * self.distance_scale)
         app_mask = weight > self.ray_march_weight_thres
 
-        app_feat = self._sample_app(params, xyz)
-        rgb = self.render_fn(params.get("render"), xyz, viewdirs, app_feat,
-                             render_kwargs)
+        if self.shading_mode == "SH":
+            from hyperreel_tpu.ops.sh import sh_render_cf
+            app_cf = self._sample_app_cf(params, xyz.reshape(-1, 3))
+            rgb = sh_render_cf(viewdirs.reshape(-1, 3), app_cf,
+                               deg=self._sh_deg).reshape(B, S, 3)
+        else:
+            app_feat = self._sample_app(params, xyz)
+            rgb = self.render_fn(params.get("render"), xyz, viewdirs,
+                                 app_feat, render_kwargs)
         rgb = jnp.where(app_mask[..., None], rgb, 0.0)
 
         if "color_scale" in x:
@@ -696,27 +717,41 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         """(reference tensorf_dynamic.py:615-616)."""
         return (t * self.time_scale_factor + self.time_pixel_offset) * 2.0 - 1.0
 
-    def _sample_family(self, params, fam, active, xyzt):
+    def _sample_family_cf(self, params, fam, active, flat_xyzt):
+        """Space-plane x time-plane products, channels-first [C_tot, N]."""
         feats = []
         for i in active:
             ms0, ms1 = MAT_MODE_SPACE[i]
             mt0, mt1 = MAT_MODE_TIME[i]
-            uv_s = jnp.stack([xyzt[..., ms0], xyzt[..., ms1]], -1)
-            uv_t = jnp.stack([xyzt[..., mt0], xyzt[..., mt1]], -1)
-            ps = grid_sample_2d(params[fam][f"space_{i}"], uv_s)
-            pt = grid_sample_2d(params[fam][f"time_{i}"], uv_t)
+            uv_s = jnp.stack([flat_xyzt[:, ms0], flat_xyzt[:, ms1]], -1)
+            uv_t = jnp.stack([flat_xyzt[:, mt0], flat_xyzt[:, mt1]], -1)
+            ps = grid_sample_2d_cf(params[fam][f"space_{i}"], uv_s)
+            pt = grid_sample_2d_cf(params[fam][f"time_{i}"], uv_t)
             feats.append(ps * pt)
-        return jnp.concatenate(feats, -1)
+        return jnp.concatenate(feats, 0)
 
     def _sample_density_t(self, params, xyzt):
-        feat = self._sample_family(params, "density", self.active_density, xyzt)
+        shape = xyzt.shape[:-1]
+        feat_cf = self._sample_family_cf(
+            params, "density", self.active_density, xyzt.reshape(-1, 4))
         if self.density_mode != "Density":
-            return _linear_apply(params["basis_mat_density"], feat)
-        return jnp.sum(feat, -1, keepdims=True)
+            w = params["basis_mat_density"]["w"]
+            out_cf = jnp.einsum("cn,cd->dn", feat_cf, w,
+                                preferred_element_type=jnp.float32)
+            return out_cf.T.reshape(shape + (self.data_dim_density,))
+        return jnp.sum(feat_cf, 0).reshape(shape)[..., None]
+
+    def _sample_app_t_cf(self, params, flat_xyzt):
+        feat_cf = self._sample_family_cf(
+            params, "app", self.active_app, flat_xyzt)
+        w = params["basis_mat"]["w"]
+        return jnp.einsum("cn,cd->dn", feat_cf, w,
+                          preferred_element_type=jnp.float32)
 
     def _sample_app_t(self, params, xyzt):
-        feat = self._sample_family(params, "app", self.active_app, xyzt)
-        return _linear_apply(params["basis_mat"], feat)
+        shape = xyzt.shape[:-1]
+        app_cf = self._sample_app_t_cf(params, xyzt.reshape(-1, 4))
+        return app_cf.T.reshape(shape + (self.app_dim,))
 
     # -- forward -----------------------------------------------------------
 
@@ -766,8 +801,15 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         alpha, weight, bg_weight = raw2alpha(sigma, deltas * self.distance_scale)
         app_mask = weight > self.ray_march_weight_thres
 
-        app_feat = self._sample_app_t(params, xyzt)
-        rgb = self.render_fn(params.get("render"), xyzt, viewdirs, app_feat, kw)
+        if self.shading_mode == "SH":
+            from hyperreel_tpu.ops.sh import sh_render_cf
+            app_cf = self._sample_app_t_cf(params, xyzt.reshape(-1, 4))
+            rgb = sh_render_cf(viewdirs.reshape(-1, 3), app_cf,
+                               deg=self._sh_deg).reshape(B, S, 3)
+        else:
+            app_feat = self._sample_app_t(params, xyzt)
+            rgb = self.render_fn(params.get("render"), xyzt, viewdirs,
+                                 app_feat, kw)
         rgb = jnp.where(app_mask[..., None], rgb, 0.0)
 
         if "color_scale" in x:
@@ -936,4 +978,7 @@ def build_color_net(cfg, dataset_info=None):
             num_keyframes=int(dataset_info.get("num_keyframes", 1)),
             total_num_frames=int(dataset_info.get("num_frames", 1)),
         )
+    if t in ("tensor_vm", "tensor_cp", "tensor_vm_split_reflect"):
+        from hyperreel_tpu.models import tensorf_extra  # registers variants
+        return net_dict[t](cfg=dict(cfg))
     raise ValueError(f"unknown color net type {t}")

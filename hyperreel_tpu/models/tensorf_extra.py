@@ -1,0 +1,261 @@
+"""Additional factored-grid net variants for capability parity
+(reference: nlf/nets/tensorf_base.py TensorVM/TensorCP,
+nlf/nets/tensorf_reflect.py, nlf/nets/nets.py MultipleNet).
+
+Per the config-usage census (SURVEY.md §2.10) none of these are exercised
+by shipped configs; they are provided for API parity and custom configs.
+"""
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.models.mlp import _linear_init, _linear_apply
+from hyperreel_tpu.models.tensorf import (
+    TensorVMNoSample, MAT_MODE, VEC_MODE, net_dict)
+from hyperreel_tpu.ops.grid_sample import grid_sample_2d, grid_sample_1d
+
+
+@dataclass
+class TensorVMJoint(TensorVMNoSample):
+    """Joint-plane TensorVM: one [3, C_app+C_sigma, R, R] plane stack and
+    matching lines (reference tensorf_base.py:623-861). Reuses the
+    no-sample forward; only the factor storage/sampling differ."""
+
+    def __post_init__(self):
+        cfg = dict(self.cfg)
+        self.n_comp_density = int(cfg.get("n_lamb_sigma", [8])[0]
+                                  if isinstance(cfg.get("n_lamb_sigma"), list)
+                                  else cfg.get("n_lamb_sigma", 8))
+        self.n_comp_app = int(cfg.get("n_lamb_sh", [24])[0]
+                              if isinstance(cfg.get("n_lamb_sh"), list)
+                              else cfg.get("n_lamb_sh", 24))
+        cfg["n_lamb_sigma"] = [self.n_comp_density] * 3
+        cfg["n_lamb_sh"] = [self.n_comp_app] * 3
+        self.cfg = cfg
+        super().__post_init__()
+
+    def init(self, key):
+        k1, k2, kb, kr = jax.random.split(key, 4)
+        res = max(self.grid_size)
+        C = self.n_comp_app + self.n_comp_density
+        params = {
+            "plane_coef": 0.1 * jax.random.normal(k1, (3, res, res, C)),
+            "line_coef": 0.1 * jax.random.normal(k2, (3, res, C)),
+            "basis_mat": _linear_init(kb, self.n_comp_app * 3, self.app_dim,
+                                      bias=False),
+        }
+        if self.render_init is not None:
+            params["render"] = self.render_init(kr)
+        return params
+
+    def param_groups(self, params):
+        groups = {
+            "plane_coef": "color",
+            "line_coef": "color",
+            "basis_mat": jax.tree.map(lambda _: "color_impl",
+                                      params["basis_mat"]),
+        }
+        if "render" in params:
+            groups["render"] = jax.tree.map(lambda _: "color_impl",
+                                            params["render"])
+        return groups
+
+    def _sample_density(self, params, xyz):
+        feat = None
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            uv = jnp.stack([xyz[..., m0], xyz[..., m1]], -1)
+            p = grid_sample_2d(params["plane_coef"][i], uv)
+            l = grid_sample_1d(params["line_coef"][i], xyz[..., v])
+            s = jnp.sum(p[..., -self.n_comp_density:]
+                        * l[..., -self.n_comp_density:], -1)
+            feat = s if feat is None else feat + s
+        return feat
+
+    def _sample_app(self, params, xyz):
+        feats = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            uv = jnp.stack([xyz[..., m0], xyz[..., m1]], -1)
+            p = grid_sample_2d(params["plane_coef"][i], uv)
+            l = grid_sample_1d(params["line_coef"][i], xyz[..., v])
+            feats.append(p[..., : self.n_comp_app]
+                         * l[..., : self.n_comp_app])
+        feat = jnp.concatenate(feats, -1)
+        return _linear_apply(params["basis_mat"], feat)
+
+    def upsample(self, params, new_grid_size):
+        from hyperreel_tpu.ops.grid_sample import (
+            resize_bilinear_2d, resize_linear_1d)
+        res = max(new_grid_size)
+        new = dict(params)
+        new["plane_coef"] = jnp.stack([
+            resize_bilinear_2d(params["plane_coef"][i], res, res)
+            for i in range(3)])
+        new["line_coef"] = jnp.stack([
+            resize_linear_1d(params["line_coef"][i], res)
+            for i in range(3)])
+        self.grid_size = [res, res, res]
+        return new
+
+
+@dataclass
+class TensorCP(TensorVMNoSample):
+    """CP-rank decomposition: products of three line factors
+    (reference tensorf_base.py:1235-1415)."""
+
+    def __post_init__(self):
+        cfg = dict(self.cfg)
+        n_sig = cfg.get("n_lamb_sigma", 96)
+        n_app = cfg.get("n_lamb_sh", 288)
+        self.n_comp_density = int(n_sig[0] if isinstance(n_sig, list) else n_sig)
+        self.n_comp_app = int(n_app[0] if isinstance(n_app, list) else n_app)
+        cfg["n_lamb_sigma"] = [self.n_comp_density] * 3
+        cfg["n_lamb_sh"] = [self.n_comp_app] * 3
+        self.cfg = cfg
+        super().__post_init__()
+
+    def init(self, key):
+        kd, ka, kb, kr = jax.random.split(key, 4)
+        gs = self.grid_size
+        params = {
+            "density_line": [
+                0.2 * jax.random.normal(jax.random.fold_in(kd, i),
+                                        (gs[VEC_MODE[i]], self.n_comp_density))
+                for i in range(3)],
+            "app_line": [
+                0.2 * jax.random.normal(jax.random.fold_in(ka, i),
+                                        (gs[VEC_MODE[i]], self.n_comp_app))
+                for i in range(3)],
+            "basis_mat": _linear_init(kb, self.n_comp_app, self.app_dim,
+                                      bias=False),
+        }
+        if self.render_init is not None:
+            params["render"] = self.render_init(kr)
+        return params
+
+    def param_groups(self, params):
+        groups = {
+            "density_line": ["color"] * 3,
+            "app_line": ["color"] * 3,
+            "basis_mat": jax.tree.map(lambda _: "color_impl",
+                                      params["basis_mat"]),
+        }
+        if "render" in params:
+            groups["render"] = jax.tree.map(lambda _: "color_impl",
+                                            params["render"])
+        return groups
+
+    def _sample_density(self, params, xyz):
+        prod = None
+        for i in range(3):
+            l = grid_sample_1d(params["density_line"][i],
+                               xyz[..., VEC_MODE[i]])
+            prod = l if prod is None else prod * l
+        return jnp.sum(prod, -1)
+
+    def _sample_app(self, params, xyz):
+        prod = None
+        for i in range(3):
+            l = grid_sample_1d(params["app_line"][i], xyz[..., VEC_MODE[i]])
+            prod = l if prod is None else prod * l
+        return _linear_apply(params["basis_mat"], prod)
+
+    def upsample(self, params, new_grid_size):
+        from hyperreel_tpu.ops.grid_sample import resize_linear_1d
+        new = dict(params)
+        new["density_line"] = [
+            resize_linear_1d(params["density_line"][i],
+                             new_grid_size[VEC_MODE[i]])
+            for i in range(3)]
+        new["app_line"] = [
+            resize_linear_1d(params["app_line"][i],
+                             new_grid_size[VEC_MODE[i]])
+            for i in range(3)]
+        self.grid_size = list(new_grid_size)
+        return new
+
+
+@dataclass
+class TensorVMReflect(TensorVMNoSample):
+    """RefNeRF-style variant: density normals from the density-field
+    gradient, reflected viewdirs shading (reference
+    nlf/nets/tensorf_reflect.py:28-201). On TPU the normal is jax.grad of
+    the density w.r.t. position — no autograd.grad special-casing."""
+
+    def density_and_normal(self, params, xyz, weights):
+        def density_at(p):
+            feat = self._sample_density(params, p[None])[0]
+            return self.feature2density(feat * weights)
+
+        def one(p, w):
+            def f(q):
+                feat = self._sample_density(params, q[None])[0]
+                return self.feature2density(feat * w)
+
+            d, g = jax.value_and_grad(f)(p)
+            n = -g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+            return d, n
+
+        flat_xyz = xyz.reshape(-1, 3)
+        flat_w = weights.reshape(-1)
+        d, n = jax.vmap(one)(flat_xyz, flat_w)
+        return d.reshape(xyz.shape[:-1]), n.reshape(xyz.shape)
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        render_kwargs = render_kwargs or {}
+        B = x["viewdirs"].shape[0]
+        pts = x["points"].reshape(B, -1, 3)
+        xyz = self.normalize_coord(pts)
+        weights = x["weights"].reshape(B, -1)
+        _, normal = self.density_and_normal(params, xyz, weights)
+        d = x["viewdirs"].reshape(B, -1, 3)
+        refl = d - 2.0 * jnp.sum(d * normal, -1, keepdims=True) * normal
+        x = dict(x)
+        x["viewdirs"] = refl
+        return super().apply(params, x, ctx, render_kwargs)
+
+
+@dataclass
+class MultipleNet:
+    """Cascade of nets with wait/stop iters and optional feature feedback
+    (reference nlf/nets/nets.py:36-134). Outputs of active nets are summed;
+    gating is a where-blend on the traced iteration."""
+
+    nets: List
+    wait_iters: List[float]
+    stop_iters: List[float]
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.nets))
+        return {f"net_{i}": n.init(k)
+                for i, (n, k) in enumerate(zip(self.nets, keys))}
+
+    def apply(self, params, x, ctx, render_kwargs=None):
+        out = None
+        for i, net in enumerate(self.nets):
+            o = net.apply(params[f"net_{i}"], x, ctx, render_kwargs)
+            gate = ((ctx.it >= self.wait_iters[i])
+                    & (ctx.it < self.stop_iters[i])).astype(jnp.float32)
+            rgb = o["rgb"] * gate
+            if out is None:
+                out = dict(o)
+                out["rgb"] = rgb
+            else:
+                out["rgb"] = out["rgb"] + rgb
+        return out
+
+    def param_groups(self, params):
+        return {f"net_{i}": n.param_groups(params[f"net_{i}"])
+                for i, n in enumerate(self.nets)}
+
+
+# register
+net_dict["tensor_vm"] = TensorVMJoint
+net_dict["tensor_cp"] = TensorCP
+net_dict["tensor_vm_split_reflect"] = TensorVMReflect

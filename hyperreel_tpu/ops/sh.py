@@ -85,3 +85,21 @@ def sh_render(viewdirs, features, deg=2):
     coeffs = features.reshape(features.shape[:-1] + (3, n_basis))
     rgb = jnp.sum(basis[..., None, :] * coeffs, axis=-1) + 0.5
     return jnp.maximum(rgb, 0.0)
+
+
+def eval_sh_bases_cf(deg, dirs):
+    """Channels-first SH bases: dirs [..., 3] -> [(deg+1)**2, ...] so the
+    large batch axis stays on TPU lanes (see grid_sample_2d_cf)."""
+    out = eval_sh_bases(deg, dirs)
+    return jnp.moveaxis(out, -1, 0)
+
+
+def sh_render_cf(viewdirs, features_cf, deg=2):
+    """Channels-first SH shading: viewdirs [N, 3],
+    features_cf [3*(deg+1)**2, N] -> rgb [N, 3]. All intermediates keep the
+    N axis minor (lane dim)."""
+    n_basis = (deg + 1) ** 2
+    basis_cf = eval_sh_bases_cf(deg, viewdirs)      # [K, N]
+    coeffs = features_cf.reshape(3, n_basis, -1)    # [3, K, N]
+    rgb_cf = jnp.sum(coeffs * basis_cf[None], axis=1) + 0.5  # [3, N]
+    return jnp.maximum(rgb_cf, 0.0).T

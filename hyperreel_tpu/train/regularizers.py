@@ -155,6 +155,8 @@ regularizer_dict = {
 
 
 def build_regularizers(cfgs):
+    if cfgs:
+        from hyperreel_tpu.train import regularizers_extra  # noqa: F401
     regs = []
     for name, cfg in (cfgs or {}).items():
         t = cfg.get("type", name)

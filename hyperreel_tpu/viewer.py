@@ -1,0 +1,200 @@
+"""Interactive viewer (reference: utils/gui_utils.py NeRFGUI/OrbitCamera).
+
+dearpygui is not TPU-idiomatic; the contract is "render full frames at
+interactive rates given a pose/time stream" (gui_utils.py:139-213). This
+module provides:
+
+  * OrbitCamera — the same orbit/pan/zoom camera model;
+  * InteractiveRenderer — persistent per-resolution compiled render fns
+    (a dynamic-resolution *ladder*, replacing the reference's continuous
+    downscale at gui_utils.py:186-193) with a frame-time budget;
+  * serve() — a minimal HTTP MJPEG/PNG server so any browser can act as
+    the display (zero-dependency stand-in for the dearpygui window).
+"""
+
+import io
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from hyperreel_tpu.models.ctx import make_ctx
+from hyperreel_tpu.ops.ray_math import get_ray_directions_K, get_rays
+
+
+class OrbitCamera:
+    """Orbit camera (reference utils/gui_utils.py:17-72)."""
+
+    def __init__(self, W, H, r=2.0, fovy=60.0):
+        self.W, self.H = W, H
+        self.radius = r
+        self.fovy = fovy
+        self.center = np.zeros(3, np.float32)
+        self.rot = np.eye(3, dtype=np.float32)
+
+    @property
+    def pose(self):
+        res = np.eye(4, dtype=np.float32)
+        res[2, 3] -= self.radius
+        rot = np.eye(4, dtype=np.float32)
+        rot[:3, :3] = self.rot
+        res = rot @ res
+        res[:3, 3] -= self.center
+        return res[:3]
+
+    @property
+    def intrinsics(self):
+        focal = self.H / (2.0 * np.tan(np.radians(self.fovy) / 2.0))
+        return np.array([[focal, 0, self.W / 2],
+                         [0, focal, self.H / 2],
+                         [0, 0, 1]], np.float32)
+
+    def orbit(self, dx, dy):
+        def rotmat(axis, angle):
+            c, s = np.cos(angle), np.sin(angle)
+            x, y, z = axis
+            K = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]], np.float32)
+            return np.eye(3, dtype=np.float32) + s * K + (1 - c) * (K @ K)
+
+        side = self.rot[:3, 0]
+        up = np.array([0, 1, 0], np.float32)
+        self.rot = rotmat(up, -0.005 * dx) @ rotmat(side, -0.005 * dy) @ self.rot
+
+    def scale(self, delta):
+        self.radius *= 1.1 ** (-delta)
+
+    def pan(self, dx, dy, dz=0):
+        self.center += 0.0005 * self.rot[:3, :3] @ np.array(
+            [dx, dy, dz], np.float32)
+
+
+@dataclass
+class InteractiveRenderer:
+    """Frame renderer with a compiled-resolution ladder and a frame budget
+    (reference gui_utils.py:139-213: 200 ms target, downscale in [1/4, 1])."""
+
+    model: object
+    params: object
+    base_wh: tuple = (512, 512)
+    frame_budget_s: float = 0.2
+    ladder: tuple = (1.0, 0.7071, 0.5, 0.3536, 0.25)
+    ray_width: int = 8
+    it: int = 10 ** 6
+
+    def __post_init__(self):
+        import jax
+        self._fns = {}
+        self._level = len(self.ladder) - 1  # start conservative
+        self._jax = jax
+
+        def fwd(params, rays):
+            ctx = make_ctx(it=self.it, training=False)
+            return self.model.apply(params, rays, ctx)["rgb"]
+
+        self._fwd = jax.jit(fwd)
+
+    def _wh_for(self, level):
+        s = self.ladder[level]
+        W = max(int(self.base_wh[0] * s) // 8 * 8, 32)
+        H = max(int(self.base_wh[1] * s) // 8 * 8, 32)
+        return W, H
+
+    def render_frame(self, pose, K=None, t=0.0, cam_id=1.0):
+        """Render one frame at the current ladder level; adapt the level to
+        the measured frame time."""
+        import jax.numpy as jnp
+        W, H = self._wh_for(self._level)
+        if K is None:
+            focal = H / (2.0 * np.tan(np.radians(60.0) / 2.0))
+            K = [[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]]
+        else:
+            K = np.asarray(K, np.float32).copy()
+            K[0] *= W / self.base_wh[0]
+            K[1] *= H / self.base_wh[1]
+        dirs = get_ray_directions_K(H, W, K, centered_pixels=True)
+        rays_o, rays_d = get_rays(dirs, np.asarray(pose, np.float32))
+        rays = np.concatenate([rays_o, rays_d], -1).astype(np.float32)
+        if self.ray_width >= 7:
+            rays = np.concatenate(
+                [rays, np.full((rays.shape[0], 1), cam_id, np.float32)], -1)
+        if self.ray_width == 8:
+            rays = np.concatenate(
+                [rays, np.full((rays.shape[0], 1), t, np.float32)], -1)
+
+        t0 = time.perf_counter()
+        rgb = self._fwd(self.params, jnp.asarray(rays))
+        rgb.block_until_ready()
+        dt = time.perf_counter() - t0
+
+        # ladder adaptation (discrete version of gui_utils.py:186-193)
+        if dt > self.frame_budget_s and self._level < len(self.ladder) - 1:
+            self._level += 1
+        elif dt < self.frame_budget_s * 0.4 and self._level > 0:
+            self._level -= 1
+
+        img = np.clip(np.asarray(rgb).reshape(H, W, 3), 0, 1)
+        return (img * 255).astype(np.uint8), dt
+
+
+def serve(model, params, host="0.0.0.0", port=8090, wh=(512, 512),
+          ray_width=8, time_loop_s=2.0):
+    """Minimal HTTP viewer: GET / returns an HTML page with drag-to-orbit;
+    GET /frame?yaw=..&pitch=..&r=..&t=.. returns a PNG frame
+    (the render contract of NeRFGUI.test_step, gui_utils.py:139-213)."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import urlparse, parse_qs
+    from PIL import Image
+
+    cam = OrbitCamera(wh[0], wh[1])
+    renderer = InteractiveRenderer(model=model, params=params, base_wh=wh,
+                                   ray_width=ray_width)
+    t_start = time.time()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            parsed = urlparse(self.path)
+            if parsed.path == "/frame":
+                q = parse_qs(parsed.query)
+                yaw = float(q.get("yaw", [0])[0])
+                pitch = float(q.get("pitch", [0])[0])
+                cam.rot = np.eye(3, dtype=np.float32)
+                cam.orbit(yaw * 200, pitch * 200)
+                cam.radius = float(q.get("r", [2.0])[0])
+                t = float(q.get(
+                    "t", [((time.time() - t_start) % time_loop_s)
+                          / time_loop_s])[0])
+                img, dt = renderer.render_frame(cam.pose, t=t)
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, "PNG")
+                data = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("X-Frame-Time", f"{dt:.3f}")
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                page = (b"<html><body style='margin:0'>"
+                        b"<img id=v style='width:100vw;height:100vh;"
+                        b"object-fit:contain'>"
+                        b"<script>let yaw=0,pitch=0,drag=0;"
+                        b"document.onmousedown=()=>drag=1;"
+                        b"document.onmouseup=()=>drag=0;"
+                        b"document.onmousemove=e=>{if(drag){yaw+=e.movementX"
+                        b"*0.003;pitch+=e.movementY*0.003;}};"
+                        b"async function loop(){const r=await fetch("
+                        b"`/frame?yaw=${yaw}&pitch=${pitch}`);"
+                        b"const b=await r.blob();"
+                        b"v.src=URL.createObjectURL(b);"
+                        b"requestAnimationFrame(loop);}loop();"
+                        b"</script></body></html>")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(page)
+
+    server = HTTPServer((host, port), Handler)
+    print(f"viewer at http://{host}:{port}/")
+    server.serve_forever()

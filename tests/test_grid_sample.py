@@ -12,10 +12,30 @@ import jax.numpy as jnp
 from hyperreel_tpu.ops.grid_sample import (
     grid_sample_2d,
     grid_sample_1d,
+    grid_sample_2d_cf,
+    grid_sample_1d_cf,
     grid_sample_3d,
     resize_bilinear_2d,
     resize_linear_1d,
 )
+
+
+def test_channels_first_variants_match():
+    rng = np.random.default_rng(21)
+    H, W, C, N = 19, 23, 8, 513
+    plane = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.3, 1.3, (N, 2)).astype(np.float32))
+    ref = grid_sample_2d(plane, coords)
+    got = grid_sample_2d_cf(plane, coords).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    line = jnp.asarray(rng.standard_normal((W, C)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(-1.2, 1.2, (N,)).astype(np.float32))
+    ref1 = grid_sample_1d(line, z)
+    got1 = grid_sample_1d_cf(line, z).T
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
