@@ -1,0 +1,101 @@
+"""Tests for auxiliary components: subdivision schemes, viewer camera,
+visualizers, aux datasets, profiling utils."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.models.subdivision import (
+    build_subdivision, voxels_from_bb)
+from hyperreel_tpu.viewer import OrbitCamera
+from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+from hyperreel_tpu.data.aux_datasets import (
+    fourier_dataset, random_ray_view_dataset, random_pixel_dataset)
+from hyperreel_tpu.train.visualizers import (
+    get_warp_dimensions, visualize_warp, build_visualizers)
+from hyperreel_tpu.utils.profiling import Timer
+
+
+class TestSubdivision:
+    def test_voxels_from_bb(self):
+        centers = voxels_from_bb([-1, -1, -1], [1, 1, 1], 1.0)
+        assert centers.shape == (8, 3)
+        np.testing.assert_allclose(np.abs(centers), 0.5)
+
+    def test_depth_subdivision(self):
+        sub = build_subdivision({"type": "depth", "near": 0.0, "far": 4.0,
+                                 "n_slabs": 4})
+        rays = jnp.asarray([[0.0, 0.0, -1.0, 0.0, 0.0, 1.0]])
+        t = sub.intersect(rays)
+        np.testing.assert_allclose(np.asarray(t)[0], [1, 2, 3, 4, 5],
+                                   atol=1e-5)
+        segs = sub.reparam(rays)
+        assert segs.shape == (1, 4, 6)
+
+    def test_none_when_unset(self):
+        assert build_subdivision(None) is None
+        assert build_subdivision({}) is None
+
+
+class TestOrbitCamera:
+    def test_pose_orthonormal(self):
+        cam = OrbitCamera(64, 64, r=2.0)
+        cam.orbit(30, 10)
+        cam.pan(5, -3)
+        pose = cam.pose
+        R = pose[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+    def test_scale_changes_radius(self):
+        cam = OrbitCamera(64, 64, r=2.0)
+        cam.scale(1)
+        assert cam.radius < 2.0
+
+
+class TestAuxDatasets:
+    def test_fourier(self):
+        base = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        ds = fourier_dataset(base)
+        assert "fft" in ds.extras
+        assert ds.extras["fft"].shape == (2 * 64, 3)
+
+    def test_random_ray_view(self):
+        base = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        ds = random_ray_view_dataset(base, n_rays=256)
+        assert ds.all_coords.shape == (256, 6)
+        norms = np.linalg.norm(ds.all_coords[:, 3:6], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    def test_random_pixel(self):
+        base = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        ds = random_pixel_dataset(base, n_rays=128)
+        assert ds.all_coords.shape == (128, 6)
+        assert ds.all_rgb.shape == (128, 3)
+
+
+class TestVisualizers:
+    def test_warp_dimensions(self):
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((8, 8, 5)).astype(np.float32)
+        emb[..., 2] *= 100  # dominant variance channel
+        dims = get_warp_dimensions(emb, k=3)
+        assert dims[0] == 2
+        img = visualize_warp(emb, dims)
+        assert img.shape == (8, 8, 3)
+        assert img.min() >= 0 and img.max() <= 1
+
+    def test_build_registry(self):
+        vis = build_visualizers({"epi": {"type": "epipolar"},
+                                 "cv": {"type": "closest_view"}})
+        assert len(vis) == 2
+
+
+class TestProfiling:
+    def test_timer(self):
+        t = Timer()
+        with t.time("op"):
+            _ = sum(range(1000))
+        s = t.summary()
+        assert "op" in s and s["op"]["n"] == 1
