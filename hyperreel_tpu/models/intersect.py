@@ -178,9 +178,14 @@ class IntersectStage:
         dists = jnp.where(mask, jnp.zeros_like(dists), dists)
 
         if self.sort:
-            dists, sort_idx = sort_z(dists)
-            for key in self.sort_outputs:
-                x[key] = sort_with(sort_idx, x[key])
+            if self.sort_outputs:
+                dists, sort_idx = sort_z(dists)
+                for key in self.sort_outputs:
+                    x[key] = sort_with(sort_idx, x[key])
+            else:
+                # values-only sort (no argsort + gathers) — the shipped
+                # configs list no sort_outputs (SURVEY.md §2.10)
+                dists = jnp.sort(dists, axis=-1)
 
         dists = dists[..., None]
         mask = dists == 0.0

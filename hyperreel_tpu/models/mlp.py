@@ -171,6 +171,61 @@ class Siren:
         return x
 
 
+@dataclass
+class PartitionedMLP:
+    """Independent per-partition MLPs selected by a partition index channel
+    (reference nlf/nets/mlp.py PartitionedMLP): all partitions are evaluated
+    and the right one selected with a one-hot mask (static shapes)."""
+
+    in_channels: int
+    out_channels: int
+    depth: int
+    hidden: int
+    n_partitions: int = 4
+
+    def __post_init__(self):
+        self.nets = [
+            BaseMLP(self.in_channels, self.out_channels, self.depth,
+                    self.hidden)
+            for _ in range(self.n_partitions)
+        ]
+
+    def init(self, key):
+        keys = jax.random.split(key, self.n_partitions)
+        return {f"part_{i}": n.init(k)
+                for i, (n, k) in enumerate(zip(self.nets, keys))}
+
+    def apply(self, params, x, ctx=None, partition_idx=None):
+        if partition_idx is None:
+            partition_idx = jnp.zeros(x.shape[:-1], jnp.int32)
+        outs = jnp.stack([
+            n.apply(params[f"part_{i}"], x, ctx)
+            for i, n in enumerate(self.nets)
+        ], 0)  # [P, ..., out]
+        onehot = jax.nn.one_hot(partition_idx, self.n_partitions,
+                                axis=0)  # [P, ...]
+        return jnp.sum(outs * onehot[..., None], 0)
+
+
+@dataclass
+class PartitionedConstantMLP:
+    """Per-partition learned constants
+    (reference nlf/nets/mlp.py PartitionedConstantMLP)."""
+
+    in_channels: int
+    out_channels: int
+    n_partitions: int = 4
+
+    def init(self, key):
+        return {"values": jnp.zeros((self.n_partitions, self.out_channels),
+                                    jnp.float32)}
+
+    def apply(self, params, x, ctx=None, partition_idx=None):
+        if partition_idx is None:
+            partition_idx = jnp.zeros(x.shape[:-1], jnp.int32)
+        return params["values"][partition_idx]
+
+
 def build_net(in_channels, out_channels, cfg, **kwargs):
     """net_dict-style MLP construction from config
     (reference nlf/nets/nets.py:12-136 for the mlp family)."""
@@ -193,6 +248,14 @@ def build_net(in_channels, out_channels, cfg, **kwargs):
         return ZeroMLP(in_channels, out_channels)
     if t == "constant":
         return ConstantMLP(in_channels, out_channels)
+    if t == "partitioned":
+        return PartitionedMLP(in_channels, out_channels,
+                              int(cfg.get("depth", 4)),
+                              int(cfg.get("hidden_channels", 128)),
+                              int(cfg.get("n_partitions", 4)))
+    if t == "partitioned_constant":
+        return PartitionedConstantMLP(in_channels, out_channels,
+                                      int(cfg.get("n_partitions", 4)))
     if t == "siren":
         return Siren(in_channels, out_channels, int(cfg.get("depth", 6)),
                      int(cfg.get("hidden_channels", 256)),

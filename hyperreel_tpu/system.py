@@ -46,8 +46,12 @@ class System:
                 self.train_dataset.num_rays / tcfg["batch_size"]))
 
         model_cfg = resolve_model_cfg(cfg, self.iters_per_epoch)
+        dtype_name = cfg["params"].get("compute_dtype", None)
+        compute_dtype = {"bfloat16": jnp.bfloat16,
+                         "float32": None}.get(dtype_name, None)
         self.model = build_model(model_cfg,
-                                 dataset_info=self.train_dataset.info())
+                                 dataset_info=self.train_dataset.info(),
+                                 compute_dtype=compute_dtype)
         self.trainer = Trainer(
             self.model, tcfg,
             regularizer_cfgs=cfg.get("regularizers"),
