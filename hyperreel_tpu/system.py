@@ -28,13 +28,12 @@ class System:
     def __init__(self, cfg):
         self.cfg = cfg
         ds_cfg = dict(cfg["dataset"])
-        name = ds_cfg.pop("name")
-        root = ds_cfg.pop("root_dir", None)
-        args = [root] if root else []
-        self.train_dataset = get_dataset(name, *args, **ds_cfg)
+        self._ds_name = ds_cfg.pop("name")
+        self._ds_root = ds_cfg.pop("root_dir", None)
+        self._ds_cfg = ds_cfg
+        self.train_dataset = self._load_dataset("train")
         try:
-            self.val_dataset = get_dataset(name, *args, split="val", **{
-                k: v for k, v in ds_cfg.items() if k != "split"})
+            self.val_dataset = self._load_dataset("val")
         except Exception:
             self.val_dataset = self.train_dataset
 
@@ -63,6 +62,39 @@ class System:
             cfg["params"].get("name", "experiment"))
         os.makedirs(self.save_dir, exist_ok=True)
 
+    def _load_dataset(self, split, scale=1):
+        kwargs = dict(self._ds_cfg)
+        if scale != 1 and "wh" in kwargs:
+            kwargs["wh"] = [max(v // scale, 4) for v in kwargs["wh"]]
+        elif scale != 1 and "img_wh" in kwargs:
+            kwargs["img_wh"] = [max(v // scale, 4) for v in kwargs["img_wh"]]
+        elif scale != 1:
+            kwargs["downsample"] = int(kwargs.get("downsample", 1)) * scale
+        args = [self._ds_root] if self._ds_root else []
+        if split != "train":
+            kwargs = {k: v for k, v in kwargs.items() if k != "split"}
+            kwargs["split"] = split
+        return get_dataset(self._ds_name, *args, **kwargs)
+
+    def update_data(self, epoch):
+        """Multiscale schedule (reference INRDataModule.update_data,
+        nlf/__init__.py:187-220 + training cfg multiscale/scales/
+        scale_epochs): reload the train set at the scheduled scale."""
+        tcfg = self.cfg["training"]
+        if not tcfg.get("multiscale", False):
+            return False
+        scales = tcfg.get("scales", [1])
+        scale_epochs = tcfg.get("scale_epochs", [0])
+        cur = scales[0]
+        for s, e in zip(scales, scale_epochs):
+            if epoch >= e:
+                cur = s
+        if getattr(self, "_cur_scale", None) != cur:
+            self._cur_scale = cur
+            self.train_dataset = self._load_dataset("train", scale=cur)
+            return True
+        return False
+
     # -- training ----------------------------------------------------------
 
     def fit(self, resume_from=None):
@@ -90,6 +122,8 @@ class System:
         t_start = time.time()
 
         while state.it < total_iters:
+            if self.update_data(state.it // self.iters_per_epoch):
+                batch_iter = batches()
             chunk = min(val_every, total_iters - state.it)
             state, history = self.trainer.fit(
                 state, batch_iter, num_iters=chunk, rng=rng,
