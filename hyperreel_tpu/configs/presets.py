@@ -280,9 +280,11 @@ def llff_z_plane(z_channels=32):
 
 def tiny_static(z_channels=8, grid=32):
     """Miniature static config for tests/smoke training (no reference
-    analog; shapes chosen for fast CPU jit)."""
+    analog; shapes chosen for fast CPU jit). bf16 gather tables are off so
+    numeric tests stay deterministic at f32."""
     cfg = llff_z_plane(z_channels=z_channels)
     net = cfg["color"]["net"]
+    net["bf16_tables"] = False
     net["N_voxel_init"] = grid ** 3
     net["N_voxel_final"] = grid ** 3
     net["upsamp_list"] = []
@@ -297,6 +299,7 @@ def tiny_dynamic(z_channels=8, grid=32):
     """Miniature dynamic config for tests."""
     cfg = technicolor_z_plane(z_channels=z_channels)
     net = cfg["color"]["net"]
+    net["bf16_tables"] = False
     net["N_voxel_init"] = grid ** 3
     net["N_voxel_final"] = grid ** 3
     net["upsamp_list"] = []

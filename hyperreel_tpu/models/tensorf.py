@@ -28,6 +28,8 @@ from hyperreel_tpu.ops.grid_sample import (
     grid_sample_1d,
     grid_sample_2d_cf,
     grid_sample_1d_cf,
+    grid_sample_2d_cf_packed,
+    grid_sample_1d_cf_packed,
     grid_sample_3d,
     resize_bilinear_2d,
     resize_linear_1d,
@@ -199,6 +201,11 @@ class TensorVMNoSample:
 
     def __post_init__(self):
         cfg = self.cfg
+        # bf16 gather tables: the corner gathers are the measured render
+        # bottleneck (~9G gathered elements/s on v5e); halving gathered
+        # bytes roughly halves that cost. Params stay f32 for the optimizer.
+        self.table_dtype = jnp.bfloat16 if cfg.get("bf16_tables", True) \
+            else jnp.float32
         self.white_bg = int(cfg.get("white_bg", 0))
         self.black_bg = int(cfg.get("black_bg", 0))
         self.fea2dense = cfg.get("fea2denseAct", "softplus")
@@ -394,15 +401,37 @@ class TensorVMNoSample:
             else:
                 plane = params["app"][f"plane_{i}"]
                 line = params["app"][f"line_{i}"]
-            prod = grid_sample_2d_cf(plane, uv) * grid_sample_1d_cf(line, zc)
-            if has_d:
-                s = jnp.sum(prod[:nd], 0)
-                sigma = s if sigma is None else sigma + s
-            if has_a:
-                app_feats.append(prod[nd:])
-        app_cf = jnp.concatenate(app_feats, 0)
-        w = params["basis_mat"]["w"]
-        app_out = jnp.einsum("cn,cd->dn", app_cf, w,
+            C_tot = plane.shape[-1]
+            packed_ok = (self.table_dtype == jnp.bfloat16
+                         and C_tot % 2 == 0 and nd % 2 == 0)
+            if packed_ok:
+                plane = plane.astype(jnp.bfloat16)
+                line = line.astype(jnp.bfloat16)
+                prod = (grid_sample_2d_cf_packed(plane, uv)
+                        * grid_sample_1d_cf_packed(line, zc))  # [C/2, N, 2]
+                if has_d:
+                    s = jnp.sum(prod[: nd // 2], (0, 2))
+                    sigma = s if sigma is None else sigma + s
+                if has_a:
+                    app_feats.append(prod[nd // 2:])
+            else:
+                plane = plane.astype(self.table_dtype)
+                line = line.astype(self.table_dtype)
+                p = (grid_sample_2d_cf(plane, uv)
+                     * grid_sample_1d_cf(line, zc)).astype(jnp.float32)
+                if has_d:
+                    s = jnp.sum(p[:nd], 0)
+                    sigma = s if sigma is None else sigma + s
+                if has_a:
+                    # reshape to packed layout [C_a/2, N, 2] for the shared
+                    # einsum below (C_a is even in all shipped configs)
+                    ca = p.shape[0] - nd
+                    app_feats.append(
+                        p[nd:].reshape(ca // 2, 2, -1).transpose(0, 2, 1))
+        app_pk = jnp.concatenate(app_feats, 0)  # [C_app/2, N, 2]
+        w = params["basis_mat"]["w"]            # [C_app, app_dim]
+        w_pk = w.reshape(-1, 2, w.shape[-1])    # [C_app/2, 2, app_dim]
+        app_out = jnp.einsum("wns,wsd->dn", app_pk, w_pk,
                              preferred_element_type=jnp.float32)
         return sigma, app_out
 
@@ -830,22 +859,43 @@ class TensorVMKeyframeTime(TensorVMNoSample):
             else:
                 space = params["app"][f"space_{i}"]
                 timep = params["app"][f"time_{i}"]
-            prod = grid_sample_2d_cf(space, uv_s) * grid_sample_2d_cf(timep, uv_t)
-            if has_d:
-                dens_feats.append(prod[:nd])
-            if has_a:
-                app_feats.append(prod[nd:])
+            C_tot = space.shape[-1]
+            packed_ok = (self.table_dtype == jnp.bfloat16
+                         and C_tot % 2 == 0 and nd % 2 == 0)
+            if packed_ok:
+                space = space.astype(jnp.bfloat16)
+                timep = timep.astype(jnp.bfloat16)
+                prod = (grid_sample_2d_cf_packed(space, uv_s)
+                        * grid_sample_2d_cf_packed(timep, uv_t))
+                if has_d:
+                    dens_feats.append(prod[: nd // 2])
+                if has_a:
+                    app_feats.append(prod[nd // 2:])
+            else:
+                space = space.astype(self.table_dtype)
+                timep = timep.astype(self.table_dtype)
+                p = (grid_sample_2d_cf(space, uv_s)
+                     * grid_sample_2d_cf(timep, uv_t)).astype(jnp.float32)
+                if has_d:
+                    dens_feats.append(
+                        p[:nd].reshape(nd // 2, 2, -1).transpose(0, 2, 1))
+                if has_a:
+                    ca = p.shape[0] - nd
+                    app_feats.append(
+                        p[nd:].reshape(ca // 2, 2, -1).transpose(0, 2, 1))
 
-        dens_cf = jnp.concatenate(dens_feats, 0)
+        dens_pk = jnp.concatenate(dens_feats, 0)  # [C_d/2, N, 2]
         if self.density_mode != "Density":
             wd = params["basis_mat_density"]["w"]
-            dens_out = jnp.einsum("cn,cd->dn", dens_cf, wd,
+            wd_pk = wd.reshape(-1, 2, wd.shape[-1])
+            dens_out = jnp.einsum("wns,wsd->dn", dens_pk, wd_pk,
                                   preferred_element_type=jnp.float32)
         else:
-            dens_out = jnp.sum(dens_cf, 0, keepdims=True)
-        app_cf = jnp.concatenate(app_feats, 0)
+            dens_out = jnp.sum(dens_pk, (0, 2))[None]
+        app_pk = jnp.concatenate(app_feats, 0)
         w = params["basis_mat"]["w"]
-        app_out = jnp.einsum("cn,cd->dn", app_cf, w,
+        w_pk = w.reshape(-1, 2, w.shape[-1])
+        app_out = jnp.einsum("wns,wsd->dn", app_pk, w_pk,
                              preferred_element_type=jnp.float32)
         return dens_out, app_out
 

@@ -45,8 +45,10 @@ def grid_sample_2d_cf(grid_hwc, coords):
         xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
         yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
         idx = yi * W + xi
-        val = flat_cf[:, idx]  # [C, N]
-        return val * (w * inb.astype(grid_hwc.dtype))[None, :]
+        # gather at table precision (bf16 tables halve gathered bytes),
+        # interpolate at f32
+        val = flat_cf[:, idx].astype(jnp.float32)  # [C, N]
+        return val * (w * inb.astype(jnp.float32))[None, :]
 
     return (
         corner(y0, x0, (1.0 - wy1) * (1.0 - wx1))
@@ -54,6 +56,70 @@ def grid_sample_2d_cf(grid_hwc, coords):
         + corner(y0 + 1.0, x0, wy1 * (1.0 - wx1))
         + corner(y0 + 1.0, x0 + 1.0, wy1 * wx1)
     )
+
+
+def grid_sample_2d_cf_packed(grid_hwc, coords):
+    """Word-packed channels-first bilinear sampling for bf16 tables.
+
+    TPU gathers move ~one 32-bit lane element per cycle per lane, so the
+    gather cost scales with gathered WORDS. Packing two bf16 channels per
+    uint32 word halves it. Input grid [H, W, C] bf16 with C even; returns
+    f32 [C//2, N, 2] — word-major channel pairs (channel c lives at
+    [c//2, :, c%2]); consumers contract in that layout (no relayout of the
+    huge N axis).
+    """
+    import jax
+    H, W, C = grid_hwc.shape
+    assert C % 2 == 0 and grid_hwc.dtype == jnp.bfloat16
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+
+    words = jax.lax.bitcast_convert_type(
+        grid_hwc.reshape(H * W, C // 2, 2), jnp.uint32)  # [HW, C//2]
+    flat_cf = words.T  # [C//2, HW]
+
+    def corner(yc, xc, w):
+        inb = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
+        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        idx = yi * W + xi
+        vals_u32 = flat_cf[:, idx]                          # [C//2, N]
+        vals = jax.lax.bitcast_convert_type(
+            vals_u32, jnp.bfloat16).astype(jnp.float32)     # [C//2, N, 2]
+        return vals * (w * inb.astype(jnp.float32))[None, :, None]
+
+    return (
+        corner(y0, x0, (1.0 - wy1) * (1.0 - wx1))
+        + corner(y0, x0 + 1.0, (1.0 - wy1) * wx1)
+        + corner(y0 + 1.0, x0, wy1 * (1.0 - wx1))
+        + corner(y0 + 1.0, x0 + 1.0, wy1 * wx1)
+    )
+
+
+def grid_sample_1d_cf_packed(line_lc, coords):
+    """Word-packed 1D variant: line [L, C] bf16, C even -> f32 [C//2, N, 2]."""
+    import jax
+    L, C = line_lc.shape
+    assert C % 2 == 0 and line_lc.dtype == jnp.bfloat16
+    z = _unnormalize(coords, L)
+    z0 = jnp.floor(z)
+    wz1 = z - z0
+    words = jax.lax.bitcast_convert_type(
+        line_lc.reshape(L, C // 2, 2), jnp.uint32)
+    flat_cf = words.T  # [C//2, L]
+
+    def corner(zc, w):
+        inb = (zc >= 0) & (zc <= L - 1)
+        zi = jnp.clip(zc, 0, L - 1).astype(jnp.int32)
+        vals = jax.lax.bitcast_convert_type(
+            flat_cf[:, zi], jnp.bfloat16).astype(jnp.float32)
+        return vals * (w * inb.astype(jnp.float32))[None, :, None]
+
+    return corner(z0, 1.0 - wz1) + corner(z0 + 1.0, wz1)
 
 
 def grid_sample_1d_cf(line_lc, coords):
@@ -67,7 +133,8 @@ def grid_sample_1d_cf(line_lc, coords):
     def corner(zc, w):
         inb = (zc >= 0) & (zc <= L - 1)
         zi = jnp.clip(zc, 0, L - 1).astype(jnp.int32)
-        return flat_cf[:, zi] * (w * inb.astype(line_lc.dtype))[None, :]
+        return flat_cf[:, zi].astype(jnp.float32) * (
+            w * inb.astype(jnp.float32))[None, :]
 
     return corner(z0, 1.0 - wz1) + corner(z0 + 1.0, wz1)
 

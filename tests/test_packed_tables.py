@@ -1,0 +1,75 @@
+"""Packed bf16-word gather path vs f32 reference path: numerical agreement
+within bf16 quantization tolerance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.configs.presets import (
+    tiny_static, tiny_dynamic, convert_epochs_to_iters)
+from hyperreel_tpu.models.ctx import make_ctx
+from hyperreel_tpu.models.model import build_model
+from hyperreel_tpu.ops.grid_sample import (
+    grid_sample_2d_cf, grid_sample_2d_cf_packed,
+    grid_sample_1d_cf, grid_sample_1d_cf_packed)
+
+
+def test_packed_2d_matches_unpacked():
+    rng = np.random.default_rng(0)
+    plane = rng.standard_normal((17, 13, 8)).astype(np.float32)
+    plane_bf16 = jnp.asarray(plane, jnp.bfloat16)
+    coords = jnp.asarray(rng.uniform(-1.2, 1.2, (257, 2)).astype(np.float32))
+    ref = grid_sample_2d_cf(plane_bf16, coords)            # [8, N] (f32 out)
+    got = grid_sample_2d_cf_packed(plane_bf16, coords)     # [4, N, 2]
+    got_flat = jnp.moveaxis(got, 2, 1).reshape(8, -1)
+    np.testing.assert_allclose(np.asarray(got_flat), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_1d_matches_unpacked():
+    rng = np.random.default_rng(1)
+    line = jnp.asarray(rng.standard_normal((9, 6)).astype(np.float32),
+                       jnp.bfloat16)
+    coords = jnp.asarray(rng.uniform(-1.1, 1.1, (100,)).astype(np.float32))
+    ref = grid_sample_1d_cf(line, coords)
+    got = grid_sample_1d_cf_packed(line, coords)
+    got_flat = jnp.moveaxis(got, 2, 1).reshape(6, -1)
+    np.testing.assert_allclose(np.asarray(got_flat), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _rays_static(n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    o[:, 2] -= 1.5
+    d = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    d[:, 2] = 1.0
+    return jnp.asarray(np.concatenate([o, d], -1))
+
+
+@pytest.mark.parametrize("preset,dynamic", [(tiny_static, False),
+                                            (tiny_dynamic, True)])
+def test_bf16_model_close_to_f32(preset, dynamic):
+    cfg32 = convert_epochs_to_iters(preset(), 100)
+    cfg16 = convert_epochs_to_iters(preset(), 100)
+    cfg16["color"]["net"]["bf16_tables"] = True
+    info = {"num_keyframes": 2, "num_frames": 4, "num_views": 4}
+    m32 = build_model(cfg32, dataset_info=info)
+    m16 = build_model(cfg16, dataset_info=info)
+    params = m32.init(jax.random.PRNGKey(0))
+
+    rays = _rays_static(32)
+    if dynamic:
+        rng = np.random.default_rng(2)
+        rays = jnp.concatenate([
+            rays,
+            jnp.asarray(rng.integers(0, 4, (32, 1)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 1, (32, 1)).astype(np.float32)),
+        ], -1)
+    ctx = make_ctx(it=1000, training=False)
+    out32 = np.asarray(m32.apply(params, rays, ctx)["rgb"])
+    out16 = np.asarray(m16.apply(params, rays, ctx)["rgb"])
+    # bf16 table quantization: expect ~1% agreement on composited color
+    np.testing.assert_allclose(out16, out32, rtol=0.1, atol=0.02)
