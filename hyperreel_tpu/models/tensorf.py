@@ -30,6 +30,8 @@ from hyperreel_tpu.ops.grid_sample import (
     grid_sample_1d_cf,
     grid_sample_2d_cf_packed,
     grid_sample_1d_cf_packed,
+    grid_sample_2d_cf_quad,
+    grid_sample_1d_cf_quad,
     grid_sample_3d,
     resize_bilinear_2d,
     resize_linear_1d,
@@ -407,8 +409,8 @@ class TensorVMNoSample:
             if packed_ok:
                 plane = plane.astype(jnp.bfloat16)
                 line = line.astype(jnp.bfloat16)
-                prod = (grid_sample_2d_cf_packed(plane, uv)
-                        * grid_sample_1d_cf_packed(line, zc))  # [C/2, N, 2]
+                prod = (grid_sample_2d_cf_quad(plane, uv)
+                        * grid_sample_1d_cf_quad(line, zc))  # [C/2, N, 2]
                 if has_d:
                     s = jnp.sum(prod[: nd // 2], (0, 2))
                     sigma = s if sigma is None else sigma + s
@@ -865,8 +867,8 @@ class TensorVMKeyframeTime(TensorVMNoSample):
             if packed_ok:
                 space = space.astype(jnp.bfloat16)
                 timep = timep.astype(jnp.bfloat16)
-                prod = (grid_sample_2d_cf_packed(space, uv_s)
-                        * grid_sample_2d_cf_packed(timep, uv_t))
+                prod = (grid_sample_2d_cf_quad(space, uv_s)
+                        * grid_sample_2d_cf_quad(timep, uv_t))
                 if has_d:
                     dens_feats.append(prod[: nd // 2])
                 if has_a:

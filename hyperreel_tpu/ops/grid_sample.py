@@ -100,6 +100,91 @@ def grid_sample_2d_cf_packed(grid_hwc, coords):
     )
 
 
+def grid_sample_2d_cf_quad(grid_hwc, coords):
+    """One-gather bilinear sampling: the table stores each texel's 2x2
+    neighborhood, so a single gathered row carries all four corners.
+
+    Device traces show TPU gather fusions cost ~constant time per gathered
+    ROW (3.77 ms for 2.1M rows on v5e regardless of 32 B vs 64 B rows), so
+    folding the 4 bilinear corners into one row is a ~4x cut in gather time
+    versus 4 corner gathers.
+
+    Table build (cheap, per call): zero-pad the plane by one texel ring,
+    pack[y, x] = (p[y,x], p[y,x+1], p[y+1,x], p[y+1,x+1]) for base indices
+    clamped to [-1, dim-1]+1 — out-of-range corners read the zero ring,
+    matching torch zero-padding; far out-of-range corners are zeroed by the
+    per-corner in-bounds weight masks.
+
+    grid [H, W, C] bf16, C even; coords [N, 2] -> f32 [C//2, N, 2]
+    (word-major channel pairs, same layout as grid_sample_2d_cf_packed).
+    """
+    import jax
+    H, W, C = grid_hwc.shape
+    assert C % 2 == 0 and grid_hwc.dtype == jnp.bfloat16
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+
+    p = jnp.pad(grid_hwc, ((1, 1), (1, 1), (0, 0)))
+    pack = jnp.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1
+    )  # [H+1, W+1, 4C]
+    words = jax.lax.bitcast_convert_type(
+        pack.reshape((H + 1) * (W + 1), 2 * C, 2), jnp.uint32)
+    flat_cf = words.T  # [2C, (H+1)(W+1)]
+
+    xi = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+    yi = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+    idx = yi * (W + 1) + xi
+    vals_u32 = flat_cf[:, idx]                       # [2C, N]
+    vals = jax.lax.bitcast_convert_type(
+        vals_u32, jnp.bfloat16).astype(jnp.float32)  # [2C, N, 2]
+    v = vals.reshape(4, C // 2, -1, 2)               # corner-major
+
+    def wmask(yc, xc, w):
+        inb = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
+        return (w * inb.astype(jnp.float32))[None, :, None]
+
+    out = (
+        v[0] * wmask(y0, x0, (1.0 - wy1) * (1.0 - wx1))
+        + v[1] * wmask(y0, x0 + 1.0, (1.0 - wy1) * wx1)
+        + v[2] * wmask(y0 + 1.0, x0, wy1 * (1.0 - wx1))
+        + v[3] * wmask(y0 + 1.0, x0 + 1.0, wy1 * wx1)
+    )
+    return out
+
+
+def grid_sample_1d_cf_quad(line_lc, coords):
+    """One-gather linear line sampling: rows carry both neighbors.
+    line [L, C] bf16, C even; coords [N] -> f32 [C//2, N, 2]."""
+    import jax
+    L, C = line_lc.shape
+    assert C % 2 == 0 and line_lc.dtype == jnp.bfloat16
+    z = _unnormalize(coords, L)
+    z0 = jnp.floor(z)
+    wz1 = z - z0
+
+    p = jnp.pad(line_lc, ((1, 1), (0, 0)))
+    pack = jnp.concatenate([p[:-1], p[1:]], -1)  # [L+1, 2C]
+    words = jax.lax.bitcast_convert_type(
+        pack.reshape(L + 1, C, 2), jnp.uint32)
+    flat_cf = words.T  # [C, L+1]
+
+    zi = (jnp.clip(z0, -1, L - 1) + 1).astype(jnp.int32)
+    vals = jax.lax.bitcast_convert_type(
+        flat_cf[:, zi], jnp.bfloat16).astype(jnp.float32)  # [C, N, 2]
+    v = vals.reshape(2, C // 2, -1, 2)
+
+    def wmask(zc, w):
+        inb = (zc >= 0) & (zc <= L - 1)
+        return (w * inb.astype(jnp.float32))[None, :, None]
+
+    return v[0] * wmask(z0, 1.0 - wz1) + v[1] * wmask(z0 + 1.0, wz1)
+
+
 def grid_sample_1d_cf_packed(line_lc, coords):
     """Word-packed 1D variant: line [L, C] bf16, C even -> f32 [C//2, N, 2]."""
     import jax

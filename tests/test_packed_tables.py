@@ -12,8 +12,33 @@ from hyperreel_tpu.configs.presets import (
 from hyperreel_tpu.models.ctx import make_ctx
 from hyperreel_tpu.models.model import build_model
 from hyperreel_tpu.ops.grid_sample import (
-    grid_sample_2d_cf, grid_sample_2d_cf_packed,
-    grid_sample_1d_cf, grid_sample_1d_cf_packed)
+    grid_sample_2d_cf, grid_sample_2d_cf_packed, grid_sample_2d_cf_quad,
+    grid_sample_1d_cf, grid_sample_1d_cf_packed, grid_sample_1d_cf_quad)
+
+
+def test_quad_2d_matches_unpacked():
+    rng = np.random.default_rng(3)
+    plane = jnp.asarray(rng.standard_normal((11, 19, 8)).astype(np.float32),
+                        jnp.bfloat16)
+    # include the 1-texel outside band and far out-of-range coords
+    coords = jnp.asarray(rng.uniform(-1.6, 1.6, (513, 2)).astype(np.float32))
+    ref = grid_sample_2d_cf(plane, coords)
+    got = grid_sample_2d_cf_quad(plane, coords)
+    got_flat = jnp.moveaxis(got, 2, 1).reshape(8, -1)
+    np.testing.assert_allclose(np.asarray(got_flat), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quad_1d_matches_unpacked():
+    rng = np.random.default_rng(4)
+    line = jnp.asarray(rng.standard_normal((7, 4)).astype(np.float32),
+                       jnp.bfloat16)
+    coords = jnp.asarray(rng.uniform(-1.8, 1.8, (301,)).astype(np.float32))
+    ref = grid_sample_1d_cf(line, coords)
+    got = grid_sample_1d_cf_quad(line, coords)
+    got_flat = jnp.moveaxis(got, 2, 1).reshape(4, -1)
+    np.testing.assert_allclose(np.asarray(got_flat), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_packed_2d_matches_unpacked():
