@@ -87,7 +87,7 @@ class IntersectStage:
         self.clamp = bool(cfg.get("clamp", False))
         self.use_disparity = bool(cfg.get("use_disparity", False))
         self.use_sigma = bool(cfg.get("use_sigma", False))
-        self.origin = jnp.asarray(cfg.get("origin", [0.0, 0.0, 0.0]), jnp.float32)
+        self.origin = np.asarray(cfg.get("origin", [0.0, 0.0, 0.0]), np.float32)
         self.near = float(cfg.get("near", 0.0))
         self.far = float(cfg.get("far", float("inf")))
         self.mask_stop_iters = float(cfg.get("mask", {}).get("stop_iters", float("inf")))
@@ -233,8 +233,8 @@ def _make_anchor_schedule(z_channels, cfg, contract, near=None, far=None):
     use_disparity = bool(cfg.get("use_disparity", False))
 
     if contract.contract_samples:
-        initial = float(contract.contract_distance(jnp.asarray(initial)))
-        end = float(contract.contract_distance(jnp.asarray(end)))
+        initial = float(contract.contract_distance(np.float32(initial)))
+        end = float(contract.contract_distance(np.float32(end)))
 
     n = z_channels // num_repeat
     if use_disparity:
@@ -326,7 +326,7 @@ class IntersectSphereNew(IntersectStage):
         self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
             self.z_channels, cfg, self.contract, near, far
         )
-        self.resize = jnp.asarray(cfg.get("resize", [1.0, 1.0, 1.0]), jnp.float32)
+        self.resize = np.asarray(cfg.get("resize", [1.0, 1.0, 1.0]), np.float32)
 
     def intersect(self, params, rays, z_vals, x):
         B = z_vals.shape[0]

@@ -8,6 +8,7 @@ pluecker (SURVEY.md §2.10); the rest are capability-parity extras.
 from dataclasses import dataclass
 from typing import Callable
 
+import numpy as np
 import jax.numpy as jnp
 
 from hyperreel_tpu.ops.intersect_math import (
@@ -53,7 +54,7 @@ def two_plane_param(cfg, **kwargs):
     (reference nlf/param.py:63-118)."""
     near = float(cfg.get("near", -1.0))
     far = float(cfg.get("far", 0.0))
-    origin = jnp.asarray(cfg.get("origin", [0.0, 0.0, 0.0]), jnp.float32)
+    origin = np.asarray(cfg.get("origin", [0.0, 0.0, 0.0]), np.float32)
     st_mult = float(cfg.get("st_multiplier", 1.0))
     uv_mult = float(cfg.get("uv_multiplier", 1.0))
     use_local = bool(cfg.get("use_local_param", False))
@@ -81,9 +82,9 @@ def pluecker_param(cfg, **kwargs):
     """(d, o x d) with unit direction (reference nlf/param.py:223-257)."""
     d_mult = float(cfg.get("direction_multiplier", 1.0))
     m_mult = float(cfg.get("moment_multiplier", 1.0))
-    origin = jnp.asarray(cfg.get("origin", [0.0, 0.0, 0.0]), jnp.float32)
+    origin = np.asarray(cfg.get("origin", [0.0, 0.0, 0.0]), np.float32)
     use_local = bool(cfg.get("use_local_param", False))
-    voxel_size = jnp.asarray(cfg.get("voxel_size", [1.0, 1.0, 1.0]), jnp.float32)
+    voxel_size = np.asarray(cfg.get("voxel_size", [1.0, 1.0, 1.0]), np.float32)
 
     def apply(rays):
         rays_o = rays[..., :3] - origin

@@ -10,6 +10,7 @@ import math
 from dataclasses import dataclass
 from typing import Callable
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -93,9 +94,9 @@ def identity_contract(cfg, **kwargs):
 
 
 def bbox_contract(cfg, **kwargs):
-    bbox_min = jnp.asarray(cfg.get("bbox_min", [-1.0, -1.0, -1.0]), jnp.float32)
-    bbox_max = jnp.asarray(cfg.get("bbox_max", [1.0, 1.0, 1.0]), jnp.float32)
-    fac = float(jnp.mean(jnp.abs(bbox_max - bbox_min)))
+    bbox_min = np.asarray(cfg.get("bbox_min", [-1.0, -1.0, -1.0]), np.float32)
+    bbox_max = np.asarray(cfg.get("bbox_max", [1.0, 1.0, 1.0]), np.float32)
+    fac = float(np.mean(np.abs(bbox_max - bbox_min)))
 
     def contract_points(points):
         return (points - bbox_min) / (bbox_max - bbox_min)

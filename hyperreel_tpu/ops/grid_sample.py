@@ -13,6 +13,7 @@ These are the pure-XLA reference implementations; the fused Pallas render
 core builds on the same index math.
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -100,7 +101,72 @@ def grid_sample_2d_cf_packed(grid_hwc, coords):
     )
 
 
+def _cf_to_packed_layout(out_cf):
+    """[C, N] -> [C//2, N, 2] word-major channel pairs."""
+    C, N = out_cf.shape
+    return jnp.moveaxis(out_cf.reshape(C // 2, 2, N), 1, 2)
+
+
 def grid_sample_2d_cf_quad(grid_hwc, coords):
+    """Differentiable wrapper around the quad-corner gather: the forward is
+    the bf16 one-gather kernel; the backward routes through the plain f32
+    sampler (the bitcast word packing has no gradient rule, and scatter
+    precision is better in f32 anyway)."""
+    return _quad2d_vjp(grid_hwc, coords)
+
+
+@jax.custom_vjp
+def _quad2d_vjp(grid_hwc, coords):
+    return _grid_sample_2d_cf_quad_impl(grid_hwc, coords)
+
+
+def _quad2d_ref(grid_hwc, coords):
+    return _cf_to_packed_layout(grid_sample_2d_cf(grid_hwc, coords))
+
+
+def _quad2d_fwd(grid_hwc, coords):
+    return _grid_sample_2d_cf_quad_impl(grid_hwc, coords), (grid_hwc, coords)
+
+
+def _quad2d_bwd(res, g):
+    grid_hwc, coords = res
+    _, vjp = jax.vjp(_quad2d_ref, grid_hwc.astype(jnp.float32), coords)
+    g_grid, g_coords = vjp(g)
+    return g_grid.astype(grid_hwc.dtype), g_coords
+
+
+_quad2d_vjp.defvjp(_quad2d_fwd, _quad2d_bwd)
+
+
+def grid_sample_1d_cf_quad(line_lc, coords):
+    """Differentiable wrapper for the 1D quad gather (see 2D variant)."""
+    return _quad1d_vjp(line_lc, coords)
+
+
+@jax.custom_vjp
+def _quad1d_vjp(line_lc, coords):
+    return _grid_sample_1d_cf_quad_impl(line_lc, coords)
+
+
+def _quad1d_ref(line_lc, coords):
+    return _cf_to_packed_layout(grid_sample_1d_cf(line_lc, coords))
+
+
+def _quad1d_fwd(line_lc, coords):
+    return _grid_sample_1d_cf_quad_impl(line_lc, coords), (line_lc, coords)
+
+
+def _quad1d_bwd(res, g):
+    line_lc, coords = res
+    _, vjp = jax.vjp(_quad1d_ref, line_lc.astype(jnp.float32), coords)
+    g_line, g_coords = vjp(g)
+    return g_line.astype(line_lc.dtype), g_coords
+
+
+_quad1d_vjp.defvjp(_quad1d_fwd, _quad1d_bwd)
+
+
+def _grid_sample_2d_cf_quad_impl(grid_hwc, coords):
     """One-gather bilinear sampling: the table stores each texel's 2x2
     neighborhood, so a single gathered row carries all four corners.
 
@@ -157,7 +223,7 @@ def grid_sample_2d_cf_quad(grid_hwc, coords):
     return out
 
 
-def grid_sample_1d_cf_quad(line_lc, coords):
+def _grid_sample_1d_cf_quad_impl(line_lc, coords):
     """One-gather linear line sampling: rows carry both neighbors.
     line [L, C] bf16, C even; coords [N] -> f32 [C//2, N, 2]."""
     import jax
