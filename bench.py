@@ -35,12 +35,20 @@ def main():
     out = jitted(params, chunk_rays, it, rng)
     out.block_until_ready()
 
+    # Through the axon tunnel, block_until_ready resolves before device
+    # execution completes; the only honest timing forces a value readback
+    # per call. Inputs are made distinct so executions can't be collapsed.
     n_timed = 3
+    n_calls = n_timed * (n // chunk)
+    ray_variants = [chunk_rays.at[0, 0].add(1e-6 * (i + 1))
+                    for i in range(n_calls)]
+    for v in ray_variants:
+        float(v[0, 0])
+    float(jitted(params, ray_variants[0], it, rng)[0, 0])  # warm chunk shape
+
     t0 = time.perf_counter()
-    for _ in range(n_timed):
-        for _ in range(n // chunk):
-            out = jitted(params, chunk_rays, it, rng)
-    out.block_until_ready()
+    for i in range(n_calls):
+        float(jitted(params, ray_variants[i], it, rng)[0, 0])
     dt = (time.perf_counter() - t0) / n_timed
 
     rays_per_sec = n / dt

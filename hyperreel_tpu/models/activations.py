@@ -230,9 +230,116 @@ def make_rgba(cfg):
     return act
 
 
+def make_probs(cfg):
+    """Normalize to a probability vector (reference
+    nlf/activations.py:202-208)."""
+
+    def act(x, ctx=None):
+        x = jnp.abs(x)
+        return x / jnp.maximum(jnp.sum(x, -1, keepdims=True), 1e-12)
+
+    return act
+
+
+def make_sparse_magnitude(cfg):
+    """Softmax over row magnitudes applied to normalized rows
+    (reference nlf/activations.py:100-118)."""
+    inner = _cfg_get(cfg, "inner_fac", 1.0)
+    outer = _cfg_get(cfg, "outer_fac", 1.0)
+    pc = _cfg_get(cfg, "param_channels", 3)
+
+    def act(x, ctx=None):
+        shape = x.shape
+        xr = x.reshape(shape[0], -1, pc)
+        mag = jnp.linalg.norm(xr, axis=-1)
+        e = jnp.exp(mag * inner - jnp.max(mag * inner, -1, keepdims=True))
+        mag_sm = e / jnp.sum(e, -1, keepdims=True) * outer
+        unit = xr / jnp.maximum(
+            jnp.linalg.norm(xr, axis=-1, keepdims=True), 1e-12)
+        return (unit * mag_sm[..., None]).reshape(shape)
+
+    return act
+
+
+def make_row_l1_norm(cfg):
+    pc = _cfg_get(cfg, "param_channels", 3)
+
+    def act(x, ctx=None):
+        shape = x.shape
+        xr = x.reshape(shape[:-1] + (-1, pc))
+        n = jnp.sum(jnp.abs(xr), -1, keepdims=True)
+        return (xr / jnp.maximum(n, 1e-12)).reshape(shape)
+
+    return act
+
+
+def make_row_linf_norm(cfg):
+    pc = _cfg_get(cfg, "param_channels", 3)
+
+    def act(x, ctx=None):
+        shape = x.shape
+        xr = x.reshape(shape[:-1] + (-1, pc))
+        n = jnp.max(jnp.abs(xr), -1, keepdims=True)
+        return (xr / jnp.maximum(n, 1e-12)).reshape(shape)
+
+    return act
+
+
+def make_row_l2_norm_z_only(cfg):
+    """Row L2 normalization using only the z component's magnitude
+    (reference nlf/activations.py:235-263)."""
+    pc = _cfg_get(cfg, "param_channels", 3)
+
+    def act(x, ctx=None):
+        shape = x.shape
+        xr = x.reshape(shape[:-1] + (-1, pc))
+        n = jnp.abs(xr[..., -1:])
+        return (xr / jnp.maximum(n, 1e-12)).reshape(shape)
+
+    return act
+
+
+def make_twist_to_matrix(cfg):
+    """se(3) twist -> (rotation | translation) flattened
+    (reference nlf/activations.py:383-423)."""
+    from hyperreel_tpu.ops.rotation import axis_angle_to_matrix
+
+    def act(x, ctx=None):
+        w = x[..., :3]
+        v = x[..., 3:6]
+        R = axis_angle_to_matrix(w)
+        return jnp.concatenate(
+            [R.reshape(x.shape[:-1] + (9,)), v], -1)
+
+    return act
+
+
+def make_axis_angle_translation(cfg):
+    """Axis-angle rotation + translation applied as a 12-dim transform
+    (reference nlf/activations.py:440-460)."""
+    fac = _cfg_get(cfg, "fac", 1.0)
+    from hyperreel_tpu.ops.rotation import axis_angle_to_matrix
+
+    def act(x, ctx=None):
+        w = x[..., :3] * fac
+        t = x[..., 3:6] * fac
+        R = axis_angle_to_matrix(w)
+        return jnp.concatenate(
+            [R.reshape(x.shape[:-1] + (9,)), t], -1)
+
+    return act
+
+
 activation_map = {
     "identity": make_identity,
     "sigmoid": make_sigmoid,
+    "probs": make_probs,
+    "sparse_magnitude": make_sparse_magnitude,
+    "row_l1_norm": make_row_l1_norm,
+    "row_linf_norm": make_row_linf_norm,
+    "row_l2_norm_z_only": make_row_l2_norm_z_only,
+    "twist_to_matrix": make_twist_to_matrix,
+    "axis_angle_translation": make_axis_angle_translation,
     "softplus": make_softplus,
     "tanh": make_tanh,
     "identity_tanh": make_identity_tanh,

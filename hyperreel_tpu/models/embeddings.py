@@ -563,8 +563,12 @@ class PointPredictionEmbedding:
 @dataclass
 class EmbeddingChain:
     """Ordered chain over the sample-state dict
-    (reference nlf/embedding/embedding.py:59-126). Per-stage wait/stop iters
-    become where-blends on entry fields if configured."""
+    (reference nlf/embedding/embedding.py:59-126).
+
+    Per-stage wait_iters/stop_iters gating (embedding.py:106-110) is
+    realized jit-compatibly: the stage always runs, and every field it
+    modified or added is where-blended with its pre-stage value by the
+    gate on ``ctx.it`` (new fields blend against zeros)."""
 
     stages: List  # (name, stage) pairs
 
@@ -576,7 +580,27 @@ class EmbeddingChain:
     def apply(self, params, rays, ctx, render_kwargs=None):
         x = {"rays": rays}
         for name, stage in self.stages:
-            x = stage.apply(params[name], x, ctx, render_kwargs)
+            wait = float(stage.cfg.get("wait_iters", 0)) \
+                if isinstance(getattr(stage, "cfg", None), dict) else 0.0
+            stop = float(stage.cfg.get("stop_iters", float("inf"))) \
+                if isinstance(getattr(stage, "cfg", None), dict) else float("inf")
+            gated = wait > 0 or stop != float("inf")
+            if not gated:
+                x = stage.apply(params[name], x, ctx, render_kwargs)
+                continue
+            before = dict(x)
+            out = stage.apply(params[name], dict(x), ctx, render_kwargs)
+            it_f = ctx.it.astype(jnp.float32)
+            active = (it_f >= wait) & (it_f < stop)
+            blended = {}
+            for k, v in out.items():
+                old = before.get(k)
+                if old is None or old.shape != v.shape:
+                    blended[k] = jnp.where(active, v, jnp.zeros_like(v)) \
+                        if old is None else jnp.where(active, v, v)
+                else:
+                    blended[k] = jnp.where(active, v, old)
+            x = blended
         return x
 
 

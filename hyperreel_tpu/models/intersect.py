@@ -404,13 +404,120 @@ class IntersectEuclidean(IntersectStage):
         return z_vals.reshape(z_vals.shape[0], -1)
 
 
+@dataclass
+class IntersectPlane(IntersectStage):
+    """General planes with per-sample predicted normals: z_vals carry
+    (nx, ny, nz, d) per sample; anchors apply to the distance channel only
+    (reference nlf/intersect/primitive.py:26-69)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.samples, self.z_scale, self.initial, self.end = \
+            _make_anchor_schedule(self.z_channels, self.cfg, self.contract)
+
+    def process_z_vals(self, z_vals):
+        B = z_vals.shape[0]
+        z4 = z_vals.reshape(B, -1, 4)
+        d = super().process_z_vals(z4[..., -1])
+        return jnp.concatenate([z4[..., :3], d[..., None]], -1).reshape(B, -1)
+
+    def intersect(self, params, rays, z_vals, x):
+        z4 = z_vals.reshape(z_vals.shape[0], -1, 4)
+        normal = z4[..., :3]
+        return intersect_plane(rays[:, None, :], normal, z4[..., -1])
+
+
+@dataclass
+class IntersectDeformableVoxelGrid(IntersectStage):
+    """Learned-normal axis grids: per sample (dnx, dny, dnz, d) where the
+    normal is start_normal + scale*offset, normalized
+    (reference nlf/intersect/voxel.py:115-215)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        self.start_normal = np.asarray(
+            cfg.get("start_normal",
+                    [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]), np.float32)
+        self.num_axes = len(self.start_normal)
+        self.normal_scale_factor = float(cfg.get("normal_scale_factor", 0.1))
+        zc = self.z_channels // self.num_axes
+        initial = np.asarray(cfg.get("initial", [0.0] * self.num_axes))
+        end = np.asarray(cfg.get("end", [1.0] * self.num_axes))
+        samples = np.stack(
+            [np.linspace(initial[d], end[d], zc) for d in
+             range(self.num_axes)], -1).reshape(-1, 1).astype(np.float32)
+        self.samples = samples
+        if "z_scale" in cfg:
+            z_scale = np.asarray(cfg["z_scale"], np.float32)
+        elif zc > 1:
+            z_scale = np.abs(samples[1] - samples[0])
+        else:
+            z_scale = np.ones((self.num_axes,), np.float32)
+        z_scale = np.where(z_scale == 0.0, 1.0, z_scale)
+        self.z_scale = np.asarray(z_scale, np.float32).reshape(-1, 1)
+
+    def process_z_vals(self, z_vals):
+        B = z_vals.shape[0]
+        z4 = z_vals.reshape(B, -1, 4)
+        d = super().process_z_vals(z4[..., -1])
+        return jnp.concatenate([z4[..., :3], d[..., None]], -1).reshape(B, -1)
+
+    def intersect(self, params, rays, z_vals, x):
+        B = z_vals.shape[0]
+        z4 = z_vals.reshape(B, -1, 4)
+        offset = z4[..., :3].reshape(B, -1, self.num_axes, 3)
+        normal = offset * self.normal_scale_factor + self.start_normal
+        normal = normal.reshape(B, -1, 3)
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        return intersect_plane(rays[:, None, :], normal, z4[..., -1])
+
+
+@dataclass
+class IntersectCylinderNew(IntersectStage):
+    """Cylinders with per-primitive origin/resize transform and min-radius
+    fallback for non-hit rays (reference
+    nlf/intersect/primitive.py:181-363 'New' variant)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        self.samples, self.z_scale, self.initial, self.end = \
+            _make_anchor_schedule(self.z_channels, cfg, self.contract)
+        self.resize = np.asarray(cfg.get("resize", [1.0, 1.0, 1.0]),
+                                 np.float32)
+
+    def intersect(self, params, rays, z_vals, x):
+        B = z_vals.shape[0]
+        radii = z_vals.reshape(B, -1)
+        r = jnp.concatenate(
+            [rays[..., :3] * self.resize, rays[..., 3:6] * self.resize], -1)
+        min_r = min_cylinder_radius(r, jnp.zeros(3))[:, None]
+        t = intersect_cylinder(r[:, None, :], jnp.zeros(3),
+                               jnp.maximum(radii, min_r))
+        d_flat = jnp.concatenate(
+            [r[..., 3:4], jnp.zeros_like(r[..., 4:5]), r[..., 5:6]], -1)
+        d_unit = d_flat / jnp.maximum(
+            jnp.linalg.norm(d_flat, axis=-1, keepdims=True), 1e-12)
+        o_flat = jnp.concatenate(
+            [r[..., 0:1], jnp.zeros_like(r[..., 1:2]), r[..., 2:3]], -1)
+        p = pluecker_closest_point(o_flat, d_flat)
+        t_base = jnp.sum((p - o_flat) * d_unit, -1)[:, None]
+        return jnp.where(radii >= min_r, t, t_base)
+
+
 intersect_dict = {
     "z_plane": IntersectZPlane,
+    "plane": IntersectPlane,
     "sphere": IntersectSphere,
     "sphere_new": IntersectSphereNew,
     "cylinder": IntersectCylinder,
+    "cylinder_new": IntersectCylinderNew,
     "voxel_grid": IntersectVoxelGrid,
+    "deformable_voxel_grid": IntersectDeformableVoxelGrid,
     "euclidean_distance": IntersectEuclidean,
+    "euclidean_distance_unified": IntersectEuclidean,
 }
 
 

@@ -158,9 +158,71 @@ def select_pe(in_channels, cfg):
     return PE(in_channels, out_channels, apply)
 
 
+def windowed_random_pe(in_channels, cfg):
+    """Gaussian random Fourier features with the windowed annealing schedule
+    (reference nlf/pe.py:298+)."""
+    n_freqs = int(cfg.get("n_freqs", 0))
+    sigma = float(cfg.get("sigma", 1.0))
+    seed = int(cfg.get("seed", 0))
+    wait = float(cfg.get("wait_iters", 0))
+    max_freq_iter = float(cfg.get("max_freq_iter", 0))
+    rng = np.random.default_rng(seed)
+    B = jnp.asarray(rng.standard_normal((in_channels, n_freqs)) * sigma,
+                    jnp.float32)
+    # order features by frequency magnitude so the window anneals low->high
+    order = np.argsort(np.linalg.norm(np.asarray(B), axis=0))
+    B = B[:, order]
+    out_channels = in_channels + 2 * n_freqs
+
+    def apply(x, ctx=None):
+        proj = 2.0 * np.pi * (x @ B)
+        if ctx is not None and max_freq_iter > 0:
+            it = ctx.it.astype(jnp.float32) - wait
+            alpha = jnp.clip(it / max_freq_iter, 0.0, 1.0) * n_freqs
+            j = jnp.arange(n_freqs, dtype=jnp.float32)
+            w = (1.0 - jnp.cos(
+                np.pi * jnp.clip(alpha - j, 0.0, 1.0))) / 2.0
+            proj_sin = jnp.sin(proj) * w
+            proj_cos = jnp.cos(proj) * w
+        else:
+            proj_sin, proj_cos = jnp.sin(proj), jnp.cos(proj)
+        return jnp.concatenate([x, proj_sin, proj_cos], -1)
+
+    return PE(in_channels, out_channels, apply)
+
+
+class LearnablePE:
+    """Learnable frequency bank (reference nlf/pe.py:398+): the projection
+    matrix is a parameter. Unlike the closure-PEs this one owns params; the
+    RayPredictionEmbedding initializes/threads them when present."""
+
+    def __init__(self, in_channels, cfg):
+        self.in_channels = in_channels
+        self.n_freqs = int(cfg.get("n_freqs", 0))
+        self.sigma = float(cfg.get("sigma", 1.0))
+        self.out_channels = in_channels + 2 * self.n_freqs
+        self._param_key = cfg.get("param_key", "learnable_pe")
+
+    def init(self, key):
+        return {"B": jax.random.normal(
+            key, (self.in_channels, self.n_freqs)) * self.sigma}
+
+    def apply(self, x, ctx=None, params=None):
+        if params is None:
+            # degenerate to identity features when params aren't threaded
+            pad = jnp.zeros(x.shape[:-1] + (2 * self.n_freqs,), x.dtype)
+            return jnp.concatenate([x, pad], -1)
+        proj = 2.0 * np.pi * (x @ params["B"])
+        return jnp.concatenate([x, jnp.sin(proj), jnp.cos(proj)], -1)
+
+
+import jax  # noqa: E402
+
 pe_dict = {
     "basic": basic_pe,
     "windowed": windowed_pe,
+    "windowed_random": windowed_random_pe,
+    "learnable": LearnablePE,
     "identity": lambda c, cfg=None: identity_pe(c, cfg),
     "random": random_pe,
     "select": select_pe,

@@ -137,11 +137,124 @@ def pluecker_pos_param(cfg, **kwargs):
     return RayParam("pluecker_pos", 6, 3, apply)
 
 
+def multi_plane_param(cfg, **kwargs):
+    """Intersections with a stack of z-planes, (x, y) at each
+    (reference nlf/param.py:121-160)."""
+    initial_z = float(cfg.get("initial_z", -1.0))
+    end_z = float(cfg.get("end_z", 1.0))
+    z_channels = int(cfg.get("z_channels", 8))
+    depths = np.linspace(initial_z, end_z, z_channels).astype(np.float32)
+
+    def apply(rays):
+        t = intersect_axis_plane(rays[:, None, :], depths[None, :], 2)
+        pts = rays[:, None, :2] + rays[:, None, 3:5] * t[..., None]
+        return pts.reshape(rays.shape[0], -1)
+
+    return RayParam("multi_plane", 6, 2 * z_channels, apply)
+
+
+def two_plane_matrix_param(cfg, **kwargs):
+    """two_plane followed by a fixed affine matrix
+    (reference nlf/param.py two_plane_matrix: a view-matrix re-projection of
+    the two-plane coords)."""
+    base = two_plane_param(cfg, **kwargs)
+    M = np.asarray(cfg.get("matrix", np.eye(4)), np.float32)
+
+    def apply(rays):
+        return base.apply(rays) @ M.T[:4, :4]
+
+    return RayParam("two_plane_matrix", 6, 4, apply)
+
+
+def two_cylinder_param(cfg, **kwargs):
+    """Intersections with two concentric y-axis cylinders
+    (reference nlf/param.py two_cylinder)."""
+    near = float(cfg.get("near", 0.5))
+    far = float(cfg.get("far", 1.0))
+
+    def apply(rays):
+        t1 = intersect_cylinder_math(rays, np.zeros(3, np.float32), near)
+        t2 = intersect_cylinder_math(rays, np.zeros(3, np.float32), far)
+        p1 = rays[..., :3] + rays[..., 3:6] * t1[..., None]
+        p2 = rays[..., :3] + rays[..., 3:6] * t2[..., None]
+        return jnp.concatenate(
+            [p1[..., 0:1], p1[..., 1:2], p2[..., 0:1], p2[..., 2:3]], -1)
+
+    return RayParam("two_cylinder", 6, 4, apply)
+
+
+def ray_plus_time_param(cfg, **kwargs):
+    """Pass the ray plus trailing time channel through an inner param
+    (reference nlf/param.py ray_plus_time)."""
+    inner = get_ray_param(dict(cfg.get("param", {"fn": "identity"})))
+
+    def apply(rays):
+        return jnp.concatenate([inner.apply(rays[..., :6]),
+                                rays[..., -1:]], -1)
+
+    return RayParam("ray_plus_time", 7, inner.out_channels + 1, apply)
+
+
+def voxel_center_param(cfg, **kwargs):
+    """Snap origins to voxel centers (reference nlf/param.py voxel_center)."""
+    voxel_size = float(cfg.get("voxel_size", 1.0))
+
+    def apply(rays):
+        center = jnp.round(rays[..., :3] / voxel_size) * voxel_size
+        return jnp.concatenate([center, rays[..., 3:6]], -1)
+
+    return RayParam("voxel_center", 6, 6, apply)
+
+
+def z_slice_param(cfg, **kwargs):
+    """(x, y) at a fixed z plane plus direction
+    (reference nlf/param.py z_slice)."""
+    z_val = float(cfg.get("z", 0.0))
+
+    def apply(rays):
+        t = intersect_axis_plane(rays, z_val, 2)
+        pts = rays[..., :2] + rays[..., 3:5] * t[..., None]
+        return jnp.concatenate([pts, rays[..., 3:6]], -1)
+
+    return RayParam("z_slice", 6, 5, apply)
+
+
+def contract_points_param(cfg, **kwargs):
+    """Apply a scene contraction to a channel range of an inner param's
+    output (reference nlf/param.py:258-295 ContractPointsParam)."""
+    from hyperreel_tpu.ops.contract import get_contract
+    inner = get_ray_param(dict(cfg["param"]))
+    contract = get_contract(cfg.get("contract"))
+    start = int(cfg.get("contract_start_channel", 0))
+    end = int(cfg.get("contract_end_channel", 3))
+
+    def apply(rays):
+        p = inner.apply(rays)
+        return jnp.concatenate([
+            p[..., :start],
+            contract.contract_points(p[..., start:end]),
+            p[..., end:],
+        ], -1)
+
+    return RayParam("contract_points", inner.in_channels,
+                    inner.out_channels, apply)
+
+
+from hyperreel_tpu.ops.intersect_math import (  # noqa: E402
+    intersect_cylinder as intersect_cylinder_math)
+
 ray_param_dict = {
     "identity": identity_param,
     "take": take_param,
     "position": position_param,
     "two_plane": two_plane_param,
+    "multi_plane": multi_plane_param,
+    "two_plane_matrix": two_plane_matrix_param,
+    "two_cylinder": two_cylinder_param,
+    "ray_plus_time": ray_plus_time_param,
+    "voxel_center": voxel_center_param,
+    "z_slice": z_slice_param,
+    "contract_points": contract_points_param,
     "pluecker": pluecker_param,
     "spherical": spherical_param,
     "xy": xy_param,

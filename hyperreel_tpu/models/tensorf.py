@@ -1130,4 +1130,13 @@ def build_color_net(cfg, dataset_info=None):
     if t in ("tensor_vm", "tensor_cp", "tensor_vm_split_reflect"):
         from hyperreel_tpu.models import tensorf_extra  # registers variants
         return net_dict[t](cfg=dict(cfg))
+    if t == "multiple":
+        # cascade of nets with wait/stop gating
+        # (reference nlf/nets/nets.py:36-134 MultipleNet)
+        from hyperreel_tpu.models.tensorf_extra import MultipleNet
+        sub = [build_color_net(nc, dataset_info) for nc in cfg["nets"]]
+        waits = [float(nc.get("wait_iters", 0)) for nc in cfg["nets"]]
+        stops = [float(nc.get("stop_iters", float("inf")))
+                 for nc in cfg["nets"]]
+        return MultipleNet(nets=sub, wait_iters=waits, stop_iters=stops)
     raise ValueError(f"unknown color net type {t}")

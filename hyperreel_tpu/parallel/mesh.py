@@ -24,6 +24,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hyperreel_tpu.models.ctx import StepCtx
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host bring-up (the portable replacement for the reference's
+    torch-elastic launch, main.py:186-204): `jax.distributed.initialize`
+    connects this host to the JAX coordinator; the mesh then spans all
+    hosts' devices and per-host batch shards are addressed by
+    jax.process_index()."""
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def host_shard_seed(seed):
+    """Per-host data seed (replaces PL's per-rank sampler seeding)."""
+    return int(seed) * 1000003 + jax.process_index()
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name="data",
               devices=None):
     devices = devices if devices is not None else jax.devices()

@@ -57,6 +57,8 @@ class System:
             iters_per_epoch=self.iters_per_epoch)
         self.renderer = Renderer(self.model,
                                  ray_chunk=int(tcfg.get("ray_chunk", 65536)))
+        from hyperreel_tpu.train.visualizers import build_visualizers
+        self.visualizers = build_visualizers(cfg.get("visualizers"))
         self.save_dir = os.path.join(
             cfg["params"].get("save_dir", "runs"),
             cfg["params"].get("name", "experiment"))
@@ -148,7 +150,7 @@ class System:
 
     # -- evaluation (reference nlf/__init__.py:895-1028) ---------------------
 
-    def validate(self, state, max_images=None):
+    def validate(self, state, max_images=None, save_images=False):
         ds = self.val_dataset
         n = ds.num_images if max_images is None else min(
             ds.num_images, max_images)
@@ -164,6 +166,29 @@ class System:
                 "psnr": float(psnr(jnp.asarray(pred), jnp.asarray(gt))),
                 "ssim": float(ssim(jnp.asarray(pred), jnp.asarray(gt))),
             })
+            if save_images or self.visualizers:
+                img_dir = os.path.join(self.save_dir, "val_images",
+                                       str(state.it))
+                os.makedirs(img_dir, exist_ok=True)
+            if save_images:
+                from PIL import Image
+                Image.fromarray((pred * 255).astype(np.uint8)).save(
+                    os.path.join(img_dir, f"pred_{i:03d}.png"))
+                Image.fromarray((gt * 255).astype(np.uint8)).save(
+                    os.path.join(img_dir, f"gt_{i:03d}.png"))
+            if i == 0 and self.visualizers:
+                from PIL import Image
+                for name, vis in self.visualizers:
+                    try:
+                        images = vis.render(self, state, img_batch["rays"],
+                                            ds.img_wh)
+                    except Exception as e:  # visualizers must not kill eval
+                        print(f"visualizer {name} failed: {e}")
+                        continue
+                    for key, img in images.items():
+                        Image.fromarray(
+                            (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                        ).save(os.path.join(img_dir, f"{key}.png"))
         return get_mean_outputs(outs)
 
     def render_spiral(self, state, n_poses=30, save_frames=True):

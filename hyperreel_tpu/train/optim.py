@@ -103,6 +103,47 @@ def build_optimizer(optimizers_cfg: Dict, group_labels, iters_per_epoch):
     return optax.multi_transform(transforms, group_labels)
 
 
+def apply_weight_init(params, cfg, key):
+    """weight_init_dict (reference utils/__init__.py:19-45): none /
+    uniform / xavier / kaiming re-initialization of every linear `w` leaf."""
+    kind = (cfg or {}).get("type", "none")
+    if kind in (None, "none"):
+        return params
+    counter = [0]
+
+    def reinit(path_leaf):
+        def walk(node):
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    if k == "w" and hasattr(v, "shape") and v.ndim == 2:
+                        counter[0] += 1
+                        sub = jax.random.fold_in(key, counter[0])
+                        fan_in, fan_out = v.shape
+                        if kind == "uniform":
+                            a = float(cfg.get("a", 0.1))
+                            out[k] = jax.random.uniform(
+                                sub, v.shape, v.dtype, -a, a)
+                        elif kind == "xavier":
+                            s = (6.0 / (fan_in + fan_out)) ** 0.5
+                            out[k] = jax.random.uniform(
+                                sub, v.shape, v.dtype, -s, s)
+                        elif kind == "kaiming":
+                            s = (2.0 / fan_in) ** 0.5
+                            out[k] = jax.random.normal(
+                                sub, v.shape, v.dtype) * s
+                        else:
+                            out[k] = v
+                    else:
+                        out[k] = walk(v)
+                return out
+            return node
+
+        return walk(path_leaf)
+
+    return reinit(params)
+
+
 def reset_groups_in_state(opt_state, params, optimizer):
     """Fresh optimizer state — reference resets Adam moments at every
     upsample iteration (reset_opt_list; nlf/__init__.py:529-578). Grid

@@ -236,7 +236,80 @@ class FourierRegularizer:
         return base * self.loss_fn(pred_f, gt_f)
 
 
+@dataclass
+class GeometryFeedbackRegularizer:
+    """Teacher-field vs student-field consistency weighted by render weights
+    (reference nlf/regularizers/geometry.py:88-180): the render-weight-
+    composited sample points should agree with the predicted-weight
+    composited points."""
+
+    cfg: dict
+
+    def __post_init__(self):
+        self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
+
+    def loss(self, model, params, batch, ctx, system=None):
+        out = model.apply(
+            params, batch["rays"], ctx,
+            {"fields": ["points"], "pred_weights_fields": []})
+        out_pred = model.apply(
+            params, batch["rays"], ctx,
+            {"fields": ["points"], "pred_weights_fields": ["points"]})
+        base = schedule_weight(self.cfg, ctx.it)
+        return base * self.loss_fn(
+            out["points"], jax.lax.stop_gradient(out_pred["points"]))
+
+
+@dataclass
+class WarpLevelSetRegularizer:
+    """Level-set consistency: embedding outputs should be locally constant
+    along the ray direction (reference nlf/regularizers/warp.py:80-140
+    WarpLevelSetRegularizer)."""
+
+    cfg: dict
+
+    def __post_init__(self):
+        self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
+        self.step = float(self.cfg.get("step", 0.01))
+
+    def loss(self, model, params, batch, ctx, system=None):
+        rays = batch["rays"]
+        stepped = jnp.concatenate(
+            [rays[..., :3] + rays[..., 3:6] * self.step,
+             rays[..., 3:6], rays[..., 6:]], -1)
+        kw = {"fields": ["points"]}
+        a = model.apply(params, rays, ctx, kw)["points"]
+        b = model.apply(params, stepped, ctx, kw)["points"]
+        base = schedule_weight(self.cfg, ctx.it)
+        return base * self.loss_fn(a, b)
+
+
+@dataclass
+class TensorTVRegularizer:
+    """TV on arbitrary tensor-grid parameters
+    (reference nlf/regularizers/tensor.py)."""
+
+    cfg: dict
+
+    def loss(self, model, params, batch, ctx, system=None):
+        from hyperreel_tpu.models.tensorf import _tv2d
+        total = 0.0
+        count = 0
+        for fam in ("density", "app"):
+            for key, arr in params["color"].get(fam, {}).items():
+                if arr.ndim == 3:
+                    total = total + _tv2d(arr)
+                    count += 1
+        if count == 0:
+            return jnp.asarray(0.0)
+        base = schedule_weight(self.cfg, ctx.it)
+        return base * total / count
+
+
 regularizer_dict.update({
+    "geometry_feedback": GeometryFeedbackRegularizer,
+    "warp_level": WarpLevelSetRegularizer,
+    "tensor_tv": TensorTVRegularizer,
     "simple_ray_density": SimpleRayDensityRegularizer,
     "ray_density": RayDensityRegularizer,
     "warp": WarpRegularizer,

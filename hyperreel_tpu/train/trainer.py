@@ -56,6 +56,11 @@ class Trainer:
 
     def init_state(self, key, it=0):
         params = self.model.init(key)
+        wi = self.training_cfg.get("weight_init")
+        if wi and wi.get("type", "none") != "none":
+            from hyperreel_tpu.train.optim import apply_weight_init
+            params = apply_weight_init(params, wi,
+                                       jax.random.fold_in(key, 77))
         opt = self._make_optimizer(params)
         return TrainState(params=params, opt_state=opt.init(params), it=it)
 
