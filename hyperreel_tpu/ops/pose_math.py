@@ -53,19 +53,36 @@ def correct_poses_bounds(poses, bounds, flip=True, center=True):
     return poses, ref_pose, bounds
 
 
-def create_spiral_poses(radii, focus_depth, n_poses=120, n_circles=2):
-    """Spiral render path (reference utils/pose_utils.py:162-183): positions
-    on a spiral, all looking at a point focus_depth in front of the center."""
-    poses_spiral = []
-    for t in np.linspace(0, n_circles * 2 * np.pi, n_poses + 1)[:-1]:
-        center = np.array(
-            [np.cos(t), -np.sin(t), -np.sin(0.5 * t)]) * radii
-        z = normalize(center - np.array([0, 0, -focus_depth]))
-        y_ = np.array([0, 1, 0])
-        x = normalize(np.cross(y_, z))
-        y = np.cross(z, x)
-        poses_spiral.append(np.stack([x, y, z, center], 1))
-    return np.stack(poses_spiral, 0)
+def viewmatrix(z, up, pos):
+    """Camera basis from viewing dir + up hint
+    (reference utils/pose_utils.py:39-44)."""
+    vec2 = normalize(z)
+    vec0 = normalize(np.cross(up, vec2))
+    vec1 = normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, pos], 1)
+
+
+def create_spiral_poses(poses, rads, focal, N=120, flip=False):
+    """Spiral render path anchored on the average input pose
+    (reference utils/pose_utils.py:162-183)."""
+    c2w = average_poses(poses)
+    up = normalize(poses[:, :3, 1].sum(0))
+    rots = 2
+    rads = np.array(list(rads) + [1.0])
+
+    render_poses = []
+    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
+        c = np.dot(c2w[:3, :4], np.array(
+            [np.cos(theta), -np.sin(theta), -np.sin(theta * 0.5), 1.0]
+        ) * rads)
+        if flip:
+            z = normalize(
+                np.dot(c2w[:3, :4], np.array([0, 0, focal, 1.0])) - c)
+        else:
+            z = normalize(
+                c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
+        render_poses.append(viewmatrix(z, up, c))
+    return np.stack(render_poses, 0)
 
 
 def create_spherical_poses(radius, n_poses=120):

@@ -199,8 +199,13 @@ class System:
         W, H = ds.img_wh
         f = 1.2 * W
         K = [[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]
-        radii = np.array([0.2, 0.2, 0.1])
-        poses = create_spiral_poses(radii, focus_depth=1.5, n_poses=n_poses)
+        # anchor the spiral on a synthetic forward-facing pose ring when the
+        # dataset doesn't expose poses (reference derives radii from the
+        # train-pose percentiles, nlf/__init__.py validation_video path)
+        base = np.stack([np.concatenate(
+            [np.eye(3), np.array([[0.0], [0.0], [2.0]])], 1)] * 3)
+        poses = create_spiral_poses(base, [0.2, 0.2, 0.1], focal=1.5,
+                                    N=n_poses)
         frames = []
         times = []
         for i, pose in enumerate(poses):
