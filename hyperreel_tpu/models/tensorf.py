@@ -1127,7 +1127,8 @@ def build_color_net(cfg, dataset_info=None):
             num_keyframes=int(dataset_info.get("num_keyframes", 1)),
             total_num_frames=int(dataset_info.get("num_frames", 1)),
         )
-    if t in ("tensor_vm", "tensor_cp", "tensor_vm_split_reflect"):
+    if t in ("tensor_vm", "tensor_cp", "tensor_vm_split_reflect",
+             "tensor_vm_split"):
         from hyperreel_tpu.models import tensorf_extra  # registers variants
         return net_dict[t](cfg=dict(cfg))
     if t == "multiple":

@@ -255,7 +255,44 @@ class MultipleNet:
                 for i, n in enumerate(self.nets)}
 
 
+@dataclass
+class TensorVMStandalone(TensorVMNoSample):
+    """Classic TensoRF forward with its OWN ray marching (reference
+    TensorBase.forward + sample_ray/sample_ray_ndc,
+    tensorf_base.py:330-380,555-620): stratified samples between near/far,
+    then the shared no-sample render core. Lets the factored grids train
+    without a sample-prediction network (`tensor_vm_split` standalone mode).
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        self.near_far = list(cfg.get("near_far", [2.0, 6.0]))
+        self.n_samples = int(cfg.get("nSamples", 128))
+        self.ndc_ray = bool(cfg.get("ndc_ray", 0))
+
+    def march(self, params, rays, ctx, render_kwargs=None):
+        """rays [B, 6+] -> render outputs (self-sampled)."""
+        B = rays.shape[0]
+        near, far = self.near_far
+        t = jnp.linspace(near, far, self.n_samples)
+        t = jnp.broadcast_to(t, (B, self.n_samples))
+        if ctx.training:
+            jitter = jax.random.uniform(ctx.rng, (B, self.n_samples)) * (
+                (far - near) / self.n_samples)
+            t = t + jitter
+        pts = rays[:, None, :3] + rays[:, None, 3:6] * t[..., None]
+        x = {
+            "points": pts,
+            "distances": t[..., None],
+            "viewdirs": jnp.broadcast_to(rays[:, None, 3:6], pts.shape),
+            "weights": jnp.ones((B, self.n_samples, 1)),
+        }
+        return self.apply(params, x, ctx, render_kwargs)
+
+
 # register
 net_dict["tensor_vm"] = TensorVMJoint
 net_dict["tensor_cp"] = TensorCP
 net_dict["tensor_vm_split_reflect"] = TensorVMReflect
+net_dict["tensor_vm_split"] = TensorVMStandalone
