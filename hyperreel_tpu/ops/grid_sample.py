@@ -129,10 +129,80 @@ def _quad2d_fwd(grid_hwc, coords):
 
 
 def _quad2d_bwd(res, g):
+    """Packed-scatter backward: ONE channels-first scatter into the padded
+    quad table followed by a dense shift-and-add fold, instead of four
+    corner scatters (scatters are row-rate-bound like gathers). The coords
+    gradient recomputes one quad gather. Verified against jax.vjp of the
+    unpacked reference sampler (tests/test_packed_tables.py)."""
     grid_hwc, coords = res
-    _, vjp = jax.vjp(_quad2d_ref, grid_hwc.astype(jnp.float32), coords)
-    g_grid, g_coords = vjp(g)
-    return g_grid.astype(grid_hwc.dtype), g_coords
+    H, W, C = grid_hwc.shape
+    N = coords.shape[0]
+
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    xi = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+    yi = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+    idx = yi * (W + 1) + xi
+
+    def inb(yc, xc):
+        return ((xc >= 0) & (xc <= W - 1) & (yc >= 0)
+                & (yc <= H - 1)).astype(jnp.float32)
+
+    i00 = inb(y0, x0)
+    i01 = inb(y0, x0 + 1.0)
+    i10 = inb(y0 + 1.0, x0)
+    i11 = inb(y0 + 1.0, x0 + 1.0)
+    w00 = (1.0 - wy1) * (1.0 - wx1) * i00
+    w01 = (1.0 - wy1) * wx1 * i01
+    w10 = wy1 * (1.0 - wx1) * i10
+    w11 = wy1 * wx1 * i11
+
+    # cotangent to flat channel order [C, N] (channel c at [c//2, :, c%2])
+    g_cf = jnp.moveaxis(g, 2, 1).reshape(C, N)
+
+    # ---- grid gradient: one scatter into the padded quad-table layout
+    g_rows = jnp.concatenate(
+        [g_cf * w00[None], g_cf * w01[None],
+         g_cf * w10[None], g_cf * w11[None]], 0)  # [4C, N] corner-major
+    pack_g = jnp.zeros((4 * C, (H + 1) * (W + 1)),
+                       jnp.float32).at[:, idx].add(g_rows)
+    pg = pack_g.reshape(4, C, H + 1, W + 1)
+    # pack[Y, X, corner k] reads plane_padded[Y+dy_k, X+dx_k]; transpose:
+    # plane_grad[y, x] = sum_k pg[k, :, y+1-dy_k, x+1-dx_k]
+    g_plane = (pg[0, :, 1:H + 1, 1:W + 1]
+               + pg[1, :, 1:H + 1, 0:W]
+               + pg[2, :, 0:H, 1:W + 1]
+               + pg[3, :, 0:H, 0:W])
+    g_grid = jnp.moveaxis(g_plane, 0, -1).astype(grid_hwc.dtype)
+
+    # ---- coords gradient: recompute one quad gather for corner values
+    grid_bf16 = grid_hwc if grid_hwc.dtype == jnp.bfloat16 \
+        else grid_hwc.astype(jnp.bfloat16)
+    p = jnp.pad(grid_bf16, ((1, 1), (1, 1), (0, 0)))
+    pack = jnp.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1)
+    words = jax.lax.bitcast_convert_type(
+        pack.reshape((H + 1) * (W + 1), 2 * C, 2), jnp.uint32)
+    vals = jax.lax.bitcast_convert_type(
+        words.T[:, idx], jnp.bfloat16).astype(jnp.float32)  # [2C, N, 2]
+    v = vals.reshape(4, C // 2, N, 2)
+    # per-corner inner products with the cotangent
+    s = jnp.sum(v * g[None], axis=(1, 3))  # [4, N]
+    s00 = s[0] * i00
+    s01 = s[1] * i01
+    s10 = s[2] * i10
+    s11 = s[3] * i11
+    dwx = (-(1.0 - wy1) * s00 + (1.0 - wy1) * s01
+           - wy1 * s10 + wy1 * s11)
+    dwy = (-(1.0 - wx1) * s00 - wx1 * s01
+           + (1.0 - wx1) * s10 + wx1 * s11)
+    g_coords = jnp.stack(
+        [dwx * 0.5 * (W - 1), dwy * 0.5 * (H - 1)], -1)
+    return g_grid, g_coords
 
 
 _quad2d_vjp.defvjp(_quad2d_fwd, _quad2d_bwd)

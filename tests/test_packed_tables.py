@@ -65,6 +65,34 @@ def test_packed_1d_matches_unpacked():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_quad_2d_backward_matches_reference_vjp():
+    """The packed-scatter backward must equal the autodiff of the unpacked
+    sampler (up to bf16 forward quantization of the corner values)."""
+    from hyperreel_tpu.ops.grid_sample import _quad2d_ref
+    rng = np.random.default_rng(5)
+    H, W, C, N = 9, 13, 8, 257
+    plane = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32),
+                        jnp.bfloat16)
+    coords = jnp.asarray(rng.uniform(-1.4, 1.4, (N, 2)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((C // 2, N, 2)).astype(np.float32))
+
+    def f(p, c):
+        return grid_sample_2d_cf_quad(p, c)
+
+    _, vjp = jax.vjp(f, plane, coords)
+    got_gp, got_gc = vjp(g)
+
+    _, ref_vjp = jax.vjp(lambda p, c: _quad2d_ref(p, c),
+                         plane.astype(jnp.float32), coords)
+    ref_gp, ref_gc = ref_vjp(g)
+
+    np.testing.assert_allclose(np.asarray(got_gp, np.float32),
+                               np.asarray(ref_gp),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_gc), np.asarray(ref_gc),
+                               rtol=2e-2, atol=2e-3)
+
+
 def _rays_static(n=32, seed=0):
     rng = np.random.default_rng(seed)
     o = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
