@@ -34,12 +34,17 @@ class OrbitCamera:
 
     @property
     def pose(self):
+        """Camera-to-world (reference utils/gui_utils.py:29-50: camera at
+        -radius on z, rotated, then the y/z column flip into the -z-forward
+        ray convention)."""
         res = np.eye(4, dtype=np.float32)
         res[2, 3] -= self.radius
         rot = np.eye(4, dtype=np.float32)
         rot[:3, :3] = self.rot
         res = rot @ res
         res[:3, 3] -= self.center
+        res[..., 1] *= -1
+        res[..., 2] *= -1
         return res[:3]
 
     @property
