@@ -30,6 +30,7 @@ class System:
         ds_cfg = dict(cfg["dataset"])
         self._ds_name = ds_cfg.pop("name")
         self._ds_root = ds_cfg.pop("root_dir", None)
+        self._use_raystore = bool(ds_cfg.pop("use_raystore", False))
         self._ds_cfg = ds_cfg
         self.train_dataset = self._load_dataset("train")
         try:
@@ -113,9 +114,20 @@ class System:
         val_every = int(cfg.get("val_every", 10)) * self.iters_per_epoch
         ckpt_every = int(cfg.get("ckpt_every", 40)) * self.iters_per_epoch
 
+        use_raystore = self._use_raystore
+
         def batches():
-            for b in self.train_dataset.batch_iterator(
-                    batch_size, seed=int(self.cfg["params"].get("seed", 0))):
+            seed = int(self.cfg["params"].get("seed", 0))
+            if use_raystore:
+                # spill the ray store to disk and sample with the native
+                # C++ gatherer (large dynamic scenes; SURVEY.md §7.4)
+                from hyperreel_tpu.data.raystore import MmapRayStore
+                path = os.path.join(self.save_dir, "raystore.npy")
+                store = MmapRayStore.create(path, self.train_dataset)
+                it = store.batch_iterator(batch_size, seed=seed)
+            else:
+                it = self.train_dataset.batch_iterator(batch_size, seed=seed)
+            for b in it:
                 yield {k: jnp.asarray(v) for k, v in b.items()}
 
         batch_iter = batches()
