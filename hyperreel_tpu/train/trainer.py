@@ -154,8 +154,14 @@ class Trainer:
             seg_end = events[0] if events else end_it
             step, _ = self.make_train_step(state.params)
             params, opt_state = state.params, state.opt_state
+            # one-batch prefetch: device_put is async, so the next batch
+            # uploads while the current step computes (host->device goes
+            # through a tunnel here; unoverlapped it costs ~a step's time)
+            pending = jax.device_put(next(batch_iter))
             while state.it < seg_end:
-                batch = next(batch_iter)
+                batch = pending
+                if state.it + 1 < seg_end:
+                    pending = jax.device_put(next(batch_iter))
                 rng, sub = jax.random.split(rng)
                 params, opt_state, metrics = step(
                     params, opt_state, batch,
