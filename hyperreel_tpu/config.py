@@ -17,7 +17,9 @@ from hyperreel_tpu.configs import presets
 
 DEFAULT_TRAINING = {
     "batch_size": 16384,
-    "ray_chunk": 65536,
+    # render chunk: 262144 fits v5e HBM with the quad-gather temporaries;
+    # 1M-ray chunks OOM (see PERFORMANCE.md)
+    "ray_chunk": 262144,
     "num_iters": 4000,
     "num_epochs": 40,
     "val_every": 10,

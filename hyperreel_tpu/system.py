@@ -203,9 +203,11 @@ class System:
                         ).save(os.path.join(img_dir, f"{key}.png"))
         return get_mean_outputs(outs)
 
-    def render_spiral(self, state, n_poses=30, save_frames=True):
-        """Spiral-path video render (reference validation_video,
-        nlf/__init__.py:809-893)."""
+    def render_spiral(self, state, n_poses=30, save_frames=True,
+                      interpolate=False):
+        """Spiral-path (or pose-interpolated) video render (reference
+        validation_video, nlf/__init__.py:809-893; render_params
+        interpolate option)."""
         from hyperreel_tpu.ops.ray_math import get_ray_directions_K, get_rays
         ds = self.train_dataset
         W, H = ds.img_wh
@@ -216,8 +218,11 @@ class System:
         # train-pose percentiles, nlf/__init__.py validation_video path)
         base = np.stack([np.concatenate(
             [np.eye(3), np.array([[0.0], [0.0], [2.0]])], 1)] * 3)
-        poses = create_spiral_poses(base, [0.2, 0.2, 0.1], focal=1.5,
-                                    N=n_poses)
+        if interpolate:
+            poses = interpolate_poses(base, n_poses)
+        else:
+            poses = create_spiral_poses(base, [0.2, 0.2, 0.1], focal=1.5,
+                                        N=n_poses)
         frames = []
         times = []
         for i, pose in enumerate(poses):

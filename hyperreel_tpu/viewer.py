@@ -104,6 +104,18 @@ class InteractiveRenderer:
         H = max(int(self.base_wh[1] * s) // 8 * 8, 32)
         return W, H
 
+    def precompile(self):
+        """Compile every ladder level up front so level switches don't
+        hitch mid-session (each first-visit compile costs seconds)."""
+        import numpy as np
+        pose = np.eye(4, dtype=np.float32)[:3]
+        pose[2, 3] = 2.0
+        level = self._level
+        for l in range(len(self.ladder)):
+            self._level = l
+            self.render_frame(pose)
+        self._level = level
+
     def render_frame(self, pose, K=None, t=0.0, cam_id=1.0):
         """Render one frame at the current ladder level; adapt the level to
         the measured frame time."""
@@ -153,6 +165,8 @@ def serve(model, params, host="0.0.0.0", port=8090, wh=(512, 512),
     cam = OrbitCamera(wh[0], wh[1])
     renderer = InteractiveRenderer(model=model, params=params, base_wh=wh,
                                    ray_width=ray_width)
+    print("precompiling resolution ladder...")
+    renderer.precompile()
     t_start = time.time()
 
     class Handler(BaseHTTPRequestHandler):
