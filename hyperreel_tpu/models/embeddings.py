@@ -347,7 +347,8 @@ class AdvectPointsEmbedding:
 
         jitter = ctx.training and ("no_flow_jitter" not in render_kwargs)
         base_t = get_base_time(t, self.num_keyframes, self.num_frames,
-                               self.flow_scale, jitter, ctx.rng)
+                               self.flow_scale, jitter,
+                               jax.random.fold_in(ctx.rng, 101))
         time_offset = (t - base_t)[..., None, :]
 
         if self.use_angular_flow:

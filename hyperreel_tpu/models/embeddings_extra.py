@@ -227,7 +227,7 @@ class GenerateNumSamplesEmbedding:
         if ctx.training:
             lo, hi = self.sample_range
             n = jnp.round(
-                jax.random.uniform(ctx.rng, ()) * (hi - lo) + lo)
+                jax.random.uniform(jax.random.fold_in(ctx.rng, 404), ()) * (hi - lo) + lo)
         else:
             n = jnp.asarray(float(self.inference_samples))
         x["num_samples"] = n
@@ -294,7 +294,7 @@ class RandomOffsetEmbedding:
         gaps = jnp.concatenate(
             [dists[:, 1:] - dists[:, :-1],
              jnp.zeros_like(dists[:, :1])], -1)
-        u = jax.random.uniform(ctx.rng, dists.shape)
+        u = jax.random.uniform(jax.random.fold_in(ctx.rng, 303), dists.shape)
         jitter = u * gaps
         gate = ((ctx.it % self.frequency) == 0) & (ctx.it < self.stop_iter)
         new_d = jnp.where(gate, dists + jitter, dists)[..., None]

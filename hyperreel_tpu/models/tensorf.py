@@ -529,7 +529,7 @@ class TensorVMNoSample:
             if self.white_bg:
                 rgb_map = rgb_map + (1.0 - acc_map[:, None])
             elif ctx.training:
-                coin = jax.random.uniform(ctx.rng, ()) < 0.5
+                coin = jax.random.uniform(jax.random.fold_in(ctx.rng, 202), ()) < 0.5
                 rgb_map = jnp.where(coin,
                                     rgb_map + (1.0 - acc_map[:, None]),
                                     rgb_map)
@@ -979,7 +979,7 @@ class TensorVMKeyframeTime(TensorVMNoSample):
             if self.white_bg:
                 rgb_map = rgb_map + (1.0 - acc_map[:, None])
             elif ctx.training:
-                coin = jax.random.uniform(ctx.rng, ()) < 0.5
+                coin = jax.random.uniform(jax.random.fold_in(ctx.rng, 202), ()) < 0.5
                 rgb_map = jnp.where(coin,
                                     rgb_map + (1.0 - acc_map[:, None]),
                                     rgb_map)
