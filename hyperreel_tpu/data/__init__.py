@@ -25,6 +25,11 @@ dataset_dict = {
     "shiny": _lazy("hyperreel_tpu.data.shiny.load_shiny"),
     "spaces": _lazy("hyperreel_tpu.data.spaces.load_spaces"),
     "eikonal": _lazy("hyperreel_tpu.data.eikonal.load_eikonal"),
+    "stanford_llff": _lazy("hyperreel_tpu.data.variants.load_stanford_llff"),
+    "dense_shiny": _lazy("hyperreel_tpu.data.variants.load_dense_shiny"),
+    "dense_blender": _lazy("hyperreel_tpu.data.variants.load_dense_blender"),
+    "blender_lightfield": _lazy(
+        "hyperreel_tpu.data.variants.load_blender_lightfield"),
     "catacaustics": _lazy("hyperreel_tpu.data.catacaustics.load_catacaustics"),
     "video3d_static": _lazy("hyperreel_tpu.data.video3d.load_video3d_static"),
     "video3d_time": _lazy("hyperreel_tpu.data.video3d.load_video3d_time"),
