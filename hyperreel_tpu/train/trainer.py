@@ -127,14 +127,19 @@ class Trainer:
                               color=net.shrink(params["color"], new_aabb))
                 changed = True
 
+        upsampled = False
         if it in self.upsamp_list and self.n_voxel_list:
             idx = self.upsamp_list.index(it)
             n_voxels = self.n_voxel_list[idx]
             reso = n_to_reso(n_voxels, net.aabb)
             params = dict(params, color=net.upsample(params["color"], reso))
             changed = True
+            upsampled = True
 
-        if changed or net.lr_upsample_reset:
+        # reference semantics: optimizer reset at upsample iters when
+        # lr_upsample_reset (tensorf_base.py:546-551); any shape change
+        # (shrink) forces a rebuild regardless
+        if changed or (upsampled and net.lr_upsample_reset):
             opt = self._make_optimizer(params)
             opt_state = opt.init(params)
         else:
