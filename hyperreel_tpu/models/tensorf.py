@@ -404,11 +404,10 @@ class TensorVMNoSample:
                 plane = params["app"][f"plane_{i}"]
                 line = params["app"][f"line_{i}"]
             C_tot = plane.shape[-1]
-            packed_ok = (self.table_dtype == jnp.bfloat16
-                         and C_tot % 2 == 0 and nd % 2 == 0)
+            packed_ok = C_tot % 2 == 0 and nd % 2 == 0
             if packed_ok:
-                plane = plane.astype(jnp.bfloat16)
-                line = line.astype(jnp.bfloat16)
+                plane = plane.astype(self.table_dtype)
+                line = line.astype(self.table_dtype)
                 prod = (grid_sample_2d_cf_quad(plane, uv)
                         * grid_sample_1d_cf_quad(line, zc))  # [C/2, N, 2]
                 if has_d:
@@ -862,11 +861,10 @@ class TensorVMKeyframeTime(TensorVMNoSample):
                 space = params["app"][f"space_{i}"]
                 timep = params["app"][f"time_{i}"]
             C_tot = space.shape[-1]
-            packed_ok = (self.table_dtype == jnp.bfloat16
-                         and C_tot % 2 == 0 and nd % 2 == 0)
+            packed_ok = C_tot % 2 == 0 and nd % 2 == 0
             if packed_ok:
-                space = space.astype(jnp.bfloat16)
-                timep = timep.astype(jnp.bfloat16)
+                space = space.astype(self.table_dtype)
+                timep = timep.astype(self.table_dtype)
                 prod = (grid_sample_2d_cf_quad(space, uv_s)
                         * grid_sample_2d_cf_quad(timep, uv_t))
                 if has_d:

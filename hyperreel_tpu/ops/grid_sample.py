@@ -180,16 +180,18 @@ def _quad2d_bwd(res, g):
     g_grid = jnp.moveaxis(g_plane, 0, -1).astype(grid_hwc.dtype)
 
     # ---- coords gradient: recompute one quad gather for corner values
-    grid_bf16 = grid_hwc if grid_hwc.dtype == jnp.bfloat16 \
-        else grid_hwc.astype(jnp.bfloat16)
-    p = jnp.pad(grid_bf16, ((1, 1), (1, 1), (0, 0)))
+    p = jnp.pad(grid_hwc, ((1, 1), (1, 1), (0, 0)))
     pack = jnp.concatenate(
         [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1)
-    words = jax.lax.bitcast_convert_type(
-        pack.reshape((H + 1) * (W + 1), 2 * C, 2), jnp.uint32)
-    vals = jax.lax.bitcast_convert_type(
-        words.T[:, idx], jnp.bfloat16).astype(jnp.float32)  # [2C, N, 2]
-    v = vals.reshape(4, C // 2, N, 2)
+    if grid_hwc.dtype == jnp.bfloat16:
+        words = jax.lax.bitcast_convert_type(
+            pack.reshape((H + 1) * (W + 1), 2 * C, 2), jnp.uint32)
+        vals = jax.lax.bitcast_convert_type(
+            words.T[:, idx], jnp.bfloat16).astype(jnp.float32)  # [2C, N, 2]
+        v = vals.reshape(4, C // 2, N, 2)
+    else:
+        flat_cf = pack.reshape((H + 1) * (W + 1), 4 * C).T
+        v = jnp.moveaxis(flat_cf[:, idx].reshape(4, C // 2, 2, N), 2, 3)
     # per-corner inner products with the cotangent
     s = jnp.sum(v * g[None], axis=(1, 3))  # [4, N]
     s00 = s[0] * i00
@@ -251,12 +253,14 @@ def _grid_sample_2d_cf_quad_impl(grid_hwc, coords):
     matching torch zero-padding; far out-of-range corners are zeroed by the
     per-corner in-bounds weight masks.
 
-    grid [H, W, C] bf16, C even; coords [N, 2] -> f32 [C//2, N, 2]
-    (word-major channel pairs, same layout as grid_sample_2d_cf_packed).
+    grid [H, W, C] (bf16 or f32), C even; coords [N, 2] -> f32
+    [C//2, N, 2] (word-major channel pairs, same layout as
+    grid_sample_2d_cf_packed). bf16 tables gather 32 B rows; f32 tables
+    gather 64 B rows at full precision — gather time is per-row, so both
+    cost the same (PERFORMANCE.md).
     """
-    import jax
     H, W, C = grid_hwc.shape
-    assert C % 2 == 0 and grid_hwc.dtype == jnp.bfloat16
+    assert C % 2 == 0
     x = _unnormalize(coords[..., 0], W)
     y = _unnormalize(coords[..., 1], H)
     x0 = jnp.floor(x)
@@ -268,17 +272,24 @@ def _grid_sample_2d_cf_quad_impl(grid_hwc, coords):
     pack = jnp.concatenate(
         [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1
     )  # [H+1, W+1, 4C]
-    words = jax.lax.bitcast_convert_type(
-        pack.reshape((H + 1) * (W + 1), 2 * C, 2), jnp.uint32)
-    flat_cf = words.T  # [2C, (H+1)(W+1)]
-
+    R = (H + 1) * (W + 1)
     xi = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
     yi = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
     idx = yi * (W + 1) + xi
-    vals_u32 = flat_cf[:, idx]                       # [2C, N]
-    vals = jax.lax.bitcast_convert_type(
-        vals_u32, jnp.bfloat16).astype(jnp.float32)  # [2C, N, 2]
-    v = vals.reshape(4, C // 2, -1, 2)               # corner-major
+
+    if grid_hwc.dtype == jnp.bfloat16:
+        words = jax.lax.bitcast_convert_type(
+            pack.reshape(R, 2 * C, 2), jnp.uint32)
+        vals_u32 = words.T[:, idx]                       # [2C, N]
+        vals = jax.lax.bitcast_convert_type(
+            vals_u32, jnp.bfloat16).astype(jnp.float32)  # [2C, N, 2]
+        v = vals.reshape(4, C // 2, -1, 2)               # corner-major
+    else:
+        flat_cf = pack.reshape(R, 4 * C).T               # [4C, R]
+        vals = flat_cf[:, idx]                           # [4C, N]
+        # corner-major [4, C, N] -> packed word layout [4, C//2, N, 2]
+        v = jnp.moveaxis(
+            vals.reshape(4, C // 2, 2, -1), 2, 3)
 
     def wmask(yc, xc, w):
         inb = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
@@ -295,24 +306,27 @@ def _grid_sample_2d_cf_quad_impl(grid_hwc, coords):
 
 def _grid_sample_1d_cf_quad_impl(line_lc, coords):
     """One-gather linear line sampling: rows carry both neighbors.
-    line [L, C] bf16, C even; coords [N] -> f32 [C//2, N, 2]."""
-    import jax
+    line [L, C] (bf16 or f32), C even; coords [N] -> f32 [C//2, N, 2]."""
     L, C = line_lc.shape
-    assert C % 2 == 0 and line_lc.dtype == jnp.bfloat16
+    assert C % 2 == 0
     z = _unnormalize(coords, L)
     z0 = jnp.floor(z)
     wz1 = z - z0
 
     p = jnp.pad(line_lc, ((1, 1), (0, 0)))
     pack = jnp.concatenate([p[:-1], p[1:]], -1)  # [L+1, 2C]
-    words = jax.lax.bitcast_convert_type(
-        pack.reshape(L + 1, C, 2), jnp.uint32)
-    flat_cf = words.T  # [C, L+1]
-
     zi = (jnp.clip(z0, -1, L - 1) + 1).astype(jnp.int32)
-    vals = jax.lax.bitcast_convert_type(
-        flat_cf[:, zi], jnp.bfloat16).astype(jnp.float32)  # [C, N, 2]
-    v = vals.reshape(2, C // 2, -1, 2)
+    if line_lc.dtype == jnp.bfloat16:
+        words = jax.lax.bitcast_convert_type(
+            pack.reshape(L + 1, C, 2), jnp.uint32)
+        flat_cf = words.T  # [C, L+1]
+        vals = jax.lax.bitcast_convert_type(
+            flat_cf[:, zi], jnp.bfloat16).astype(jnp.float32)  # [C, N, 2]
+        v = vals.reshape(2, C // 2, -1, 2)
+    else:
+        flat_cf = pack.T  # [2C, L+1]
+        vals = flat_cf[:, zi]  # [2C, N]
+        v = jnp.moveaxis(vals.reshape(2, C // 2, 2, -1), 2, 3)
 
     def wmask(zc, w):
         inb = (zc >= 0) & (zc <= L - 1)
