@@ -18,8 +18,18 @@ from hyperreel_tpu.models.tensorf import (
 from hyperreel_tpu.ops.grid_sample import grid_sample_2d, grid_sample_1d
 
 
+class _GenericFusedSampling:
+    """Fallback for variants with non-standard factor storage: route the
+    fused density+app hook through the variant's own samplers."""
+
+    def _sample_density_and_app_cf(self, params, flat_xyz):
+        sigma = self._sample_density(params, flat_xyz)
+        app_nd = self._sample_app(params, flat_xyz)  # [N, app_dim]
+        return sigma, app_nd.T
+
+
 @dataclass
-class TensorVMJoint(TensorVMNoSample):
+class TensorVMJoint(_GenericFusedSampling, TensorVMNoSample):
     """Joint-plane TensorVM: one [3, C_app+C_sigma, R, R] plane stack and
     matching lines (reference tensorf_base.py:623-861). Reuses the
     no-sample forward; only the factor storage/sampling differ."""
@@ -105,7 +115,7 @@ class TensorVMJoint(TensorVMNoSample):
 
 
 @dataclass
-class TensorCP(TensorVMNoSample):
+class TensorCP(_GenericFusedSampling, TensorVMNoSample):
     """CP-rank decomposition: products of three line factors
     (reference tensorf_base.py:1235-1415)."""
 
