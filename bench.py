@@ -35,20 +35,27 @@ def main():
     out = jitted(params, chunk_rays, it, rng)
     out.block_until_ready()
 
-    # Through the axon tunnel, block_until_ready resolves before device
-    # execution completes; the only honest timing forces a value readback
-    # per call. Inputs are made distinct so executions can't be collapsed.
+    # Honest timing through the axon tunnel: block_until_ready resolves
+    # early and identical queued calls can collapse, so (a) every call gets
+    # distinct inputs, (b) each call's input depends on the previous call's
+    # OUTPUT (forcing real sequential execution), and (c) one final value
+    # readback pays the tunnel round-trip once instead of per call.
     n_timed = 3
     n_calls = n_timed * (n // chunk)
     ray_variants = [chunk_rays.at[0, 0].add(1e-6 * (i + 1))
                     for i in range(n_calls)]
     for v in ray_variants:
         float(v[0, 0])
-    float(jitted(params, ray_variants[0], it, rng)[0, 0])  # warm chunk shape
+    out = jitted(params, ray_variants[0], it, rng)
+    float(out[0, 0])  # warm chunk shape
 
     t0 = time.perf_counter()
+    carry = jnp.zeros(())
     for i in range(n_calls):
-        float(jitted(params, ray_variants[i], it, rng)[0, 0])
+        v = ray_variants[i].at[0, 1].add(carry * 0.0)
+        out = jitted(params, v, it, rng)
+        carry = out[0, 0]
+    float(carry)
     dt = (time.perf_counter() - t0) / n_timed
 
     rays_per_sec = n / dt
