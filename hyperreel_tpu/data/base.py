@@ -34,6 +34,14 @@ class RayDataset:
     far: float = 1.0
     depth_range: tuple = (0.0, 1.0)
     extras: Dict[str, np.ndarray] = field(default_factory=dict)
+    # camera-to-world poses [V, 3, 4] and intrinsics [3, 3] when the loader
+    # exposes them (used by spiral/render-path generation)
+    poses: Optional[np.ndarray] = None
+    intrinsics: Optional[np.ndarray] = None
+    # (fx, fy, near) when the ray store is in NDC space — render paths must
+    # push generated rays through the same transform (reference
+    # datasets/base.py get_coords_from_camera applies to_ndc)
+    ndc_params: Optional[tuple] = None
 
     def __post_init__(self):
         if self.all_weights is None:

@@ -159,6 +159,8 @@ def load_immersive(root_dir, split="train", collection=None,
         all_rgb=np.concatenate(rgb_list, 0),
         img_wh=img_wh,
         num_images=len(cam_indices) * num_frames,
+        poses=np.asarray(poses, np.float32),
+        intrinsics=np.asarray(intrinsics[0], np.float32),
         num_keyframes=num_frames // keyframe_step,
         num_frames=num_frames,
         num_views=n_cams,

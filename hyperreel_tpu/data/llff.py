@@ -89,6 +89,9 @@ def load_llff(root_dir, split="train", downsample=4, use_ndc=True,
         img_wh=img_wh,
         num_images=len(indices),
         num_views=n_images,
+        poses=np.asarray([poses[i][:3, :4] for i in indices], np.float32),
+        intrinsics=np.asarray(K, np.float32),
+        ndc_params=(float(K[0, 0]), float(K[1, 1]), 1.0) if use_ndc else None,
         near=float(near) if not use_ndc else 0.0,
         far=float(far) if not use_ndc else 1.0,
         depth_range=(float(near * 2.0), float(far)),

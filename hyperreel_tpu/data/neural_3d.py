@@ -128,6 +128,9 @@ def load_neural_3d(root_dir, split="train", img_wh=(1352, 1014),
         all_rgb=np.concatenate(rgb_list, 0),
         img_wh=img_wh,
         num_images=len(cam_indices) * num_frames,
+        poses=np.asarray(poses[:, :3, :4], np.float32),
+        intrinsics=np.asarray(K, np.float32),
+        ndc_params=(float(K[0, 0]), float(K[1, 1]), 1.0) if use_ndc else None,
         num_keyframes=num_frames // keyframe_step,
         num_frames=num_frames,
         num_views=images_per_frame,

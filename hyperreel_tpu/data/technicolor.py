@@ -174,6 +174,10 @@ def load_technicolor(root_dir, split="train", collection=None,
         all_rgb=np.concatenate(rgb_list, 0),
         img_wh=img_wh,
         num_images=len(indices),
+        poses=np.asarray(poses[:images_per_frame], np.float32),
+        intrinsics=np.asarray(K0, np.float32),
+        ndc_params=(float(K0[0, 0]), float(K0[1, 1]), float(near))
+        if use_ndc else None,
         num_keyframes=num_frames // keyframe_step,
         num_frames=num_frames,
         num_views=images_per_frame,

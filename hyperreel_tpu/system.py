@@ -24,6 +24,26 @@ from hyperreel_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
 from hyperreel_tpu.ops.pose_math import create_spiral_poses, interpolate_poses
 
 
+def write_video(path, frames, fps=24):
+    """Write uint8 RGB frames to an mp4 (reference logs validation videos
+    via imageio/wandb, nlf/__init__.py validation_video). Falls back to
+    PNG frames if no mp4 encoder is available."""
+    try:
+        import cv2
+        h, w = frames[0].shape[:2]
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not writer.isOpened():
+            raise RuntimeError("VideoWriter failed to open")
+        for fr in frames:
+            writer.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+        writer.release()
+        return path
+    except Exception as e:
+        print(f"video writer unavailable ({e}); keeping PNG frames only")
+        return None
+
+
 class System:
     def __init__(self, cfg):
         self.cfg = cfg
@@ -203,35 +223,65 @@ class System:
                         ).save(os.path.join(img_dir, f"{key}.png"))
         return get_mean_outputs(outs)
 
-    def render_spiral(self, state, n_poses=30, save_frames=True,
-                      interpolate=False):
-        """Spiral-path (or pose-interpolated) video render (reference
-        validation_video, nlf/__init__.py:809-893; render_params
-        interpolate option)."""
-        from hyperreel_tpu.ops.ray_math import get_ray_directions_K, get_rays
+    def render_path_poses(self, n_poses=30, interpolate=False):
+        """Render-path camera poses and intrinsics.
+
+        When the dataset exposes real train poses, mirror the reference's
+        prepare_render_data (datasets/base.py:447-459): spiral radii from the
+        90th percentile of |pose translations| and focus depth from the
+        harmonic mean of the scene depth bounds. Otherwise fall back to a
+        synthetic forward-facing ring.
+        """
         ds = self.train_dataset
         W, H = ds.img_wh
+        if ds.poses is not None and len(ds.poses) > 0:
+            base = np.asarray(ds.poses, np.float32)
+            K = np.asarray(ds.intrinsics, np.float32)
+            if interpolate:
+                return interpolate_poses(base, n_poses), K
+            near, far = ds.depth_range
+            close_depth, inf_depth = near * 0.9, far * 5.0
+            dt = 0.75
+            focus_depth = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
+            radii = np.percentile(np.abs(base[..., 3]), 90, axis=0)
+            return create_spiral_poses(base, radii, focus_depth,
+                                       N=n_poses), K
         f = 1.2 * W
-        K = [[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]
-        # anchor the spiral on a synthetic forward-facing pose ring when the
-        # dataset doesn't expose poses (reference derives radii from the
-        # train-pose percentiles, nlf/__init__.py validation_video path)
+        K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
         base = np.stack([np.concatenate(
             [np.eye(3), np.array([[0.0], [0.0], [2.0]])], 1)] * 3)
         if interpolate:
-            poses = interpolate_poses(base, n_poses)
-        else:
-            poses = create_spiral_poses(base, [0.2, 0.2, 0.1], focal=1.5,
-                                        N=n_poses)
+            return interpolate_poses(base, n_poses), K
+        return create_spiral_poses(base, [0.2, 0.2, 0.1], focal=1.5,
+                                   N=n_poses), K
+
+    def render_spiral(self, state, n_poses=30, save_frames=True,
+                      interpolate=False, save_video=True, fps=24):
+        """Spiral-path (or pose-interpolated) video render (reference
+        validation_video, nlf/__init__.py:809-893; render_params
+        interpolate option). Writes frames as PNGs and an mp4 video."""
+        from hyperreel_tpu.ops.ray_math import (
+            get_ray_directions_K, get_rays, get_ndc_rays_fx_fy)
+        ds = self.train_dataset
+        W, H = ds.img_wh
+        poses, K = self.render_path_poses(n_poses, interpolate)
         frames = []
         times = []
+        num_frames = max(getattr(ds, "num_frames", 1), 1)
         for i, pose in enumerate(poses):
             dirs = get_ray_directions_K(H, W, K, centered_pixels=True)
-            rays_o, rays_d = get_rays(dirs, pose)
+            rays_o, rays_d = get_rays(dirs, pose[:3, :4])
             rays = np.concatenate([rays_o, rays_d], -1).astype(np.float32)
+            if ds.ndc_params is not None:
+                fx, fy, ndc_near = ds.ndc_params
+                rays = get_ndc_rays_fx_fy(
+                    H, W, fx, fy, ndc_near, rays).astype(np.float32)
             ray_width = ds.all_coords.shape[-1]
             if ray_width == 8:
-                t = (i % n_poses) / max(n_poses - 1, 1)
+                # snapped frame times along the path (reference
+                # Base6DDataset.prepare_render_data, datasets/base.py:545-556)
+                t = i / max(len(poses) - 1, 1)
+                t = np.round(t * (num_frames - 1)) / max(num_frames - 1, 1)
                 rays = np.concatenate([
                     rays, np.ones((rays.shape[0], 1), np.float32),
                     np.full((rays.shape[0], 1), t, np.float32)], -1)
@@ -244,11 +294,14 @@ class System:
             times.append(time.time() - t0)
             frames.append((np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))
         print(f"mean frame time: {np.mean(times[1:]):.3f}s")
+        vid_dir = os.path.join(self.save_dir, "spiral")
         if save_frames:
             from PIL import Image
-            vid_dir = os.path.join(self.save_dir, "spiral")
             os.makedirs(vid_dir, exist_ok=True)
             for i, fr in enumerate(frames):
                 Image.fromarray(fr).save(
                     os.path.join(vid_dir, f"{i:04d}.png"))
+        if save_video:
+            os.makedirs(vid_dir, exist_ok=True)
+            write_video(os.path.join(vid_dir, "spiral.mp4"), frames, fps)
         return frames
