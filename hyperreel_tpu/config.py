@@ -20,6 +20,10 @@ DEFAULT_TRAINING = {
     # render chunk: 262144 fits v5e HBM with the quad-gather temporaries;
     # 1M-ray chunks OOM (see PERFORMANCE.md)
     "ray_chunk": 262144,
+    # optimizer steps per device call (lax.scan): amortizes host dispatch;
+    # measured 97 -> 14.8 ms/step wall on v5e-behind-tunnel at spc=8, and
+    # 16/32 were slower (15.8/20.3 ms) — see PERFORMANCE.md
+    "steps_per_call": 8,
     "num_iters": 4000,
     "num_epochs": 40,
     "val_every": 10,

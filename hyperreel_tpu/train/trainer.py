@@ -101,6 +101,34 @@ class Trainer:
         donate = (0, 1) if self.donate else ()
         return jax.jit(train_step, donate_argnums=donate), optimizer
 
+    def make_train_step_scan(self, params_example, k):
+        """k steps per device call via lax.scan over stacked batches.
+
+        Amortizes host dispatch (the dominant wall-clock cost when the
+        device sits behind a network tunnel) — one jitted call advances k
+        optimizer steps. Iteration numbers and per-step rngs ride in as
+        scan inputs so schedules stay exact.
+        """
+        optimizer = self._make_optimizer(params_example)
+
+        def one(carry, xs):
+            params, opt_state = carry
+            batch, it, rng = xs
+            ctx = StepCtx(it=it, rng=rng, training=True)
+            (_, metrics), grads = jax.value_and_grad(
+                self._loss_and_metrics, has_aux=True)(params, batch, ctx)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        def scan_step(params, opt_state, batches, its, rngs):
+            (params, opt_state), metrics = jax.lax.scan(
+                one, (params, opt_state), (batches, its, rngs), length=k)
+            return params, opt_state, metrics
+
+        donate = (0, 1) if self.donate else ()
+        return jax.jit(scan_step, donate_argnums=donate), optimizer
+
     # -- host-side grid events (reference tensorf_base.py:509-553) ----------
 
     def pending_events(self, start_it, end_it):
@@ -154,30 +182,64 @@ class Trainer:
         `batch_iter` yields batches (dicts of jnp arrays)."""
         end_it = state.it + num_iters
         history = []
+        spc = int(self.training_cfg.get("steps_per_call", 1))
+
+        def log(metrics, it, idx=None):
+            m = {k: float(v if idx is None else v[idx])
+                 for k, v in metrics.items()}
+            m["it"] = it
+            history.append(m)
+            if callback:
+                callback(m)
+
         while state.it < end_it:
             events = self.pending_events(state.it, end_it)
             seg_end = events[0] if events else end_it
-            step, _ = self.make_train_step(state.params)
             params, opt_state = state.params, state.opt_state
-            # one-batch prefetch: device_put is async, so the next batch
-            # uploads while the current step computes (host->device goes
-            # through a tunnel here; unoverlapped it costs ~a step's time)
-            pending = jax.device_put(next(batch_iter))
-            while state.it < seg_end:
-                batch = pending
-                if state.it + 1 < seg_end:
-                    pending = jax.device_put(next(batch_iter))
-                rng, sub = jax.random.split(rng)
-                params, opt_state, metrics = step(
-                    params, opt_state, batch,
-                    jnp.asarray(state.it, jnp.int32), sub)
-                state = TrainState(params, opt_state, state.it + 1)
-                if log_every and state.it % log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    m["it"] = state.it
-                    history.append(m)
-                    if callback:
-                        callback(m)
+
+            if spc > 1 and (seg_end - state.it) >= spc:
+                scan_step, _ = self.make_train_step_scan(params, spc)
+
+                def next_chunk():
+                    bs = [next(batch_iter) for _ in range(spc)]
+                    return jax.device_put(
+                        {k: np.stack([b[k] for b in bs]) for k in bs[0]})
+
+                pending = next_chunk()
+                while (seg_end - state.it) >= spc:
+                    chunk = pending
+                    if (seg_end - state.it) >= 2 * spc:
+                        pending = next_chunk()
+                    rng, sub = jax.random.split(rng)
+                    its = jnp.arange(state.it, state.it + spc, dtype=jnp.int32)
+                    rngs = jax.random.split(sub, spc)
+                    params, opt_state, metrics = scan_step(
+                        params, opt_state, chunk, its, rngs)
+                    prev_it = state.it
+                    state = TrainState(params, opt_state, state.it + spc)
+                    if log_every:
+                        for j in range(spc):
+                            if (prev_it + j + 1) % log_every == 0:
+                                log(metrics, prev_it + j + 1, j)
+
+            if state.it < seg_end:
+                step, _ = self.make_train_step(params)
+                # one-batch prefetch: device_put is async, so the next batch
+                # uploads while the current step computes (host->device goes
+                # through a tunnel here; unoverlapped it costs ~a step's
+                # time)
+                pending = jax.device_put(next(batch_iter))
+                while state.it < seg_end:
+                    batch = pending
+                    if state.it + 1 < seg_end:
+                        pending = jax.device_put(next(batch_iter))
+                    rng, sub = jax.random.split(rng)
+                    params, opt_state, metrics = step(
+                        params, opt_state, batch,
+                        jnp.asarray(state.it, jnp.int32), sub)
+                    state = TrainState(params, opt_state, state.it + 1)
+                    if log_every and state.it % log_every == 0:
+                        log(metrics, state.it)
             if events and state.it == seg_end:
                 state = self.apply_event(state, seg_end)
         return state, history

@@ -103,6 +103,49 @@ class TestStaticTraining:
         assert np.isfinite(history[-1]["loss"])
 
 
+class TestScanTraining:
+    def test_scan_matches_single_step_loop(self):
+        """steps_per_call>1 advances the same schedules/events and reaches
+        comparable loss (rng split order differs, so trajectories are not
+        bit-identical)."""
+        ds = gaussian_blob_scene(n_views=4, wh=(16, 16))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        tcfg = dict(_training_cfg(), steps_per_call=5)
+        model = build_model(cfg, dataset_info=ds.info())
+        trainer = Trainer(model, tcfg, iters_per_epoch=50)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batches = _jnp_batches(ds, 512)
+        state, history = trainer.fit(
+            state, batches, num_iters=100, rng=jax.random.PRNGKey(1),
+            log_every=10)
+        assert state.it == 100
+        # log granularity preserved: entries at every multiple of 10
+        assert [h["it"] for h in history] == list(range(10, 101, 10))
+        first = history[0]["image_loss"]
+        last = history[-1]["image_loss"]
+        assert last < first * 0.7, (first, last)
+
+    def test_scan_crosses_grid_event_with_remainder(self):
+        ds = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"]["upsamp_list"] = [23]  # not a multiple of 5
+        cfg["color"]["net"]["N_voxel_init"] = 16 ** 3
+        cfg["color"]["net"]["N_voxel_final"] = 24 ** 3
+        model = build_model(cfg, dataset_info=ds.info())
+        trainer = Trainer(model, dict(_training_cfg(), steps_per_call=5),
+                          iters_per_epoch=50)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        gs_before = list(model.color_net.grid_size)
+        batches = _jnp_batches(ds, 128)
+        state, history = trainer.fit(
+            state, batches, num_iters=33, rng=jax.random.PRNGKey(1),
+            log_every=1)
+        assert state.it == 33
+        assert list(model.color_net.grid_size) != gs_before
+        assert [h["it"] for h in history] == list(range(1, 34))
+        assert np.isfinite(history[-1]["loss"])
+
+
 class TestDynamicTraining:
     def test_loss_decreases_dynamic(self):
         ds = gaussian_blob_scene(n_views=2, wh=(12, 12), dynamic=True,
