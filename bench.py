@@ -5,6 +5,11 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference paper claims up to 18 FPS at megapixel resolution on
 an RTX 3090 (arXiv 2301.02238 abstract; BASELINE.md) => ~18 Mrays/s. The
 north star (BASELINE.json) is >=4x that per TPU chip.
+
+Measures the production render shape: one device call renders a megapixel
+frame as lax.map over 4 x 262144-ray chunks (matching
+Renderer.chunks_per_call), so per-chunk host dispatch is off the clock the
+same way it is in the real renderer.
 """
 
 import json
@@ -23,16 +28,22 @@ def main():
 
     fn, (params, rays, it, rng) = entry()
 
-    # megapixel-scale frame (reference demo pushes 1,048,576 rays/forward,
-    # scripts/demo_technicolor.sh:21-23) rendered as chunked forwards; the
-    # chunk keeps peak HBM for per-sample intermediates in check
+    # megapixel frame (reference demo pushes 1,048,576 rays/forward,
+    # scripts/demo_technicolor.sh:21-23) rendered as lax.map over chunks;
+    # the chunk keeps peak HBM for per-sample intermediates in check
     chunk = 1 << 18
     n = 1 << 20
-    reps = int(np.ceil(chunk / rays.shape[0]))
-    chunk_rays = jnp.tile(rays, (reps, 1))[:chunk]
+    k = n // chunk
+    reps = int(np.ceil(n / rays.shape[0]))
+    frame = jnp.tile(rays, (reps, 1))[:n].reshape(k, chunk, -1)
 
-    jitted = jax.jit(fn)
-    out = jitted(params, chunk_rays, it, rng)
+    def render_frame(params, chunks, it, rng):
+        def one(rays):
+            return fn(params, rays, it, rng)
+        return jax.lax.map(one, chunks)
+
+    jitted = jax.jit(render_frame)
+    out = jitted(params, frame, it, rng)
     out.block_until_ready()
 
     # Honest timing through the axon tunnel: block_until_ready resolves
@@ -40,21 +51,20 @@ def main():
     # distinct inputs, (b) each call's input depends on the previous call's
     # OUTPUT (forcing real sequential execution), and (c) one final value
     # readback pays the tunnel round-trip once instead of per call.
-    n_timed = 3
-    n_calls = n_timed * (n // chunk)
-    ray_variants = [chunk_rays.at[0, 0].add(1e-6 * (i + 1))
-                    for i in range(n_calls)]
-    for v in ray_variants:
-        float(v[0, 0])
-    out = jitted(params, ray_variants[0], it, rng)
-    float(out[0, 0])  # warm chunk shape
+    n_timed = 6
+    frame_variants = [frame.at[0, 0, 0].add(1e-6 * (i + 1))
+                      for i in range(n_timed)]
+    for v in frame_variants:
+        float(v[0, 0, 0])
+    out = jitted(params, frame_variants[0], it, rng)
+    float(out[0, 0, 0])
 
     t0 = time.perf_counter()
     carry = jnp.zeros(())
-    for i in range(n_calls):
-        v = ray_variants[i].at[0, 1].add(carry * 0.0)
+    for i in range(n_timed):
+        v = frame_variants[i].at[0, 0, 1].add(carry * 0.0)
         out = jitted(params, v, it, rng)
-        carry = out[0, 0]
+        carry = out[0, 0, 0]
     float(carry)
     dt = (time.perf_counter() - t0) / n_timed
 

@@ -18,6 +18,9 @@ def main(argv=None):
                         help="skip training; render spiral from checkpoint")
     parser.add_argument("--resume", default=None,
                         help="checkpoint dir to resume/render from")
+    parser.add_argument("--import-reference", default=None, metavar="CKPT",
+                        help="initialize weights from a reference "
+                             "(facebookresearch/hyperreel) .ckpt file")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
@@ -28,6 +31,27 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     print("config:", cfg)
     system = System(cfg)
+
+    if args.import_reference:
+        import jax
+        from hyperreel_tpu.tools.import_reference_ckpt import (
+            import_reference_checkpoint)
+        state = system.trainer.init_state(
+            jax.random.PRNGKey(cfg["params"].get("seed", 0)))
+        params, report = import_reference_checkpoint(
+            args.import_reference, system.model, state.params)
+        print(f"imported {len(report['mapped'])} tensors, "
+              f"skipped {len(report['skipped'])}")
+        for src, dst, why in report["skipped"][:20]:
+            print(f"  skipped {src} -> {dst}: {why}")
+        state = state.__class__(params=params,
+                                opt_state=state.opt_state, it=state.it)
+        if args.render_only:
+            system.render_spiral(state)
+            return
+        metrics = system.validate(state)
+        print("imported-weights validation:", metrics)
+        return
 
     if args.render_only:
         from hyperreel_tpu.train.checkpoint import restore_checkpoint

@@ -17,7 +17,8 @@ from hyperreel_tpu.ops.rotation import quaternion_apply
 
 
 def _normalize(v, axis=-1, eps=1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    from hyperreel_tpu.ops.intersect_math import safe_norm
+    return v / safe_norm(v, axis=axis, keepdims=True, eps=eps)
 
 
 @dataclass

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from hyperreel_tpu.models.activations import get_activation
 from hyperreel_tpu.ops.contract import get_contract
 from hyperreel_tpu.ops.intersect_math import (
+    safe_norm,
     intersect_axis_plane,
     intersect_plane,
     intersect_sphere,
@@ -354,9 +355,7 @@ class IntersectSphereNew(IntersectStage):
         t = intersect_sphere(r[:, None, :], jnp.zeros(3), jnp.maximum(radii, min_r))
         # base distance to the closest point for non-hit spheres
         p = pluecker_closest_point(r[..., :3], r[..., 3:6])
-        d_unit = r[..., 3:6] / jnp.maximum(
-            jnp.linalg.norm(r[..., 3:6], axis=-1, keepdims=True), 1e-12
-        )
+        d_unit = r[..., 3:6] / safe_norm(r[..., 3:6], axis=-1, keepdims=True)
         t_base = jnp.sum((p - r[..., :3]) * d_unit, -1)[:, None]
         return jnp.where(hit, t, t_base)
 
@@ -486,8 +485,7 @@ class IntersectDeformableVoxelGrid(IntersectStage):
         offset = z4[..., :3].reshape(B, -1, self.num_axes, 3)
         normal = offset * self.normal_scale_factor + self.start_normal
         normal = normal.reshape(B, -1, 3)
-        normal = normal / jnp.maximum(
-            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        normal = normal / safe_norm(normal, axis=-1, keepdims=True)
         return intersect_plane(rays[:, None, :], normal, z4[..., -1])
 
 
@@ -515,8 +513,7 @@ class IntersectCylinderNew(IntersectStage):
                                jnp.maximum(radii, min_r))
         d_flat = jnp.concatenate(
             [r[..., 3:4], jnp.zeros_like(r[..., 4:5]), r[..., 5:6]], -1)
-        d_unit = d_flat / jnp.maximum(
-            jnp.linalg.norm(d_flat, axis=-1, keepdims=True), 1e-12)
+        d_unit = d_flat / safe_norm(d_flat, axis=-1, keepdims=True)
         o_flat = jnp.concatenate(
             [r[..., 0:1], jnp.zeros_like(r[..., 1:2]), r[..., 2:3]], -1)
         p = pluecker_closest_point(o_flat, d_flat)

@@ -27,7 +27,8 @@ class RayParam:
 
 
 def _normalize(v, axis=-1, eps=1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    from hyperreel_tpu.ops.intersect_math import safe_norm
+    return v / safe_norm(v, axis=axis, keepdims=True, eps=eps)
 
 
 def identity_param(cfg, **kwargs):

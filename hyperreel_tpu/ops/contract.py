@@ -13,6 +13,8 @@ from typing import Callable
 import numpy as np
 import jax.numpy as jnp
 
+from hyperreel_tpu.ops.intersect_math import safe_norm
+
 
 def _identity_act():
     return (lambda x: x), (lambda x: x)
@@ -74,7 +76,7 @@ def _make(name, cfg, contract_points, contract_distance, inverse_contract_distan
             # reference nlf/contract.py:43-50
             o_c = contract_points(rays_o)
             p_c = contract_points(points)
-            d_c = jnp.linalg.norm(p_c - o_c[..., None, :], axis=-1, keepdims=True)
+            d_c = safe_norm(p_c - o_c[..., None, :])
             return p_c, d_c
 
     return Contract(
@@ -159,7 +161,7 @@ def mipnerf_contract(cfg, **kwargs):
 
     def contract_points(points):
         points = points / start_r
-        distance = jnp.linalg.norm(points, axis=-1, keepdims=True)
+        distance = safe_norm(points)
         inverse_distance = 1.0 / jnp.maximum(distance, 1e-12)
         t = (inverse_distance - inv_end_r) * r_scale
         return jnp.where(
@@ -197,7 +199,7 @@ def donerf_contract(cfg, **kwargs):
         return act_inv(distance / 2.0) * 2.0
 
     def contract_points(points):
-        dists = jnp.linalg.norm(points, axis=-1, keepdims=True)
+        dists = safe_norm(points)
         return (points / jnp.maximum(dists, 1e-12)) * jnp.power(
             dists * fac + 1e-8, 1.0 / power
         )

@@ -277,31 +277,34 @@ def _grid_sample_2d_cf_quad_impl(grid_hwc, coords):
     yi = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
     idx = yi * (W + 1) + xi
 
-    if grid_hwc.dtype == jnp.bfloat16:
-        words = jax.lax.bitcast_convert_type(
-            pack.reshape(R, 2 * C, 2), jnp.uint32)
-        vals_u32 = words.T[:, idx]                       # [2C, N]
-        vals = jax.lax.bitcast_convert_type(
-            vals_u32, jnp.bfloat16).astype(jnp.float32)  # [2C, N, 2]
-        v = vals.reshape(4, C // 2, -1, 2)               # corner-major
-    else:
-        flat_cf = pack.reshape(R, 4 * C).T               # [4C, R]
-        vals = flat_cf[:, idx]                           # [4C, N]
-        # corner-major [4, C, N] -> packed word layout [4, C//2, N, 2]
-        v = jnp.moveaxis(
-            vals.reshape(4, C // 2, 2, -1), 2, 3)
-
     def wmask(yc, xc, w):
         inb = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
-        return (w * inb.astype(jnp.float32))[None, :, None]
+        return w * inb.astype(jnp.float32)
 
-    out = (
-        v[0] * wmask(y0, x0, (1.0 - wy1) * (1.0 - wx1))
-        + v[1] * wmask(y0, x0 + 1.0, (1.0 - wy1) * wx1)
-        + v[2] * wmask(y0 + 1.0, x0, wy1 * (1.0 - wx1))
-        + v[3] * wmask(y0 + 1.0, x0 + 1.0, wy1 * wx1)
-    )
-    return out
+    # Corner reduction happens in the gather's native row layout BEFORE any
+    # layout change: the old channels-first-first ordering cost two
+    # u32[2C, N] transpose copies (7.6 ms each) plus 2.1 GB unpacked-corner
+    # temps per plane at a 262144-ray chunk. The stack+sum form fuses into
+    # ONE kInput reduction (2.5 ms); writing it as four adds re-materializes
+    # the unpacked corners (2.1 GB each, +9 ms) — keep the stack.
+    w4 = jnp.stack(
+        [wmask(y0, x0, (1.0 - wy1) * (1.0 - wx1)),
+         wmask(y0, x0 + 1.0, (1.0 - wy1) * wx1),
+         wmask(y0 + 1.0, x0, wy1 * (1.0 - wx1)),
+         wmask(y0 + 1.0, x0 + 1.0, wy1 * wx1)], -1)
+    N = idx.shape[0]
+    if grid_hwc.dtype == jnp.bfloat16:
+        words = jax.lax.bitcast_convert_type(
+            pack.reshape(R, 2 * C, 2), jnp.uint32)       # [R, 2C]
+        rows = words[idx]                                # [N, 2C] gather
+        q = jax.lax.bitcast_convert_type(
+            rows.reshape(N, 4, C // 2), jnp.bfloat16
+        ).astype(jnp.float32)                            # [N, 4, C//2, 2]
+    else:
+        rows = pack.reshape(R, 4 * C)[idx]               # [N, 4C] gather
+        q = rows.reshape(N, 4, C // 2, 2)
+    out_row = jnp.sum(q * w4[:, :, None, None], axis=1)  # [N, C//2, 2]
+    return jnp.moveaxis(out_row, 0, 1)                   # [C//2, N, 2]
 
 
 def _grid_sample_1d_cf_quad_impl(line_lc, coords):
@@ -316,23 +319,26 @@ def _grid_sample_1d_cf_quad_impl(line_lc, coords):
     p = jnp.pad(line_lc, ((1, 1), (0, 0)))
     pack = jnp.concatenate([p[:-1], p[1:]], -1)  # [L+1, 2C]
     zi = (jnp.clip(z0, -1, L - 1) + 1).astype(jnp.int32)
-    if line_lc.dtype == jnp.bfloat16:
-        words = jax.lax.bitcast_convert_type(
-            pack.reshape(L + 1, C, 2), jnp.uint32)
-        flat_cf = words.T  # [C, L+1]
-        vals = jax.lax.bitcast_convert_type(
-            flat_cf[:, zi], jnp.bfloat16).astype(jnp.float32)  # [C, N, 2]
-        v = vals.reshape(2, C // 2, -1, 2)
-    else:
-        flat_cf = pack.T  # [2C, L+1]
-        vals = flat_cf[:, zi]  # [2C, N]
-        v = jnp.moveaxis(vals.reshape(2, C // 2, 2, -1), 2, 3)
 
     def wmask(zc, w):
         inb = (zc >= 0) & (zc <= L - 1)
-        return (w * inb.astype(jnp.float32))[None, :, None]
+        return w * inb.astype(jnp.float32)
 
-    return v[0] * wmask(z0, 1.0 - wz1) + v[1] * wmask(z0 + 1.0, wz1)
+    # row-layout corner reduction (see 2D variant for the rationale)
+    w2 = jnp.stack([wmask(z0, 1.0 - wz1), wmask(z0 + 1.0, wz1)], -1)
+    N = zi.shape[0]
+    if line_lc.dtype == jnp.bfloat16:
+        words = jax.lax.bitcast_convert_type(
+            pack.reshape(L + 1, C, 2), jnp.uint32)       # [L+1, C]
+        rows = words[zi]                                 # [N, C] gather
+        q = jax.lax.bitcast_convert_type(
+            rows.reshape(N, 2, C // 2), jnp.bfloat16
+        ).astype(jnp.float32)                            # [N, 2, C//2, 2]
+    else:
+        rows = pack[zi]                                  # [N, 2C] gather
+        q = rows.reshape(N, 2, C // 2, 2)
+    out_row = jnp.sum(q * w2[:, :, None, None], axis=1)  # [N, C//2, 2]
+    return jnp.moveaxis(out_row, 0, 1)                   # [C//2, N, 2]
 
 
 def grid_sample_1d_cf_packed(line_lc, coords):

@@ -16,6 +16,14 @@ def dot(a, b, axis=-1):
     return jnp.sum(a * b, axis=axis)
 
 
+def safe_norm(v, axis=-1, keepdims=True, eps=1e-12):
+    """NaN-free L2 norm: jnp.linalg.norm's sqrt has a 0/0 VJP at v = 0
+    (the max-after-norm guard protects the division, not the sqrt), which
+    poisons gradients whenever a sample lands exactly on the origin."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
 def sort_z(z_vals, axis=-1, descending=False):
     """Sort distances; returns (sorted, sort_idx) like reference
     utils/intersect_utils.py:12-17."""
@@ -109,7 +117,7 @@ def intersect_cylinder(rays, origin, radius, continuous=False):
 
 
 def _normalize(v, axis=-1, eps=1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    return v / safe_norm(v, axis=axis, keepdims=True, eps=eps)
 
 
 def pluecker_closest_point(rays_o, rays_d):
@@ -124,7 +132,7 @@ def min_sphere_radius(rays, origin):
     """Smallest concentric sphere the ray touches (reference
     utils/intersect_utils.py:27-33)."""
     p = pluecker_closest_point(rays[..., :3] - origin, rays[..., 3:6])
-    return jnp.linalg.norm(p, axis=-1)
+    return safe_norm(p, axis=-1, keepdims=False)
 
 
 def min_cylinder_radius(rays, origin):
@@ -134,4 +142,4 @@ def min_cylinder_radius(rays, origin):
     o = jnp.stack([rays_o[..., 0], jnp.zeros_like(rays_o[..., 1]), rays_o[..., 2]], -1)
     d = jnp.stack([rays_d[..., 0], jnp.zeros_like(rays_d[..., 1]), rays_d[..., 2]], -1)
     p = pluecker_closest_point(o, d)
-    return jnp.linalg.norm(p, axis=-1)
+    return safe_norm(p, axis=-1, keepdims=False)
