@@ -82,7 +82,13 @@ def _parse_value(s):
 
 
 def apply_overrides(cfg, overrides: Optional[List[str]]):
-    """Hydra-style dotted overrides: `training.batch_size=8192`."""
+    """Hydra-style dotted overrides: `training.batch_size=8192`.
+
+    Dotted paths under a preset-named model (`model=technicolor_z_plane
+    model.color.net.upsamp_list=[150]`) wrap the name into
+    `{"preset": name, "overrides": {...}}` so resolve_model_cfg applies
+    them on top of the preset.
+    """
     cfg = copy.deepcopy(cfg)
     for ov in overrides or []:
         if "=" not in ov:
@@ -91,7 +97,16 @@ def apply_overrides(cfg, overrides: Optional[List[str]]):
         node = cfg
         parts = key.split(".")
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                if p == "model" and isinstance(nxt, str):
+                    nxt = {"preset": nxt, "overrides": {}}
+                else:
+                    nxt = {}
+                node[p] = nxt
+            if p == "model" and "preset" in nxt:
+                nxt = nxt.setdefault("overrides", {})
+            node = nxt
         node[parts[-1]] = _parse_value(val)
     return cfg
 

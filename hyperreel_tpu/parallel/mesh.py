@@ -92,23 +92,100 @@ class ShardedTrainer:
 
         return jax.jit(step, donate_argnums=(0, 1)), optimizer
 
-    def run(self, state, batch_iter, num_iters, rng):
+    def make_train_step_scan(self, params_example, k):
+        """k data-parallel steps per device call (see
+        Trainer.make_train_step_scan): stacked batches [k, B, ...] are
+        sharded on the BATCH axis (axis 1), iteration numbers and rngs ride
+        in as scan inputs, and the psum over the data axis happens inside
+        each scan step exactly as in the single-step program."""
+        optimizer = self.trainer._make_optimizer(params_example)
+
+        def one(carry, xs):
+            params, opt_state = carry
+            batch, it, rng = xs
+            ctx = StepCtx(it=it, rng=rng, training=True)
+            (_, metrics), grads = jax.value_and_grad(
+                self.trainer._loss_and_metrics, has_aux=True)(
+                    params, batch, ctx)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        def scan_step(params, opt_state, batches, its, rngs):
+            (params, opt_state), metrics = jax.lax.scan(
+                one, (params, opt_state), (batches, its, rngs), length=k)
+            return params, opt_state, metrics
+
+        return jax.jit(scan_step, donate_argnums=(0, 1)), optimizer
+
+    def shard_stacked_batch(self, batch):
+        """Place a [k, B, ...] stacked batch with B sharded over the mesh."""
+        sharding = NamedSharding(self.mesh, P(None, self.axis_name))
+        return {key: jax.device_put(v, sharding) for key, v in batch.items()}
+
+    def run(self, state, batch_iter, num_iters, rng, steps_per_call=None):
         """One segment of sharded training (grid events go through the inner
         trainer between calls)."""
-        state = self.place_state(state)
-        step, _ = self.make_train_step(state.params)
-        params, opt_state = state.params, state.opt_state
-        metrics = None
         import jax.numpy as jnp
         from hyperreel_tpu.train.trainer import TrainState
-        for i in range(num_iters):
-            batch = next(batch_iter)
-            batch = shard_batch(batch, self.mesh, self.axis_name)
-            rng, sub = jax.random.split(rng)
-            params, opt_state, metrics = step(
-                params, opt_state, batch,
-                jnp.asarray(state.it + i, jnp.int32), sub)
-        return TrainState(params, opt_state, state.it + num_iters), metrics
+        state = self.place_state(state)
+        params, opt_state = state.params, state.opt_state
+        metrics = None
+        spc = int(steps_per_call
+                  if steps_per_call is not None
+                  else self.trainer.training_cfg.get("steps_per_call", 1))
+        it = state.it
+
+        if spc > 1 and num_iters >= spc:
+            scan_step, _ = self.make_train_step_scan(params, spc)
+            while (state.it + num_iters) - it >= spc:
+                bs = [next(batch_iter) for _ in range(spc)]
+                chunk = self.shard_stacked_batch(
+                    {key: np.stack([np.asarray(b[key]) for b in bs])
+                     for key in bs[0]})
+                rng, sub = jax.random.split(rng)
+                its = jnp.arange(it, it + spc, dtype=jnp.int32)
+                rngs = jax.random.split(sub, spc)
+                params, opt_state, metrics = scan_step(
+                    params, opt_state, chunk, its, rngs)
+                metrics = {key: v[-1] for key, v in metrics.items()}
+                it += spc
+
+        if it < state.it + num_iters:
+            step, _ = self.make_train_step(params)
+            while it < state.it + num_iters:
+                batch = shard_batch(next(batch_iter), self.mesh,
+                                    self.axis_name)
+                rng, sub = jax.random.split(rng)
+                params, opt_state, metrics = step(
+                    params, opt_state, batch,
+                    jnp.asarray(it, jnp.int32), sub)
+                it += 1
+        return TrainState(params, opt_state, it), metrics
+
+    def fit(self, state, batch_iter, num_iters, rng,
+            log_every=0, callback=None):
+        """Segment loop with grid events, mirroring Trainer.fit but with
+        every step data-parallel over the mesh. Events (upsample / alpha
+        mask / shrink) run host-side on the replicated params exactly as in
+        the single-chip path."""
+        end_it = state.it + num_iters
+        history = []
+        while state.it < end_it:
+            events = self.trainer.pending_events(state.it, end_it)
+            seg_end = events[0] if events else end_it
+            state, metrics = self.run(state, batch_iter,
+                                      seg_end - state.it, rng)
+            rng, _ = jax.random.split(rng)
+            if metrics is not None:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["it"] = state.it
+                history.append(m)
+                if callback:
+                    callback(m)
+            if events and state.it == seg_end:
+                state = self.trainer.apply_event(state, seg_end)
+        return state, history
 
 
 def make_sharded_render(model, mesh, axis_name="data"):

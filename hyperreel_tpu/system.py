@@ -78,6 +78,15 @@ class System:
             iters_per_epoch=self.iters_per_epoch)
         self.renderer = Renderer(self.model,
                                  ray_chunk=int(tcfg.get("ray_chunk", 65536)))
+        # data-parallel training over all visible devices
+        # (training.data_parallel=true; replaces the reference's
+        # PyTorch-Lightning DDP launch, main.py:174,186-204)
+        self.sharded = None
+        if tcfg.get("data_parallel", False) and len(jax.devices()) > 1:
+            from hyperreel_tpu.parallel.mesh import make_mesh, ShardedTrainer
+            mesh = make_mesh()
+            self.sharded = ShardedTrainer(self.trainer, mesh)
+            print(f"data-parallel over {len(mesh.devices.flat)} devices")
         from hyperreel_tpu.train.visualizers import build_visualizers
         self.visualizers = build_visualizers(cfg.get("visualizers"))
         self.save_dir = os.path.join(
@@ -159,7 +168,9 @@ class System:
             if self.update_data(state.it // self.iters_per_epoch):
                 batch_iter = batches()
             chunk = min(val_every, total_iters - state.it)
-            state, history = self.trainer.fit(
+            fitter = self.sharded if self.sharded is not None \
+                else self.trainer
+            state, history = fitter.fit(
                 state, batch_iter, num_iters=chunk, rng=rng,
                 log_every=log_every,
                 callback=lambda m: print(

@@ -95,3 +95,18 @@ def test_sharded_render(setup):
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_scan_run(setup):
+    """ShardedTrainer.run with steps_per_call>1 advances k steps per device
+    call over the mesh and lands on the right iteration count."""
+    model, trainer, state, mesh, ds = setup
+    sharded = ShardedTrainer(trainer, mesh)
+    st = trainer.init_state(jax.random.PRNGKey(1))
+    batches = (
+        {k: jnp.asarray(v) for k, v in b.items()}
+        for b in ds.batch_iterator(512, seed=5))
+    out, metrics = sharded.run(st, batches, num_iters=10,
+                               rng=jax.random.PRNGKey(2), steps_per_call=4)
+    assert out.it == 10
+    assert np.isfinite(float(metrics["loss"]))
