@@ -160,6 +160,24 @@ def import_reference_state_dict(state_dict: Dict, params: Dict
                 matched = True
                 break
 
+    # render MLP (MLPRender_Fea/PE: torch Sequential `mlp.{0,2,4}`,
+    # reference tensorf_base.py:46-56) -> color/render/{l0,l1,l2}
+    render_node = color.get("render")
+    if isinstance(render_node, dict) and "l0" in render_node:
+        for key in state_dict:
+            m = re.search(r"(?:^|\.)mlp\.(\d+)\.(weight|bias)$", key)
+            if not m:
+                continue
+            li = int(m.group(1)) // 2  # ReLUs occupy odd slots
+            tgt = f"l{li}"
+            if m.group(2) == "weight":
+                _set(color, ("render", tgt, "w"),
+                     _linear_w(state_dict[key]), report, key)
+            else:
+                _set(color, ("render", tgt, "b"),
+                     _to_numpy(state_dict[key]).astype(np.float32),
+                     report, key)
+
     # MLPs: match each reference layers-group to one of our layer_{i}
     # dicts by the (in, out) shape signature of every layer
     ref_groups = _collect_mlp_groups(state_dict)

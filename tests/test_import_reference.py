@@ -158,3 +158,31 @@ class TestImportMapping:
         assert not report["skipped"]
         want = np.asarray(sd["net.density_line.0"])[0, :, :, 0].T
         assert np.allclose(new_params["color"]["density"]["line_0"], want)
+
+
+class TestRenderMLPImport:
+    def test_mlp_render_fea_keys(self):
+        """MLPRender_Fea Sequential keys (mlp.0/2/4, reference
+        tensorf_base.py:46-56) land in color/render/l{0,1,2}."""
+        from hyperreel_tpu.configs.presets import (
+            tiny_static, convert_epochs_to_iters)
+        from hyperreel_tpu.models.model import build_model
+
+        cfg = convert_epochs_to_iters(tiny_static(), 100)
+        cfg["color"]["net"]["shadingMode"] = "MLP_Fea"
+        model = build_model(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        render = params["color"]["render"]
+        rng = np.random.default_rng(4)
+        sd = {}
+        for j, name in ((0, "l0"), (2, "l1"), (4, "l2")):
+            w = render[name]["w"]
+            sd[f"net.renderModule.mlp.{j}.weight"] = torch.tensor(
+                rng.normal(size=(w.shape[1], w.shape[0])).astype(np.float32))
+            sd[f"net.renderModule.mlp.{j}.bias"] = torch.tensor(
+                rng.normal(size=(w.shape[1],)).astype(np.float32))
+        new_params, report = import_reference_state_dict(sd, params)
+        assert len(report["mapped"]) == 6, report
+        assert not report["skipped"], report["skipped"]
+        want = np.asarray(sd["net.renderModule.mlp.0.weight"]).T
+        assert np.allclose(new_params["color"]["render"]["l0"]["w"], want)
