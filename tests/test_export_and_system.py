@@ -123,3 +123,42 @@ class TestSpiralRender:
             all_rgb=np.zeros((4, 3), np.float32),
             ndc_params=(10.0, 10.0, 1.0))
         assert ds.ndc_params == (10.0, 10.0, 1.0)
+
+    def test_spiral_rays_use_ndc_transform(self):
+        """When the dataset records ndc_params, spiral path rays are pushed
+        through the same NDC transform as training rays (reference
+        get_coords_from_camera applies to_ndc, datasets/base.py:496-516)."""
+        from hyperreel_tpu.config import load_config
+        from hyperreel_tpu.system import System
+        from hyperreel_tpu.ops.ray_math import (
+            get_ray_directions_K, get_rays, get_ndc_rays_fx_fy)
+        cfg = load_config(overrides=[
+            "dataset.name=synthetic_blobs", "dataset.n_views=2",
+            "dataset.wh=[8,8]", "model=tiny_static",
+            "training.num_iters=2", "training.ray_chunk=64",
+        ])
+        system = System(cfg)
+        ds = system.train_dataset
+        ds.ndc_params = (10.0, 10.0, 1.0)
+        captured = {}
+        orig = system.renderer.render_image
+
+        def spy(params, rays, wh, it=0, fields=()):
+            captured["rays"] = np.array(rays)
+            return orig(params, rays, wh, it=it, fields=fields)
+
+        system.renderer.render_image = spy
+        state = system.trainer.init_state(jax.random.PRNGKey(0))
+        system.render_spiral(state, n_poses=1, save_frames=False,
+                             save_video=False)
+        rays = captured["rays"]
+        # recompute what the un-transformed rays would be; they must differ
+        # and the captured origins must satisfy the NDC o_z convention
+        poses, K = system.render_path_poses(n_poses=1)
+        W, H = ds.img_wh
+        dirs = get_ray_directions_K(H, W, K, centered_pixels=True)
+        ro, rd = get_rays(dirs, poses[0][:3, :4])
+        raw = np.concatenate([ro, rd], -1).astype(np.float32)
+        ndc = get_ndc_rays_fx_fy(H, W, 10.0, 10.0, 1.0, raw)
+        assert np.allclose(rays[:, :6], np.asarray(ndc), atol=1e-5)
+        assert not np.allclose(rays[:, :6], raw, atol=1e-3)
