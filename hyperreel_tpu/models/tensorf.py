@@ -32,6 +32,8 @@ from hyperreel_tpu.ops.grid_sample import (
     grid_sample_1d_cf_packed,
     grid_sample_2d_cf_quad,
     grid_sample_1d_cf_quad,
+    grid_sample_2d_cf_quad_int8,
+    grid_sample_1d_cf_quad_int8,
     grid_sample_3d,
     resize_bilinear_2d,
     resize_linear_1d,
@@ -206,6 +208,13 @@ class TensorVMNoSample:
         # bf16 gather tables: the corner gathers are the measured render
         # bottleneck (~9G gathered elements/s on v5e); halving gathered
         # bytes roughly halves that cost. Params stay f32 for the optimizer.
+        # table_dtype: "bf16" (default), "f32", or "int8" (eval-only
+        # quantized gathers — halves the gathered words; ~0.4% feature
+        # error). bf16_tables=false maps to f32 for compatibility.
+        self.table_kind = str(cfg.get("table_dtype", "")).lower()
+        if self.table_kind not in ("int8", "f32", "bf16"):
+            self.table_kind = "bf16" if cfg.get("bf16_tables", True) \
+                else "f32"
         self.table_dtype = jnp.bfloat16 if cfg.get("bf16_tables", True) \
             else jnp.float32
         self.white_bg = int(cfg.get("white_bg", 0))
@@ -406,7 +415,16 @@ class TensorVMNoSample:
                 line = params["app"][f"line_{i}"]
             C_tot = plane.shape[-1]
             packed_ok = C_tot % 2 == 0 and nd % 2 == 0
-            if packed_ok:
+            if packed_ok and self.table_kind == "int8" \
+                    and C_tot % 4 == 0:
+                prod = (grid_sample_2d_cf_quad_int8(plane, uv)
+                        * grid_sample_1d_cf_quad_int8(line, zc))
+                if has_d:
+                    s = jnp.sum(prod[: nd // 2], (0, 2))
+                    sigma = s if sigma is None else sigma + s
+                if has_a:
+                    app_feats.append(prod[nd // 2:])
+            elif packed_ok:
                 plane = plane.astype(self.table_dtype)
                 line = line.astype(self.table_dtype)
                 prod = (grid_sample_2d_cf_quad(plane, uv)
@@ -877,7 +895,15 @@ class TensorVMKeyframeTime(TensorVMNoSample):
                 timep = params["app"][f"time_{i}"]
             C_tot = space.shape[-1]
             packed_ok = C_tot % 2 == 0 and nd % 2 == 0
-            if packed_ok:
+            if packed_ok and self.table_kind == "int8" \
+                    and C_tot % 4 == 0:
+                prod = (grid_sample_2d_cf_quad_int8(space, uv_s)
+                        * grid_sample_2d_cf_quad_int8(timep, uv_t))
+                if has_d:
+                    dens_feats.append(prod[: nd // 2])
+                if has_a:
+                    app_feats.append(prod[nd // 2:])
+            elif packed_ok:
                 space = space.astype(self.table_dtype)
                 timep = timep.astype(self.table_dtype)
                 prod = (grid_sample_2d_cf_quad(space, uv_s)

@@ -514,3 +514,91 @@ def resize_linear_1d(line_lc, new_l):
     if L == 1:
         zs = jnp.full((new_l,), -1.0)
     return grid_sample_1d(line_lc, zs)
+
+
+def grid_sample_2d_cf_quad_int8(grid_hwc, coords):
+    """Eval-only int8 quad sampling: quantize the plane per-channel to
+    int8 (absmax/127), pack the 2x2 quad neighborhood FOUR channels per
+    u32 word (vs two bf16 channels), gather, and dequantize in-fusion.
+
+    Same row COUNT as the bf16 quad gather (gather cost is per-row), but
+    the gathered words halve — the mandatory u32 relayout copy and the
+    unpack fusions shrink 2x. Not differentiable; intended for render /
+    viewer paths (net cfg table_dtype="int8").
+    """
+    H, W, C = grid_hwc.shape
+    assert C % 4 == 0, "int8 packing needs C % 4 == 0"
+    g32 = grid_hwc.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(g32), axis=(0, 1)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(g32 / scale), -127, 127).astype(jnp.int8)
+
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+
+    p = jnp.pad(q, ((1, 1), (1, 1), (0, 0)))
+    pack = jnp.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1
+    )  # [H+1, W+1, 4C] int8, corner-major channel blocks
+    R = (H + 1) * (W + 1)
+    xi = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+    yi = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+    idx = yi * (W + 1) + xi
+
+    def wmask(yc, xc, w):
+        inb = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
+        return w * inb.astype(jnp.float32)
+
+    w4 = jnp.stack(
+        [wmask(y0, x0, (1.0 - wy1) * (1.0 - wx1)),
+         wmask(y0, x0 + 1.0, (1.0 - wy1) * wx1),
+         wmask(y0 + 1.0, x0, wy1 * (1.0 - wx1)),
+         wmask(y0 + 1.0, x0 + 1.0, wy1 * wx1)], -1)
+
+    N = idx.shape[0]
+    words = jax.lax.bitcast_convert_type(
+        pack.reshape(R, C, 4), jnp.uint32)               # [R, C] words
+    rows = words[idx]                                    # [N, C] gather
+    qv = jax.lax.bitcast_convert_type(
+        rows.reshape(N, 4, C // 4), jnp.int8
+    ).astype(jnp.float32)                                # [N, 4, C//4, 4]
+    out = jnp.sum(qv * w4[:, :, None, None], axis=1)     # [N, C//4, 4]
+    out = out * scale.reshape(C // 4, 4)[None]
+    out_row = out.reshape(N, C // 2, 2)
+    return jnp.moveaxis(out_row, 0, 1)                   # [C//2, N, 2]
+
+
+def grid_sample_1d_cf_quad_int8(line_lc, coords):
+    """Eval-only int8 line sampling (see 2D variant)."""
+    L, C = line_lc.shape
+    assert C % 4 == 0
+    g32 = line_lc.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(g32), axis=0), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(g32 / scale), -127, 127).astype(jnp.int8)
+
+    z = _unnormalize(coords, L)
+    z0 = jnp.floor(z)
+    wz1 = z - z0
+    p = jnp.pad(q, ((1, 1), (0, 0)))
+    pack = jnp.concatenate([p[:-1], p[1:]], -1)  # [L+1, 2C] int8
+    zi = (jnp.clip(z0, -1, L - 1) + 1).astype(jnp.int32)
+
+    def wmask(zc, w):
+        inb = (zc >= 0) & (zc <= L - 1)
+        return w * inb.astype(jnp.float32)
+
+    w2 = jnp.stack([wmask(z0, 1.0 - wz1), wmask(z0 + 1.0, wz1)], -1)
+    N = zi.shape[0]
+    words = jax.lax.bitcast_convert_type(
+        pack.reshape(L + 1, C // 2, 4), jnp.uint32)      # [L+1, C//2]
+    rows = words[zi]                                     # [N, C//2] gather
+    qv = jax.lax.bitcast_convert_type(
+        rows.reshape(N, 2, C // 4), jnp.int8
+    ).astype(jnp.float32)                                # [N, 2, C//4, 4]
+    out = jnp.sum(qv * w2[:, :, None, None], axis=1)     # [N, C//4, 4]
+    out = out * scale.reshape(C // 4, 4)[None]
+    out_row = out.reshape(N, C // 2, 2)
+    return jnp.moveaxis(out_row, 0, 1)                   # [C//2, N, 2]

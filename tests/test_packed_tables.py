@@ -126,3 +126,54 @@ def test_bf16_model_close_to_f32(preset, dynamic):
     out16 = np.asarray(m16.apply(params, rays, ctx)["rgb"])
     # bf16 table quantization: expect ~1% agreement on composited color
     np.testing.assert_allclose(out16, out32, rtol=0.1, atol=0.02)
+
+
+class TestInt8Tables:
+    def test_int8_quad_matches_f32(self):
+        """Eval-only int8 quad sampling stays within quantization error of
+        the f32 reference sampler."""
+        import numpy as np
+        import jax.numpy as jnp
+        from hyperreel_tpu.ops.grid_sample import (
+            grid_sample_2d_cf_quad_int8, grid_sample_1d_cf_quad_int8,
+            grid_sample_2d_cf, grid_sample_1d_cf, _cf_to_packed_layout)
+        rng = np.random.default_rng(0)
+        g = jnp.asarray(rng.normal(size=(9, 11, 8)).astype(np.float32))
+        pts = jnp.asarray(
+            rng.uniform(-1.2, 1.2, size=(200, 2)).astype(np.float32))
+        want = np.asarray(_cf_to_packed_layout(grid_sample_2d_cf(g, pts)))
+        got = np.asarray(grid_sample_2d_cf_quad_int8(g, pts))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.02, rel
+        line = jnp.asarray(rng.normal(size=(13, 8)).astype(np.float32))
+        z = jnp.asarray(
+            rng.uniform(-1.2, 1.2, size=(200,)).astype(np.float32))
+        want = np.asarray(_cf_to_packed_layout(grid_sample_1d_cf(line, z)))
+        got = np.asarray(grid_sample_1d_cf_quad_int8(line, z))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.02, rel
+
+    def test_int8_model_forward_close_to_bf16(self):
+        import copy
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from hyperreel_tpu.configs.presets import (
+            technicolor_z_plane, convert_epochs_to_iters)
+        from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+        from hyperreel_tpu.models.model import build_model
+        from hyperreel_tpu.models.ctx import make_ctx
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True)
+        cfg = convert_epochs_to_iters(technicolor_z_plane(), 100)
+        m_bf = build_model(cfg, dataset_info=ds.info())
+        cfg8 = copy.deepcopy(cfg)
+        cfg8["color"]["net"]["table_dtype"] = "int8"
+        m_i8 = build_model(cfg8, dataset_info=ds.info())
+        params = m_bf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(np.random.default_rng(0).normal(
+            size=(128, 8)).astype(np.float32))
+        ctx = make_ctx(it=jnp.asarray(10 ** 9), training=False)
+        a = np.asarray(m_bf.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_i8.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 5e-3
+        assert np.all(np.isfinite(b))
