@@ -218,3 +218,11 @@ class TestSynthetic:
         assert b["rays"].shape == (32, 6)
         assert b["rgb"].shape == (32, 3)
         assert b["weights"].shape == (32, 1)
+
+
+def test_llff_exposes_render_path_fields(llff_tree):
+    from hyperreel_tpu.data.llff import load_llff
+    ds = load_llff(llff_tree, "train", downsample=1, img_wh=(16, 12))
+    assert ds.poses is not None and ds.poses.shape[1:] == (3, 4)
+    assert ds.intrinsics is not None and ds.intrinsics.shape == (3, 3)
+    assert ds.ndc_params is not None and ds.ndc_params[2] == 1.0

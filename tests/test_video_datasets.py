@@ -56,6 +56,10 @@ class TestNeural3D:
         assert 0.0 not in cams  # holdout camera excluded
         assert np.isfinite(ds.all_coords).all()
         assert 0.0 <= ds.all_rgb.min() and ds.all_rgb.max() <= 1.0
+        # render-path fields (spiral generation anchors on these)
+        assert ds.poses is not None and ds.poses.shape[1:] == (3, 4)
+        assert ds.intrinsics is not None and ds.intrinsics.shape == (3, 3)
+        assert ds.ndc_params is not None and len(ds.ndc_params) == 3
 
     def test_val_split_uses_holdout(self, n3d_tree):
         ds = load_neural_3d(
