@@ -16,6 +16,9 @@ def main(argv=None):
     parser.add_argument("--config", default=None, help="YAML config path")
     parser.add_argument("--render-only", action="store_true",
                         help="skip training; render spiral from checkpoint")
+    parser.add_argument("--eval-only", action="store_true",
+                        help="skip training; run full validation (all val "
+                             "images, saved PNGs + metrics) from checkpoint")
     parser.add_argument("--resume", default=None,
                         help="checkpoint dir to resume/render from")
     parser.add_argument("--import-reference", default=None, metavar="CKPT",
@@ -53,11 +56,15 @@ def main(argv=None):
         print("imported-weights validation:", metrics)
         return
 
-    if args.render_only:
+    if args.render_only or args.eval_only:
         from hyperreel_tpu.train.checkpoint import restore_checkpoint
-        assert args.resume, "--render-only requires --resume"
+        assert args.resume, "--render-only/--eval-only require --resume"
         state = restore_checkpoint(args.resume, system.trainer)
-        system.render_spiral(state)
+        if args.eval_only:
+            metrics = system.validate(state, save_images=True)
+            print("eval:", metrics)
+        if args.render_only:
+            system.render_spiral(state)
         return
 
     state, _ = system.fit(resume_from=args.resume)

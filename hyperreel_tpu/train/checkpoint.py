@@ -72,14 +72,24 @@ def restore_checkpoint(path, trainer, key=None):
 
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
-        params = ckptr.restore(os.path.join(path, "params"),
-                               item=jax.tree.map(np.asarray, template))
+
+        def _restore_np(ckpt_path, tmpl):
+            # restore as host numpy regardless of the topology the
+            # checkpoint was saved on (a TPU-saved checkpoint must load in
+            # CPU eval jobs and vice versa); jnp.asarray places on the
+            # current default device afterwards
+            np_tmpl = jax.tree.map(np.asarray, tmpl)
+            rargs = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), np_tmpl)
+            return ckptr.restore(ckpt_path, item=np_tmpl,
+                                 restore_args=rargs)
+
+        params = _restore_np(os.path.join(path, "params"), template)
         params = jax.tree.map(jnp.asarray, params)
         opt_path = os.path.join(path, "opt_state")
         opt = trainer._make_optimizer(params)
         if os.path.exists(opt_path):
-            opt_template = jax.tree.map(np.asarray, opt.init(params))
-            opt_state = ckptr.restore(opt_path, item=opt_template)
+            opt_state = _restore_np(opt_path, opt.init(params))
             opt_state = jax.tree.map(jnp.asarray, opt_state)
         else:
             opt_state = opt.init(params)
