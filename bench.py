@@ -21,21 +21,48 @@ REFERENCE_RAYS_PER_SEC = 18e6
 
 
 def main():
+    import argparse
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import entry
 
-    fn, (params, rays, it, rng) = entry()
+    ap = argparse.ArgumentParser()
+    # Quality-calibrated fast mode (documented in PERFORMANCE.md): renders
+    # with every k-th predicted sample, the reference's inference_samples
+    # control. The HEADLINE bench (driver default) stays the full 32-sample
+    # model.
+    ap.add_argument("--inference-samples", type=int,
+                    default=int(os.environ.get("BENCH_INFERENCE_SAMPLES", 0)))
+    args = ap.parse_args()
+
+    fn, (params, rays, it, rng) = entry(
+        inference_samples=args.inference_samples or None)
 
     # megapixel frame (reference demo pushes 1,048,576 rays/forward,
     # scripts/demo_technicolor.sh:21-23) rendered as lax.map over chunks;
-    # the chunk keeps peak HBM for per-sample intermediates in check
+    # the chunk keeps peak HBM for per-sample intermediates in check.
+    # The frame is a REAL 1024x1024 pinhole camera frame — every ray
+    # distinct, spatially coherent like production rendering — not a tiled
+    # repeat of a small ray set (repeated gather addresses flatter HBM
+    # behavior vs a real frame).
     chunk = 1 << 18
     n = 1 << 20
     k = n // chunk
-    reps = int(np.ceil(n / rays.shape[0]))
-    frame = jnp.tile(rays, (reps, 1))[:n].reshape(k, chunk, -1)
+    side = 1 << 10
+    fov_px = side * 1.2  # focal length in pixels
+    u = (np.arange(side, dtype=np.float32) - (side - 1) / 2) / fov_px
+    uu, vv = np.meshgrid(u, u)
+    d = np.stack([uu, vv, np.ones_like(uu)], -1).reshape(-1, 3)
+    o = np.zeros_like(d)
+    o[:, 2] = -1.5
+    cam = np.full((n, 1), 3.0, np.float32)
+    t = np.full((n, 1), 0.3, np.float32)
+    frame = jnp.asarray(
+        np.concatenate([o, d, cam, t], -1).astype(np.float32)
+    ).reshape(k, chunk, -1)
 
     def render_frame(params, chunks, it, rng):
         def one(rays):

@@ -59,8 +59,14 @@ DEFAULT_TRAINING = {
 MODEL_PRESETS = {
     "technicolor_z_plane": presets.technicolor_z_plane,
     "llff_z_plane": presets.llff_z_plane,
+    "donerf_sphere": presets.donerf_sphere,
+    "stanford_llff_z_plane": presets.stanford_llff_z_plane,
+    "shiny_z_plane": presets.shiny_z_plane,
     "tiny_static": presets.tiny_static,
     "tiny_dynamic": presets.tiny_dynamic,
+    "tiny_donerf_sphere": presets.tiny_donerf_sphere,
+    "tiny_stanford_llff": presets.tiny_stanford_llff,
+    "tiny_shiny": presets.tiny_shiny,
 }
 
 

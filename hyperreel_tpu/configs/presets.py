@@ -278,6 +278,364 @@ def llff_z_plane(z_channels=32):
     }
 
 
+def donerf_sphere(z_channels=32):
+    """Static HyperReel with concentric-sphere primitives + dataset-bound
+    mipnerf contraction (reference conf/experiment/model/donerf_sphere.yaml;
+    BASELINE.md pipeline #2). The reference predicts 4 z-channels per sample
+    (origin scale + radius) but ships origin_scale_factor=0.0, which makes
+    the origin channels inert — we predict the radius channel only."""
+    return {
+        "type": "lightfield",
+        "param": {"n_dims": 6, "fn": "identity"},
+        "embedding": {
+            "type": "ray_point",
+            "embeddings": {
+                "ray_prediction_0": {
+                    "type": "ray_prediction",
+                    "params": {
+                        "ray": {
+                            "start": 0, "end": 6,
+                            "param": {"n_dims": 6, "fn": "pluecker",
+                                      "direction_multiplier": 1.0,
+                                      "moment_multiplier": 1.0},
+                            "pe": {"type": "windowed", "n_freqs": 1,
+                                   "freq_multiplier": 2.0,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                    },
+                    "net": {"type": "base", "group": "embedding_impl",
+                            "depth": 6, "hidden_channels": 256, "skips": [3]},
+                    "z_channels": z_channels,
+                    "outputs": {
+                        "z_vals": {"channels": 1},
+                        "sigma": {"channels": 1,
+                                  "activation": _ease_sigmoid(3, 0)},
+                        "point_sigma": {"channels": 1,
+                                        "activation": _ease_sigmoid(3, 1)},
+                        "point_offset": {
+                            "channels": 3,
+                            "activation": {"type": "tanh",
+                                           "outer_fac": 0.125},
+                        },
+                        "color_scale": {"channels": 3,
+                                        "activation": _ease_zero()},
+                        "color_shift": {"channels": 3,
+                                        "activation": _ease_zero()},
+                    },
+                },
+                "ray_intersect_0": {
+                    "type": "ray_intersect",
+                    "z_channels": z_channels,
+                    "intersect": {
+                        "type": "sphere",
+                        "sort": True,
+                        "outward_facing": False,
+                        "use_disparity": False,
+                        "max_axis": False,
+                        "use_sigma": True,
+                        "out_points": "raw_points",
+                        "out_distance": "raw_distance",
+                        "use_dataset_bounds": True,
+                        "origin_scale_factor": 0.0,
+                        "contract": {
+                            "type": "mipnerf",
+                            "contract_samples": True,
+                            "use_dataset_bounds": True,
+                        },
+                        "activation": {"type": "identity", "fac": 0.5},
+                    },
+                },
+                "point_offset_0": {
+                    "type": "point_offset",
+                    "use_sigma": True,
+                },
+                "add_point_outputs_0": {
+                    "type": "add_point_outputs",
+                    "extra_outputs": ["viewdirs"],
+                },
+                "extract_fields": {
+                    "type": "extract_fields",
+                    "fields": ["points", "distances", "viewdirs", "weights",
+                               "color_scale", "color_shift"],
+                },
+            },
+        },
+        "color": {
+            "type": "base",
+            "net": {
+                "type": "tensor_vm_split_no_sample",
+                "white_bg": 0,
+                "black_bg": 0,
+                "fea2denseAct": "relu",
+                "distance_scale": 16.0,
+                "density_shift": 0.0,
+                "aabb": [[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]],
+                "N_voxel_init": 3375000,
+                "N_voxel_final": 216000000,
+                "upsamp_list": [4000, 6000, 8000, 10000, 12000],
+                "lr_upsample_reset": True,
+                "update_AlphaMask_list": [4000, 8000],
+                "rm_weight_mask_thre": 0,
+                "alpha_mask_thre": 1e-3,
+                "n_lamb_sigma": [8, 4, 4],
+                "n_lamb_sh": [8, 4, 4],
+                "shadingMode": "RGB",
+                "data_dim_color": 3,
+            },
+        },
+    }
+
+
+def stanford_llff_z_plane(z_channels=32):
+    """Stanford light fields, two-plane NDC parameterization + z-planes
+    (reference conf/experiment/model/stanford_llff_z_plane.yaml; BASELINE.md
+    pipeline #3 — run with the stanford_llff dataset and use_ndc=True)."""
+    return {
+        "type": "lightfield",
+        "param": {"n_dims": 6, "fn": "identity"},
+        "embedding": {
+            "type": "ray_point",
+            "embeddings": {
+                "ray_prediction_0": {
+                    "type": "ray_prediction",
+                    "params": {
+                        "ray": {
+                            "start": 0, "end": 6,
+                            "param": {"n_dims": 4, "fn": "two_plane",
+                                      "near": -1.0, "far": 0.0},
+                            "pe": {"type": "windowed", "n_freqs": 1,
+                                   "freq_multiplier": 2.0,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                    },
+                    "net": {"type": "base", "group": "embedding_impl",
+                            "depth": 6, "hidden_channels": 256, "skips": [3]},
+                    "z_channels": z_channels,
+                    "outputs": {
+                        "z_vals": {"channels": 1},
+                        "sigma": {"channels": 1,
+                                  "activation": _ease_sigmoid(0, 0)},
+                        "point_sigma": {"channels": 1,
+                                        "activation": _ease_sigmoid(0, 0)},
+                        "point_offset": {
+                            "channels": 3,
+                            "activation": {"type": "tanh",
+                                           "outer_fac": 0.25},
+                        },
+                        "color_scale": {"channels": 3,
+                                        "activation": _ease_zero()},
+                        "color_shift": {"channels": 3,
+                                        "activation": _ease_zero()},
+                    },
+                },
+                "ray_intersect_0": {
+                    "type": "ray_intersect",
+                    "z_channels": z_channels,
+                    "intersect": {
+                        "type": "z_plane",
+                        "sort": True,
+                        "outward_facing": False,
+                        "use_disparity": False,
+                        "use_sigma": True,
+                        "out_points": "raw_points",
+                        "out_distance": "raw_distance",
+                        "initial": -1.0,
+                        "end": 1.0,
+                        "mask": {"stop_iters": -1},
+                        "activation": {"type": "identity", "fac": 0.5},
+                    },
+                },
+                "point_offset_0": {
+                    "type": "point_offset",
+                    "in_density_field": "point_sigma",
+                    "use_sigma": True,
+                },
+                "add_point_outputs_0": {
+                    "type": "add_point_outputs",
+                    "extra_outputs": ["viewdirs"],
+                },
+                "extract_fields": {
+                    "type": "extract_fields",
+                    "fields": ["points", "distances", "viewdirs", "weights",
+                               "color_scale", "color_shift"],
+                },
+            },
+        },
+        "color": {
+            "type": "base",
+            "net": {
+                "type": "tensor_vm_split_no_sample",
+                "white_bg": 0,
+                "black_bg": 0,
+                "fea2denseAct": "relu",
+                "distance_scale": 8.0,
+                "density_shift": 0.0,
+                "aabb": [[-2.0, -2.0, -1.0], [2.0, 2.0, 1.0]],
+                "N_voxel_init": 512000,
+                "N_voxel_final": 512000000,
+                "upsamp_list": [4000, 6000, 8000, 10000, 12000],
+                "lr_upsample_reset": True,
+                "update_AlphaMask_list": [4000, 8000],
+                "rm_weight_mask_thre": 0,
+                "alpha_mask_thre": 1e-3,
+                "n_lamb_sigma": [8, 0, 0],
+                "n_lamb_sh": [8, 0, 0],
+                "shadingMode": "RGB",
+                "data_dim_color": 3,
+            },
+        },
+    }
+
+
+def shiny_z_plane(z_channels=32, sample_stages=False):
+    """Shiny dense scenes, two-plane + z-planes (reference
+    conf/experiment/model/shiny_z_plane.yaml). The reference yaml's
+    generate_samples/select_points stages are COMMENTED OUT upstream
+    (shiny_z_plane.yaml:150-159); pass sample_stages=True to enable the
+    equivalents here (random train-time sample counts + subselection)."""
+    cfg = {
+        "type": "lightfield",
+        "param": {"n_dims": 6, "fn": "identity"},
+        "embedding": {
+            "type": "ray_point",
+            "embeddings": {
+                "ray_prediction_0": {
+                    "type": "ray_prediction",
+                    "params": {
+                        "ray": {
+                            "start": 0, "end": 6,
+                            "param": {"n_dims": 4, "fn": "two_plane"},
+                            "pe": {"type": "windowed", "n_freqs": 1,
+                                   "freq_multiplier": 2.0,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                    },
+                    "net": {"type": "base", "group": "embedding_impl",
+                            "depth": 6, "hidden_channels": 256, "skips": [3]},
+                    "z_channels": z_channels,
+                    "outputs": {
+                        "z_vals": {"channels": 1},
+                        "sigma": {"channels": 1,
+                                  "activation": _ease_sigmoid(3, 0)},
+                        "point_sigma": {"channels": 1,
+                                        "activation": _ease_sigmoid(3, 1)},
+                        "point_offset": {
+                            "channels": 3,
+                            "activation": {"type": "tanh",
+                                           "outer_fac": 0.25},
+                        },
+                        "color_scale": {"channels": 3,
+                                        "activation": _ease_zero()},
+                        "color_shift": {"channels": 3,
+                                        "activation": _ease_zero()},
+                    },
+                },
+                "ray_intersect_0": {
+                    "type": "ray_intersect",
+                    "z_channels": z_channels,
+                    "intersect": {
+                        "type": "z_plane",
+                        "sort": True,
+                        "outward_facing": False,
+                        "use_disparity": False,
+                        "use_sigma": True,
+                        "out_points": "raw_points",
+                        "out_distance": "raw_distance",
+                        "initial": -1.0,
+                        "end": 1.0,
+                        "num_samples_for_scale": 32,
+                        "activation": {"type": "identity", "fac": 0.5},
+                    },
+                },
+                "point_offset_0": {
+                    "type": "point_offset",
+                    "in_density_field": "point_sigma",
+                    "use_sigma": True,
+                },
+                "add_point_outputs_0": {
+                    "type": "add_point_outputs",
+                    "extra_outputs": ["viewdirs"],
+                },
+                "extract_fields": {
+                    "type": "extract_fields",
+                    "fields": ["points", "distances", "viewdirs", "weights",
+                               "color_scale", "color_shift"],
+                },
+            },
+        },
+        "color": {
+            "type": "base",
+            "net": {
+                "type": "tensor_vm_split_no_sample",
+                "white_bg": 0,
+                "black_bg": 0,
+                "fea2denseAct": "relu",
+                "distance_scale": 8.0,
+                "density_shift": 0.0,
+                "aabb": [[-2.0, -2.0, -1.0], [2.0, 2.0, 1.0]],
+                "N_voxel_init": 2097152,
+                "N_voxel_final": 262144000,
+                "upsamp_list": [4000, 6000, 8000, 10000, 12000],
+                "lr_upsample_reset": True,
+                "update_AlphaMask_list": [4000, 8000],
+                "rm_weight_mask_thre": 0,
+                "alpha_mask_thre": 1e-3,
+                "n_lamb_sigma": [8, 4, 4],
+                "n_lamb_sh": [8, 4, 4],
+                "shadingMode": "RGB",
+                "data_dim_color": 3,
+            },
+        },
+    }
+    if sample_stages:
+        emb = cfg["embedding"]["embeddings"]
+        out = {}
+        for name in emb:
+            out[name] = emb[name]
+            if name == "ray_intersect_0":
+                out["generate_samples_0"] = {
+                    "type": "generate_samples",
+                    "sample_range": [z_channels // 2, z_channels],
+                    "inference_samples": z_channels,
+                    "total_samples": z_channels,
+                }
+                out["select_points_0"] = {
+                    "type": "select_points",
+                    "fields": ["points", "distances", "sigma", "point_sigma",
+                               "point_offset", "weights", "color_scale",
+                               "color_shift"],
+                }
+        cfg["embedding"]["embeddings"] = out
+    return cfg
+
+
+def with_inference_samples(cfg, n):
+    """Insert a select_points stage (inference-time sample-count control,
+    reference nlf/embedding/point.py:402-480) right after the point_offset /
+    intersect stage of a z-plane-style model config. At eval the per-sample
+    fields are statically sliced to every (z_channels//n)-th sample; training
+    behavior is unchanged. Returns a new config."""
+    cfg = copy.deepcopy(cfg)
+    emb = cfg["embedding"]["embeddings"]
+    out = {}
+    inserted = False
+    names = list(emb.keys())
+    for i, name in enumerate(names):
+        out[name] = emb[name]
+        nxt = names[i + 1] if i + 1 < len(names) else None
+        if not inserted and (
+                nxt is None
+                or emb.get(nxt, {}).get("type") in (
+                    "add_point_outputs", "extract_fields")):
+            out["select_points_inference"] = {
+                "type": "select_points",
+                "inference_samples": int(n),
+            }
+            inserted = True
+    cfg["embedding"]["embeddings"] = out
+    return cfg
+
+
 def tiny_static(z_channels=8, grid=32):
     """Miniature static config for tests/smoke training (no reference
     analog; shapes chosen for fast CPU jit). bf16 gather tables are off so
@@ -293,6 +651,40 @@ def tiny_static(z_channels=8, grid=32):
     cfg["embedding"]["embeddings"]["ray_prediction_0"]["net"].update(
         {"depth": 4, "hidden_channels": 64, "skips": [2]})
     return cfg
+
+
+def _shrink_for_tests(cfg, grid=32):
+    net = cfg["color"]["net"]
+    net["bf16_tables"] = False
+    net["N_voxel_init"] = grid ** 3
+    net["N_voxel_final"] = grid ** 3
+    net["upsamp_list"] = []
+    net["update_AlphaMask_list"] = []
+    n_ax = [1 if c else 0 for c in net["n_lamb_sigma"]]
+    net["n_lamb_sigma"] = [4 * c for c in n_ax]
+    net["n_lamb_sh"] = [4 * c for c in n_ax]
+    cfg["embedding"]["embeddings"]["ray_prediction_0"]["net"].update(
+        {"depth": 4, "hidden_channels": 64, "skips": [2]})
+    return cfg
+
+
+def tiny_donerf_sphere(z_channels=8, grid=32):
+    """Miniature donerf_sphere for tests."""
+    return _shrink_for_tests(donerf_sphere(z_channels=z_channels), grid)
+
+
+def tiny_stanford_llff(z_channels=8, grid=32):
+    """Miniature stanford_llff_z_plane for tests."""
+    return _shrink_for_tests(stanford_llff_z_plane(z_channels=z_channels),
+                             grid)
+
+
+def tiny_shiny(z_channels=8, grid=32, sample_stages=True):
+    """Miniature shiny_z_plane for tests (sample stages ON so the
+    generate_samples/select_points/random path gets end-to-end coverage)."""
+    return _shrink_for_tests(
+        shiny_z_plane(z_channels=z_channels, sample_stages=sample_stages),
+        grid)
 
 
 def tiny_dynamic(z_channels=8, grid=32):

@@ -653,6 +653,24 @@ def build_embedding_chain(cfg, dataset_info=None, compute_dtype=None):
                 "num_keyframes": int(dataset_info.get("num_keyframes", 1)),
                 "num_frames": int(dataset_info.get("num_frames", 1)),
             }
+        elif t == "ray_intersect":
+            # inject dataset bounds for use_dataset_bounds intersects /
+            # contracts (reference reads them off the live datamodule:
+            # nlf/intersect/base.py:88, nlf/contract.py:121-125)
+            stage_cfg = dict(stage_cfg)
+            icfg = dict(stage_cfg.get("intersect", {}))
+            if dataset_info.get("near") is not None:
+                icfg.setdefault("_dataset_bounds",
+                                (float(dataset_info["near"]),
+                                 float(dataset_info["far"])))
+            ccfg = icfg.get("contract")
+            dr = dataset_info.get("depth_range")
+            if isinstance(ccfg, dict) and dr is not None:
+                ccfg = dict(ccfg)
+                ccfg.setdefault("_dataset_depth_range",
+                                (float(dr[0]), float(dr[1])))
+                icfg["contract"] = ccfg
+            stage_cfg["intersect"] = icfg
         elif t in ("color_transform", "calibrate"):
             kwargs = {"num_views": int(dataset_info.get("num_views", 1))}
         elif t in ("ray_prediction", "point_prediction"):

@@ -231,6 +231,8 @@ class GenerateNumSamplesEmbedding:
                 jax.random.uniform(jax.random.fold_in(ctx.rng, 404), ()) * (hi - lo) + lo)
         else:
             n = jnp.asarray(float(self.inference_samples))
+            # Python int for downstream STATIC slicing at inference
+            x["inference_samples_static"] = self.inference_samples
         x["num_samples"] = n
         x["total_samples"] = self.total_samples
         rays = x[self.rays_name]
@@ -241,10 +243,20 @@ class GenerateNumSamplesEmbedding:
 
 @dataclass
 class SelectPointsEmbedding:
-    """Subselect every k-th sample from all per-sample fields. Static-shape
-    variant: samples beyond num_samples are masked invalid (weights zeroed,
-    distances zeroed) rather than sliced out
-    (reference nlf/embedding/point.py:452-480)."""
+    """Subselect every k-th sample from all per-sample fields
+    (reference nlf/embedding/point.py:452-480).
+
+    Two regimes, both static-shape on TPU:
+      * training: samples beyond the (traced) num_samples are masked invalid
+        (weights/distances zeroed) rather than sliced out;
+      * inference: `inference_samples` (from this stage's cfg or from a
+        generate_samples stage upstream) is a PYTHON int, and ctx.training
+        is trace-static — so every per-sample field is really sliced
+        ``[:, ::stride]``, shrinking all downstream work (gathers are the
+        render bottleneck and scale with samples/ray). This is the
+        inference-time sample-count control of reference
+        nlf/embedding/point.py:402-449.
+    """
 
     cfg: dict
     group: str = "embedding"
@@ -252,22 +264,44 @@ class SelectPointsEmbedding:
     def __post_init__(self):
         self.fields = list(self.cfg.get(
             "fields", ["points", "distances", "weights"]))
+        isamp = self.cfg.get("inference_samples")
+        self.inference_samples = int(isamp) if isamp else None
 
     def init(self, key):
         return {}
 
     def apply(self, params, x, ctx, render_kwargs=None):
+        S = x["points"].shape[1]
+        if not ctx.training:
+            n = self.inference_samples or x.get("inference_samples_static")
+            if not isinstance(n, (int, float)) or not n or n >= S:
+                return x
+            stride = max(S // int(n), 1)
+            for k, v in list(x.items()):
+                if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[1] == S:
+                    x[k] = v[:, ::stride]
+            return x
         if "num_samples" not in x:
             return x
         n = x["num_samples"]
-        total = x.get("total_samples", x["points"].shape[1])
-        S = x["points"].shape[1]
-        idx = jnp.arange(S)
-        # keep ~n evenly spaced samples: every round(total/n)-th
+        total = x.get("total_samples", S)
+        # Keep every round(total/n)-th sample. Static-shape realization:
+        # every sample j is REPLACED by the next kept sample (clamped to the
+        # last kept one), so duplicates land at identical distances, get
+        # delta == 0 in the color net's sorted-delta computation, and
+        # contribute nothing — the composite over the kept subset is exactly
+        # the reference's sliced composite (nlf/embedding/point.py:452-480),
+        # including the sentinel last delta landing on (a duplicate of) the
+        # last kept sample. Zeroing dropped distances instead would create
+        # NEGATIVE deltas for their predecessors.
         stride = jnp.maximum(jnp.round(total / jnp.maximum(n, 1.0)), 1.0)
-        keep = (jnp.mod(idx.astype(jnp.float32), stride) < 1.0)
-        x["weights"] = x["weights"] * keep[None, :, None]
-        x["distances"] = x["distances"] * keep[None, :, None]
+        j = jnp.arange(S, dtype=jnp.float32)
+        last_kept = jnp.floor((S - 1) / stride) * stride
+        idx = jnp.minimum(jnp.ceil(j / stride) * stride,
+                          last_kept).astype(jnp.int32)
+        for k, v in list(x.items()):
+            if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[1] == S:
+                x[k] = jnp.take(v, idx, axis=1)
         return x
 
 

@@ -306,15 +306,23 @@ class IntersectZPlane(IntersectStage):
 
 @dataclass
 class IntersectSphere(IntersectStage):
-    """Concentric spheres (reference nlf/intersect/primitive.py:366-471)."""
+    """Concentric spheres (reference nlf/intersect/primitive.py:366-471).
+
+    z_vals carry one radius channel per sample; the reference's optional
+    4-channel (origin scale + radius) form degenerates to this whenever
+    origin_scale_factor == 0 (the shipped donerf_sphere.yaml value)."""
 
     def __post_init__(self):
         super().__post_init__()
         cfg = self.cfg
         near = far = None
         if cfg.get("use_dataset_bounds", False):
+            # reference: cfg.initial if present else 1.5x dataset bounds
+            # (nlf/intersect/primitive.py:370-373)
             ds = cfg.get("_dataset_bounds", (0.0, 1.0))
-            near, far = float(ds[0]), float(ds[1])
+            near = float(cfg["initial"]) if "initial" in cfg \
+                else float(ds[0]) * 1.5
+            far = float(cfg["end"]) if "end" in cfg else float(ds[1]) * 1.5
         self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
             self.z_channels, cfg, self.contract, near, far
         )
@@ -339,8 +347,16 @@ class IntersectSphereNew(IntersectStage):
         cfg = self.cfg
         near = far = None
         if cfg.get("use_dataset_bounds", False):
+            # reference nlf/intersect/primitive.py:479-486: initial is
+            # near*1.5 when outward_facing else -far*1.5; end is far*1.5
             ds = cfg.get("_dataset_bounds", (0.0, 1.0))
-            near, far = float(ds[0]), float(ds[1])
+            if "initial" in cfg:
+                near = float(cfg["initial"])
+            elif cfg.get("outward_facing", False):
+                near = float(ds[0]) * 1.5
+            else:
+                near = -float(ds[1]) * 1.5
+            far = float(cfg["end"]) if "end" in cfg else float(ds[1]) * 1.5
         self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
             self.z_channels, cfg, self.contract, near, far
         )

@@ -126,8 +126,16 @@ def z_depth_contract(cfg, **kwargs):
 def mipnerf_contract(cfg, **kwargs):
     """Piecewise linear -> 1/x contraction to radius 2
     (reference nlf/contract.py:112-192)."""
-    start_r = float(cfg.get("contract_start_radius", 1.0))
-    end_r = float(cfg.get("contract_end_radius", float("inf")))
+    if cfg.get("use_dataset_bounds") and "_dataset_depth_range" in cfg:
+        # radii default to 1.5x the dataset depth range
+        # (reference nlf/contract.py:121-127)
+        dr = cfg["_dataset_depth_range"]
+        start_r = float(cfg.get("contract_start_radius",
+                                max(float(dr[0]) * 1.5, 1.0)))
+        end_r = float(cfg.get("contract_end_radius", float(dr[1]) * 1.5))
+    else:
+        start_r = float(cfg.get("contract_start_radius", 1.0))
+        end_r = float(cfg.get("contract_end_radius", float("inf")))
     start_d = float(cfg.get("contract_start_distance", start_r))
     end_d = float(cfg.get("contract_end_distance", end_r))
     act_fwd, act_inv = _get_distance_activation(cfg)

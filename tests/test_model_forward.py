@@ -244,3 +244,60 @@ class TestGridEvents:
             assert bool(jnp.all(jnp.isfinite(out["rgb"])))
             net.grid_size = old_gs
             net.aabb = old_aabb
+
+
+class TestInferenceSamples:
+    """Eval-time static sample-count reduction (reference
+    nlf/embedding/point.py:402-480 inference_samples control)."""
+
+    def test_eval_slices_and_train_unchanged(self):
+        from hyperreel_tpu.configs.presets import with_inference_samples
+
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=100)
+        cfg8 = with_inference_samples(cfg, 4)  # 8 z-channels -> every 2nd
+        info = {"num_keyframes": 4, "num_frames": 12, "num_views": 4}
+        model_full = build_model(cfg, dataset_info=info)
+        model_fast = build_model(cfg8, dataset_info=info)
+        params = model_full.init(jax.random.PRNGKey(0))
+        # select_points has no params; reuse full params with an empty slot
+        params_fast = model_fast.init(jax.random.PRNGKey(0))
+        emb = dict(params["embedding"])
+        emb["select_points_inference"] = params_fast["embedding"][
+            "select_points_inference"]
+        params_fast = dict(params, embedding=emb)
+
+        rays = _dynamic_rays(32)
+        ctx_eval = make_ctx(it=1000, training=False)
+        out_full = model_full.apply(params, rays, ctx_eval)
+        out_fast = model_fast.apply(params_fast, rays, ctx_eval)
+        assert out_fast["rgb"].shape == (32, 3)
+        assert bool(jnp.all(jnp.isfinite(out_fast["rgb"])))
+        # the fast render composites a subset of the same samples: close to
+        # but not identical with the full render on a smooth scene
+        diff = float(jnp.max(jnp.abs(out_fast["rgb"] - out_full["rgb"])))
+        assert diff < 0.5
+
+        # training path ignores inference_samples entirely
+        ctx_tr = make_ctx(it=1000, training=True,
+                          rng=jax.random.PRNGKey(3))
+        tr_full = model_full.apply(params, rays, ctx_tr)
+        tr_fast = model_fast.apply(params_fast, rays, ctx_tr)
+        np.testing.assert_allclose(np.asarray(tr_full["rgb"]),
+                                   np.asarray(tr_fast["rgb"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sliced_fields_consistent(self):
+        from hyperreel_tpu.configs.presets import with_inference_samples
+
+        cfg = with_inference_samples(
+            convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=100), 2)
+        info = {"num_keyframes": 4, "num_frames": 12, "num_views": 4}
+        model = build_model(cfg, dataset_info=info)
+        params = model.init(jax.random.PRNGKey(0))
+        rays = _dynamic_rays(16)
+        emb = model.embedding.apply(params["embedding"], rays,
+                                    make_ctx(it=1000, training=False))
+        # 8 z-channels, inference_samples=2 -> stride 4 -> 2 samples
+        assert emb["points"].shape[1] == 2
+        assert emb["distances"].shape[1] == 2
+        assert emb["weights"].shape[1] == 2
