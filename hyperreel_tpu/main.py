@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--import-reference", default=None, metavar="CKPT",
                         help="initialize weights from a reference "
                              "(facebookresearch/hyperreel) .ckpt file")
+    parser.add_argument("--export-mesh", default=None, metavar="PLY",
+                        help="with --resume: extract the density-field "
+                             "isosurface mesh to a PLY file "
+                             "(reference utils/tensorf_utils.py:170-229)")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
@@ -56,10 +60,17 @@ def main(argv=None):
         print("imported-weights validation:", metrics)
         return
 
-    if args.render_only or args.eval_only:
+    if args.render_only or args.eval_only or args.export_mesh:
         from hyperreel_tpu.train.checkpoint import restore_checkpoint
-        assert args.resume, "--render-only/--eval-only require --resume"
+        assert args.resume, \
+            "--render-only/--eval-only/--export-mesh require --resume"
         state = restore_checkpoint(args.resume, system.trainer)
+        if args.export_mesh:
+            from hyperreel_tpu.train.export import export_mesh_ply
+            nv, nf = export_mesh_ply(args.export_mesh,
+                                     system.model.color_net,
+                                     state.params["color"])
+            print(f"mesh: {nv} verts, {nf} faces -> {args.export_mesh}")
         if args.eval_only:
             metrics = system.validate(state, save_images=True)
             print("eval:", metrics)

@@ -76,6 +76,7 @@ class System:
             self.model, tcfg,
             regularizer_cfgs=cfg.get("regularizers"),
             iters_per_epoch=self.iters_per_epoch)
+        self.trainer.system = self  # pose-aware regularizers (ray_density)
         self.renderer = Renderer(self.model,
                                  ray_chunk=int(tcfg.get("ray_chunk", 65536)))
         # data-parallel training over all visible devices
@@ -145,6 +146,11 @@ class System:
 
         use_raystore = self._use_raystore
 
+        # regularizers with host-side batch needs (teacher datasets,
+        # reference nlf/regularizers/teacher.py get_dataset/get_batch)
+        host_regs = [r for _, r in self.trainer.regularizers
+                     if hasattr(r, "host_batch")]
+
         def batches():
             seed = int(self.cfg["params"].get("seed", 0))
             if use_raystore:
@@ -157,6 +163,8 @@ class System:
             else:
                 it = self.train_dataset.batch_iterator(batch_size, seed=seed)
             for b in it:
+                for reg in host_regs:
+                    b.update(reg.host_batch(self))
                 yield {k: jnp.asarray(v) for k, v in b.items()}
 
         batch_iter = batches()

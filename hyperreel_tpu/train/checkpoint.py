@@ -51,6 +51,34 @@ def save_checkpoint(path, trainer_state, model, weights_only=False):
     return path
 
 
+def restore_params(path, model, key=None):
+    """Params-only restore for frozen auxiliary models (teacher
+    regularizers, reference nlf/regularizers/teacher.py:140-148): rebuild
+    the net's host grid state from metadata, re-init, load arrays."""
+    import jax.numpy as jnp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    net = model.color_net
+    net.grid_size = list(meta["grid_size"])
+    net.aabb = np.asarray(meta["aabb"], np.float32)
+    template = model.init(key if key is not None else jax.random.PRNGKey(0))
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        np_tmpl = jax.tree.map(np.asarray, template)
+        rargs = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), np_tmpl)
+        params = ckptr.restore(os.path.join(path, "params"), item=np_tmpl,
+                               restore_args=rargs)
+    else:
+        flat, treedef = jax.tree.flatten(template)
+        data = np.load(os.path.join(path, "params.npz"))
+        params = jax.tree.unflatten(
+            treedef, [data[k] for k in data.files])
+    return jax.tree.map(jnp.asarray, params)
+
+
 def restore_checkpoint(path, trainer, key=None):
     """Rebuild model host state from metadata, re-init, then load arrays.
     Returns a TrainState at the checkpointed iteration (optimizer state is

@@ -8,6 +8,7 @@ shared wait/warmup/stop weight schedule. Random sampling uses ctx.rng.
 
 from dataclasses import dataclass
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -25,22 +26,101 @@ def sample_simplex(rng, batch, n):
     return u[:, 1:] - u[:, :-1]
 
 
+def _normalize(v, axis=-1):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True),
+                           1e-12)
+
+
+def _synthesize_random_rays(cfg, system, batch_size, rng, it, extrap_mod):
+    """Pose-aware random-ray synthesis (reference
+    nlf/regularizers/ray_density.py:100-172): random train-camera anchors,
+    random-pixel directions through K, periodic centroid extrapolation,
+    periodic simplex interpolation across anchors, gaussian jitter, and
+    the dataset's NDC transform.
+
+    `it` is traced, so the reference's batch_idx-parity phases become
+    jnp.where selections. Returns [batch, 6] rays (o, d)."""
+    ds = system.train_dataset
+    poses = jnp.asarray(ds.poses[:, :3, :4], jnp.float32)     # [V, 3, 4]
+    K = jnp.asarray(ds.intrinsics, jnp.float32)
+    W, H = ds.img_wh
+    V = poses.shape[0]
+    nvr = int(cfg.get("num_views_for_random", 4))
+    extrapolate_scale = float(cfg.get("extrapolate_scale", 2.0))
+    use_jitter = bool(cfg.get("use_jitter", False))
+    jit = cfg.get("jitter", {}) or {}
+    pos_std = float(jit.get("pos_std", 0.1))
+    dir_std = float(jit.get("dir_std", 0.1))
+
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    views = jax.random.randint(k1, (batch_size * nvr,), 0, max(V - 1, 1))
+    anchor_poses = poses[views]                               # [B*nvr, 3, 4]
+    pos = anchor_poses[:, :, 3]
+
+    # random pixels -> camera-space dirs (ray_utils.get_random_pixels +
+    # get_ray_directions_from_pixels_K, centered_pixels=True)
+    pix = jax.random.uniform(k2, (batch_size * nvr, 2))
+    i = pix[:, 0] * (W - 1)
+    j = pix[:, 1] * (H - 1)
+    d_cam = jnp.stack(
+        [(i - K[0, 2] + 0.5) / K[0, 0],
+         -(j - K[1, 2] + 0.5) / K[1, 1],
+         -jnp.ones_like(i)], -1)
+    d = _normalize(jnp.einsum("nij,nj->ni", anchor_poses[:, :, :3], d_cam))
+
+    pos = pos.reshape(batch_size, nvr, 3)
+    d = d.reshape(batch_size, nvr, 3)
+
+    # extrapolate phase (reference: every `extrapolate_freq`-ish batch)
+    pc = pos.mean(1, keepdims=True)
+    dc = _normalize(d.mean(1, keepdims=True))
+    pos_ex = (pos - pc) * extrapolate_scale + pc
+    d_ex = _normalize((d - dc) * extrapolate_scale + dc)
+    do_ex = (it % 3) == extrap_mod
+    pos = jnp.where(do_ex, pos_ex, pos)
+    d = jnp.where(do_ex, d_ex, d)
+
+    # interpolate phase (odd batches): simplex-weighted anchor blend
+    w = sample_simplex(k3, batch_size, nvr)[..., None]        # [B, nvr, 1]
+    pos_in = (w * pos).sum(1)
+    d_in = _normalize((w * d).sum(1))
+    do_in = (it % 2) == 1
+    pos = jnp.where(do_in, pos_in, pos[:, 0])
+    d = jnp.where(do_in, d_in, d[:, 0])
+
+    if use_jitter:
+        pos = pos + jax.random.normal(k4, pos.shape) * pos_std
+        d = _normalize(d + jax.random.normal(k5, d.shape) * dir_std)
+
+    rays = jnp.concatenate([pos, d], -1)
+    if getattr(ds, "ndc_params", None):
+        from hyperreel_tpu.ops.ray_math import get_ndc_rays_fx_fy
+        fx, fy, near = ds.ndc_params
+        rays = get_ndc_rays_fx_fy(H, W, fx, fy, near, rays)
+        rays = jnp.concatenate(
+            [jnp.clip(rays[..., :3], -2.0, 2.0), rays[..., 3:]], -1)
+    return rays
+
+
 @dataclass
 class SimpleRayDensityRegularizer:
-    """Consistency of predicted sample distributions across jittered rays
-    (reference nlf/regularizers/ray_density.py simple variant): render the
-    per-sample weights for a batch ray and a slightly jittered copy, and
-    penalize the difference."""
+    """Reference semantics (nlf/regularizers/ray_density.py:364-399
+    SimpleRayDensityRegularizer): synthesize pose-aware random rays and
+    push the embedding's predicted per-sample sigma toward 1, weighted by
+    1/num_images (4x ray-position-dependent weights on extrapolated
+    batches). Falls back to jittered-batch-ray weight consistency when the
+    dataset exposes no poses/intrinsics."""
 
     cfg: dict
 
     def __post_init__(self):
         self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
-        jit = self.cfg.get("jitter", {})
+        jit = self.cfg.get("jitter", {}) or {}
         self.pos_std = float(jit.get("pos_std", 0.01))
         self.dir_std = float(jit.get("dir_std", 0.01))
+        self.extrap_mod = 0
 
-    def loss(self, model, params, batch, ctx, system=None):
+    def _fallback_loss(self, model, params, batch, ctx):
         rays = batch["rays"]
         k1, k2 = jax.random.split(ctx.rng)
         noise_o = jax.random.normal(k1, rays[..., :3].shape) * self.pos_std
@@ -48,41 +128,100 @@ class SimpleRayDensityRegularizer:
         jittered = jnp.concatenate(
             [rays[..., :3] + noise_o, rays[..., 3:6] + noise_d,
              rays[..., 6:]], -1)
-
         kw = {"fields": ["render_weights"]}
         w0 = model.apply(params, rays, ctx, kw)["render_weights"]
         w1 = model.apply(params, jittered, ctx, kw)["render_weights"]
         base = schedule_weight(self.cfg, ctx.it)
         return base * self.loss_fn(w0, w1)
 
+    def _random_rays(self, model, batch, ctx, system):
+        rays = _synthesize_random_rays(
+            self.cfg, system, batch["rays"].shape[0], ctx.rng, ctx.it,
+            self.extrap_mod)
+        extra = batch["rays"].shape[-1] - 6
+        if extra > 0:  # keep camera-id / time columns from the batch
+            rays = jnp.concatenate([rays, batch["rays"][..., 6:]], -1)
+        return rays
+
+    def loss(self, model, params, batch, ctx, system=None):
+        ds = getattr(system, "train_dataset", None) if system else None
+        if ds is None or ds.poses is None or ds.intrinsics is None:
+            return self._fallback_loss(model, params, batch, ctx)
+        rays = self._random_rays(model, batch, ctx, system)
+        out = model.embed(params, rays, ctx, {"fields": ["sigma"]})
+        if "sigma" not in out:
+            return self._fallback_loss(model, params, batch, ctx)
+        sigma = out["sigma"].reshape(rays.shape[0], -1)
+
+        # weight map (reference ray_density.py:374-395)
+        n_img = max(int(ds.num_images), 1)
+        w_ex = 4.0 * (1.0 - jnp.exp(
+            -jnp.square(rays[..., :2]).mean(-1)
+            - jnp.square(rays[..., 3:5]).mean(-1))) / n_img
+        weights = jnp.where((ctx.it % 3) == 0, w_ex, 1.0 / n_img)[:, None]
+        base = schedule_weight(self.cfg, ctx.it)
+        return base * self.loss_fn(sigma * weights,
+                                   jnp.ones_like(sigma) * weights)
+
 
 @dataclass
 class RayDensityRegularizer(SimpleRayDensityRegularizer):
-    """Full variant: simplex-weighted blends of nearby training rays
-    (reference ray_density.py:44-399). The blended ray's predicted sample
-    distribution should match the blend of the endpoints' distributions."""
+    """Full variant (reference ray_density.py:44-245): for each synthetic
+    ray, compute a camera-density target h_sigma from the angle spread of
+    the num_views_for_ray nearest train cameras toward the ray's sample
+    points, and regress the embedding's predicted sigma onto it.
+
+    Documented deviation: the reference reshapes the embedding params to
+    [B, views, z] (a contract only its affine embeddings satisfy); here
+    h_sigma is averaged over the camera-view axis to match the z-plane
+    models' [B, z] sigma field."""
 
     def __post_init__(self):
         super().__post_init__()
-        self.num_blend = int(self.cfg.get("num_views_for_ray", 2))
+        self.extrap_mod = 1
+        self.num_views_for_ray = int(self.cfg.get("num_views_for_ray", 4))
+        angle_std = float(self.cfg.get("angle_std", 120.0))
+        self.angle_std_deg = angle_std
 
     def loss(self, model, params, batch, ctx, system=None):
-        rays = batch["rays"]
+        ds = getattr(system, "train_dataset", None) if system else None
+        if ds is None or ds.poses is None or ds.intrinsics is None:
+            return self._fallback_loss(model, params, batch, ctx)
+        rays = self._random_rays(model, batch, ctx, system)
+        out = model.embed(params, rays, ctx,
+                          {"fields": ["sigma", "points"]})
+        if "sigma" not in out or "points" not in out:
+            return self._fallback_loss(model, params, batch, ctx)
         B = rays.shape[0]
-        k1, k2 = jax.random.split(ctx.rng)
-        perm = jax.random.permutation(k1, B)
-        other = rays[perm]
-        w = sample_simplex(k2, B, 2)
-        blend = w[:, :1] * rays[..., :6] + w[:, 1:2] * other[..., :6]
-        blended = jnp.concatenate([blend, rays[..., 6:]], -1)
+        sigma = out["sigma"].reshape(B, -1)
+        points = jax.lax.stop_gradient(out["points"]).reshape(B, -1, 3)
 
-        kw = {"fields": ["render_weights"]}
-        wa = model.apply(params, rays, ctx, kw)["render_weights"]
-        wb = model.apply(params, other, ctx, kw)["render_weights"]
-        wc = model.apply(params, blended, ctx, kw)["render_weights"]
-        target = w[:, :1] * wa + w[:, 1:2] * wb
+        centers = jnp.asarray(ds.poses[:, :3, 3], jnp.float32)  # [V, 3]
+        nvk = min(self.num_views_for_ray, centers.shape[0])
+        cam_d = jnp.linalg.norm(
+            rays[:, None, :3] - centers[None], axis=-1)         # [B, V]
+        _, nearest = jax.lax.top_k(-cam_d, nvk)                 # [B, nvk]
+        near_centers = centers[nearest]                         # [B, nvk, 3]
+
+        # directions from each near camera to each sample point
+        cam_pts = points[:, None] - near_centers[:, :, None]    # [B,v,z,3]
+        dirs = _normalize(cam_pts)
+
+        # compute_sigma_angle (utils/ray_utils.py:245-279), then the
+        # reference's sigmoid squash; NaN -> 1
+        angle_std = (np.radians(self.angle_std_deg)
+                     / max(int(ds.num_images), 1))
+        q = _normalize(rays[:, None, None, 3:6])
+        ang = jnp.arccos(jnp.clip(jnp.sum(dirs * q, -1),
+                                  -1 + 1e-8, 1 - 1e-8))         # [B,v,z]
+        c = float(np.power(2 * np.pi * angle_std * angle_std, -0.5))
+        h = c * c * jnp.exp(-0.5 * jnp.square(ang / angle_std)).mean(1)
+        h = (jax.nn.sigmoid(h * 1e-1) - 0.5) * 2.0
+        h = jnp.nan_to_num(h, nan=1.0)                          # [B, z]
+        h = jax.lax.stop_gradient(h)
+
         base = schedule_weight(self.cfg, ctx.it)
-        return base * self.loss_fn(wc, jax.lax.stop_gradient(target))
+        return base * self.loss_fn(sigma, h)
 
 
 @dataclass
@@ -171,9 +310,12 @@ class FlowRegularizer:
 
 @dataclass
 class TeacherRegularizer:
-    """Distill from a frozen teacher model's outputs
-    (reference nlf/regularizers/teacher.py:24-288). The teacher is a
-    (model, params) pair set via `set_teacher`."""
+    """Teacher supervision (reference nlf/regularizers/teacher.py:24-58):
+    when the config names a teacher DATASET (dense renders from a trained
+    teacher), its rays/rgb are fed host-side each step (System.batches ->
+    host_batch) and the current model is supervised on them. Without a
+    dataset config, a frozen in-memory teacher set via `set_teacher`
+    distills on the train batch's rays."""
 
     cfg: dict
     teacher_model: object = None
@@ -185,14 +327,108 @@ class TeacherRegularizer:
 
     def __post_init__(self):
         self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
+        self.batch_size = int(self.cfg.get("batch_size", 4096))
+        self._ds = None
+        self._ds_rng = np.random.default_rng(
+            int(self.cfg.get("seed", 1717)))
+
+    def host_batch(self, system=None):
+        """Host-side teacher-dataset sampling, merged into the train batch
+        (reference BaseRegularizer.get_dataset + get_batch)."""
+        dcfg = self.cfg.get("dataset")
+        if not dcfg:
+            return {}
+        if self._ds is None:
+            from hyperreel_tpu.data import get_dataset
+            kwargs = {k: v for k, v in dcfg.items()
+                      if k not in ("name", "root_dir")}
+            args = [dcfg["root_dir"]] if dcfg.get("root_dir") else []
+            self._ds = get_dataset(dcfg["name"], *args, **kwargs)
+        idx = self._ds_rng.integers(0, self._ds.num_rays, self.batch_size)
+        return {"teacher_rays": self._ds.all_coords[idx],
+                "teacher_rgb": self._ds.all_rgb[idx]}
 
     def loss(self, model, params, batch, ctx, system=None):
+        base = schedule_weight(self.cfg, ctx.it)
+        if "teacher_rays" in batch:
+            out = model.apply(params, batch["teacher_rays"], ctx)
+            return base * self.loss_fn(out["rgb"], batch["teacher_rgb"])
         if self.teacher_model is None:
             return jnp.asarray(0.0)
         target = jax.lax.stop_gradient(
             self.teacher_model.apply(self.teacher_params, batch["rays"],
                                      ctx)["rgb"])
         out = model.apply(params, batch["rays"], ctx)
+        return base * self.loss_fn(out["rgb"], target)
+
+
+@dataclass
+class TeacherModelRegularizer(TeacherRegularizer):
+    """Frozen-teacher distillation on synthetic rays (reference
+    nlf/regularizers/teacher.py:119-248 TeacherModelRegularizer): builds a
+    teacher model from cfg `model` (preset name or model-config dict),
+    loads params from cfg `model_ckpt_path`, generates uniform random rays
+    in cfg origin/direction/extra ranges, and regresses the student onto
+    the teacher's rgb. `set_teacher` still works for in-memory teachers."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.origin_range = np.asarray(self.cfg.get(
+            "origin_range", [[-1.0] * 3, [1.0] * 3]), np.float32)
+        self.direction_range = np.asarray(self.cfg.get(
+            "direction_range", [[-1.0] * 3, [1.0] * 3]), np.float32)
+        self.extra_range = np.asarray(self.cfg.get(
+            "extra_range", [[0.0], [0.0]]), np.float32)
+        self._load_attempted = False
+
+    def _ensure_teacher(self, student):
+        if self.teacher_model is not None or self._load_attempted:
+            return
+        self._load_attempted = True
+        mc = self.cfg.get("model")
+        ck = self.cfg.get("model_ckpt_path")
+        if mc is None or ck is None:
+            return
+        from hyperreel_tpu.models.model import build_model
+        from hyperreel_tpu.train.checkpoint import restore_params
+        if isinstance(mc, str):
+            from hyperreel_tpu.config import MODEL_PRESETS
+            from hyperreel_tpu.configs.presets import (
+                convert_epochs_to_iters)
+            mc = convert_epochs_to_iters(MODEL_PRESETS[mc]())
+        teacher = build_model(mc, dataset_info=student.dataset_info)
+        self.teacher_params = restore_params(ck, teacher)
+        self.teacher_model = teacher
+
+    def _random_rays(self, ctx, n, extra_cols):
+        k1, k2, k3 = jax.random.split(ctx.rng, 3)
+        lo, hi = self.origin_range
+        o = jax.random.uniform(k1, (n, 3)) * (hi - lo) + lo
+        lo, hi = self.direction_range
+        d = jax.random.uniform(k2, (n, 3)) * (hi - lo) + lo
+        d = _normalize(d)
+        cols = [o, d]
+        if extra_cols > 0:
+            lo, hi = self.extra_range[0], self.extra_range[1]
+            width = min(extra_cols, lo.shape[0])
+            e = jax.random.uniform(k3, (n, width)) * (hi[:width]
+                                                      - lo[:width]) + lo[:width]
+            if width < extra_cols:
+                e = jnp.concatenate(
+                    [e, jnp.zeros((n, extra_cols - width))], -1)
+            cols.append(e)
+        return jnp.concatenate(cols, -1)
+
+    def loss(self, model, params, batch, ctx, system=None):
+        self._ensure_teacher(model)
+        if self.teacher_model is None:
+            return jnp.asarray(0.0)
+        rays = self._random_rays(ctx, batch["rays"].shape[0],
+                                 batch["rays"].shape[-1] - 6)
+        target = jax.lax.stop_gradient(
+            self.teacher_model.apply(self.teacher_params, rays,
+                                     ctx)["rgb"])
+        out = model.apply(params, rays, ctx)
         base = schedule_weight(self.cfg, ctx.it)
         return base * self.loss_fn(out["rgb"], target)
 
@@ -317,7 +553,7 @@ regularizer_dict.update({
     "point": PointRegularizer,
     "flow": FlowRegularizer,
     "teacher": TeacherRegularizer,
-    "teacher_model": TeacherRegularizer,
+    "teacher_model": TeacherModelRegularizer,
     "blurry_teacher": BlurryTeacherRegularizer,
     "fourier": FourierRegularizer,
 })

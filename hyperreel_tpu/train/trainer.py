@@ -46,6 +46,10 @@ class Trainer:
         self.mesh = mesh
         self.donate = donate
         self._cached_step = None
+        # back-reference set by System: regularizers that synthesize rays
+        # from train-camera statistics (ray_density, reference
+        # nlf/regularizers/ray_density.py) read dataset poses through it
+        self.system = None
 
         net = model.color_net
         self.upsamp_list = list(net.upsamp_list)
@@ -82,7 +86,8 @@ class Trainer:
             image_loss = self.loss_fn(rgb, target)
         total = image_loss
         for name, reg in self.regularizers:
-            total = total + reg.loss(self.model, params, batch, ctx)
+            total = total + reg.loss(self.model, params, batch, ctx,
+                                     system=self.system)
         mse = jnp.mean((rgb - target) ** 2)
         psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
         return total, {"loss": total, "image_loss": image_loss, "psnr": psnr}

@@ -81,3 +81,165 @@ def test_teacher_regularizer(setup):
     reg.set_teacher(model, teacher_params)
     val = float(reg.loss(model, params, batch, make_ctx(0, training=True)))
     assert np.isfinite(val) and val > 0
+
+
+class _StubSystem:
+    def __init__(self, ds):
+        self.train_dataset = ds
+
+
+def _posed_dataset(n_views=6, W=16, H=12):
+    """random_ray_dataset + synthetic camera ring (poses/intrinsics),
+    enabling the reference ray_density semantics."""
+    ds = random_ray_dataset(n_rays=512)
+    rng = np.random.default_rng(3)
+    poses = []
+    for v in range(n_views):
+        ang = 2 * np.pi * v / n_views
+        c = np.array([np.cos(ang), np.sin(ang), -1.5], np.float32)
+        z = -c / np.linalg.norm(c)
+        x = np.cross(np.array([0, 1, 0], np.float32), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        poses.append(np.stack([x, y, z, c], -1))
+    ds.poses = np.stack(poses).astype(np.float32)
+    ds.intrinsics = np.array(
+        [[W * 1.2, 0, W / 2], [0, W * 1.2, H / 2], [0, 0, 1]], np.float32)
+    ds.img_wh = (W, H)
+    ds.num_images = n_views
+    return ds
+
+
+def test_synthesize_random_rays_reference_semantics():
+    """Pose-aware random-ray synthesis (reference ray_density.py:100-172):
+    unit directions, positions near camera centers (interp phases), and
+    phase-dependent output."""
+    from hyperreel_tpu.train.regularizers_extra import (
+        _synthesize_random_rays)
+    ds = _posed_dataset()
+    system = _StubSystem(ds)
+    cfg = {"num_views_for_random": 4, "extrapolate_scale": 2.0,
+           "use_jitter": False}
+    rng = jax.random.PRNGKey(0)
+
+    rays_by_it = {}
+    for it in (0, 1, 2, 3):
+        rays = _synthesize_random_rays(cfg, system, 32, rng,
+                                       jnp.asarray(it), 1)
+        rays = np.asarray(rays)
+        assert rays.shape == (32, 6)
+        assert np.all(np.isfinite(rays))
+        np.testing.assert_allclose(
+            np.linalg.norm(rays[:, 3:6], axis=-1), 1.0, atol=1e-5)
+        rays_by_it[it] = rays
+
+    # it=0: anchor positions are exact camera centers (choose phase, no
+    # extrapolation since extrap_mod=1)
+    centers = ds.poses[:, :3, 3]
+    d = np.linalg.norm(rays_by_it[0][:, None, :3] - centers[None],
+                       axis=-1)
+    assert d.min(1).max() < 1e-5
+    # it=1: interpolation + extrapolation -> differs from it=0 and lies
+    # off the exact centers for most rays
+    assert not np.allclose(rays_by_it[0], rays_by_it[1])
+
+
+@pytest.mark.parametrize("reg_type", ["simple_ray_density", "ray_density"])
+def test_ray_density_pose_aware_path(reg_type):
+    """With a posed dataset the reference path runs (not the fallback):
+    finite loss, finite grads, and grads actually reach the embedding."""
+    from hyperreel_tpu.train.regularizers import build_regularizers
+    cfg = convert_epochs_to_iters(tiny_static(), 100)
+    ds = _posed_dataset()
+    model = build_model(cfg, dataset_info=ds.info())
+    params = model.init(jax.random.PRNGKey(0))
+    batch = next(ds.batch_iterator(32, seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    system = _StubSystem(ds)
+
+    (_, reg), = build_regularizers(
+        {"r": {"type": reg_type, "weight": 1.0, "use_jitter": True,
+               "jitter": {"pos_std": 0.1, "dir_std": 0.1},
+               "num_views_for_random": 3, "num_views_for_ray": 4,
+               "angle_std": 120.0}})
+
+    def loss(p, it):
+        return reg.loss(model, p, batch, make_ctx(it, training=True),
+                        system=system)
+
+    for it in (0, 1, 100):
+        val, grads = jax.value_and_grad(loss)(params, it)
+        assert np.isfinite(float(val)), (reg_type, it)
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree.leaves(grads))
+    # embedding grads are nonzero (the regularizer reaches the MLP)
+    g_embed = jax.tree.leaves(jax.grad(loss)(params, 100)["embedding"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in g_embed)
+
+
+def test_teacher_dataset_mode(tmp_path):
+    """Config-driven teacher DATASET supervision (reference
+    nlf/regularizers/teacher.py:24-58): host_batch feeds teacher rays,
+    loss supervises the student on them."""
+    from hyperreel_tpu.train.regularizers import build_regularizers
+    cfg = convert_epochs_to_iters(tiny_static(), 100)
+    ds = random_ray_dataset(n_rays=256)
+    model = build_model(cfg, dataset_info=ds.info())
+    params = model.init(jax.random.PRNGKey(0))
+
+    (_, reg), = build_regularizers(
+        {"teacher": {"type": "teacher", "weight": 1.0, "batch_size": 32,
+                     "dataset": {"name": "random", "n_rays": 128}}})
+    extra = reg.host_batch()
+    assert extra["teacher_rays"].shape[0] == 32
+    assert extra["teacher_rays"].shape[1] >= 6
+    assert extra["teacher_rgb"].shape == (32, 3)
+
+    batch = next(ds.batch_iterator(16, seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch.update({k: jnp.asarray(v) for k, v in extra.items()})
+
+    def loss(p):
+        return reg.loss(model, p, batch, make_ctx(10, training=True))
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val)) and float(val) > 0
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree.leaves(grads))
+
+
+def test_teacher_model_from_checkpoint(tmp_path):
+    """Config-driven frozen-teacher loading (reference
+    teacher.py:119-248): model preset + checkpoint path -> random-ray
+    distillation."""
+    from hyperreel_tpu.train.regularizers import build_regularizers
+    from hyperreel_tpu.train.trainer import Trainer, TrainState
+    from hyperreel_tpu.train.checkpoint import save_checkpoint
+
+    cfg = convert_epochs_to_iters(tiny_static(), 100)
+    ds = random_ray_dataset(n_rays=256)
+    model = build_model(cfg, dataset_info=ds.info())
+    t_params = model.init(jax.random.PRNGKey(7))
+    ck = str(tmp_path / "teacher_ck")
+    save_checkpoint(ck, TrainState(params=t_params, opt_state=None, it=0),
+                    model, weights_only=True)
+
+    (_, reg), = build_regularizers(
+        {"t": {"type": "teacher_model", "weight": 1.0,
+               "model": cfg, "model_ckpt_path": ck,
+               "origin_range": [[-0.5] * 3, [0.5] * 3],
+               "direction_range": [[-0.3, -0.3, 0.7], [0.3, 0.3, 1.0]],
+               "extra_range": [[0.0], [1.0]]}})
+    # student = same arch, different params
+    params = model.init(jax.random.PRNGKey(1))
+    batch = next(ds.batch_iterator(16, seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # note: cfg["model"] here is a full model-config dict; teacher built
+    # against the student's dataset_info
+    reg.cfg["model"] = cfg["model"] if "model" in cfg else cfg
+    val = reg.loss(model, params, batch, make_ctx(10, training=True))
+    assert np.isfinite(float(val)) and float(val) > 0
+    # identical params -> zero distillation loss
+    val0 = reg.loss(model, t_params, batch, make_ctx(10, training=True))
+    assert float(val0) < float(val)
