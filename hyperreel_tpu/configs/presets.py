@@ -169,6 +169,8 @@ def technicolor_z_plane(z_channels=32):
                 "shadingMode": "SH",
                 "data_dim_color": 27,
                 "densityMode": "Density",
+                # fused Pallas eval path (ops/pallas/shade.py)
+                "fused_render": True,
             },
         },
     }

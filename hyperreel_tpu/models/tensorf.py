@@ -758,6 +758,21 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         else:
             self.density_decode = _density_fourier
 
+        # Fused Pallas eval path (ops/pallas/shade.py): one kernel replaces
+        # the time-plane HBM gather, the u32 relayout copies, the corner
+        # reduce, SH shading, and the composite. Static eligibility only;
+        # runtime conditions are checked per call in _fused_ok.
+        self.fused_render = bool(cfg.get("fused_render", False))
+        self._fused_eligible = (
+            self.density_mode == "Density"
+            and self.shading_mode == "SH"
+            and self.active_density == [0]
+            and self.active_app == [0]
+            and self.table_kind == "bf16"
+            and not self.apply_filter_weights
+            and self.ray_march_weight_thres == 0.0
+            and self.fea2dense == "relu")
+
     # -- params ------------------------------------------------------------
 
     def _init_vm_time(self, key, n_comp, scale, uniform=False):
@@ -940,10 +955,131 @@ class TensorVMKeyframeTime(TensorVMNoSample):
                              preferred_element_type=jnp.float32)
         return dens_out, app_out
 
+    # -- fused eval path -----------------------------------------------------
+
+    def _fused_ok(self, x, ctx, render_kwargs):
+        if not (self.fused_render and self._fused_eligible
+                and not ctx.training):
+            return False
+        fields = render_kwargs.get("fields", [])
+        # "distances" composited under render weights = depth, computed
+        # in-kernel; anything else needs the general path
+        if any(f != "distances" for f in fields):
+            return False
+        if render_kwargs.get("pred_weights_fields") or \
+                render_kwargs.get("no_over_fields"):
+            return False
+        # per-sample 3x3 color transforms aren't wired into the kernel
+        return "color_transform" not in x
+
+    def apply_fused(self, params, x, ctx, render_kwargs):
+        """Fused Pallas render (eval): XLA keeps the embedding outputs and
+        the space-plane quad-row gather; the kernel does the time-plane
+        four-hot lookup, bilinear reduce, basis matmul, SH shading, color
+        scale/shift, and the composite (ops/pallas/shade.py; replaces the
+        XLA chain of reference nlf/nets/tensorf_dynamic.py:287-371)."""
+        from hyperreel_tpu.ops.pallas.shade import fused_shade_composite
+        from hyperreel_tpu.ops.sh import eval_sh_bases
+
+        render_kwargs = render_kwargs or {}
+        B = x["viewdirs"].shape[0]
+        pts = x["points"].reshape(B, -1, 3)
+        S = pts.shape[1]
+        base_times = x["base_times"].reshape(B, S)
+        dists = x["distances"].reshape(B, S)
+        viewdirs = x["viewdirs"].reshape(B, S, 3)
+
+        xyz = self.normalize_coord(pts)                      # [B, S, 3]
+        tn2 = self.normalize_time_coord(base_times)          # [B, S]
+        xn2, yn2, zn2 = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        valid2 = (self.valid_mask(pts) & (dists > 0)).astype(jnp.float32)
+
+        # space quad table (bf16, corner-major; ops/grid_sample.py:241-307)
+        space = jnp.concatenate(
+            [params["density"]["space_0"], params["app"]["space_0"]], -1)
+        H, W, C = space.shape
+        p = jnp.pad(space.astype(jnp.bfloat16), ((1, 1), (1, 1), (0, 0)))
+        pack = jnp.concatenate(
+            [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1)
+        table = pack.reshape((H + 1) * (W + 1), 4 * C)
+
+        px = (xn2 + 1.0) * 0.5 * (W - 1)
+        py = (yn2 + 1.0) * 0.5 * (H - 1)
+        xi = (jnp.clip(jnp.floor(px), -1, W - 1) + 1).astype(jnp.int32)
+        yi = (jnp.clip(jnp.floor(py), -1, H - 1) + 1).astype(jnp.int32)
+        idx = (yi * (W + 1) + xi).reshape(-1)                # [N]
+        rows = table[idx]                                    # [N, 4C] bf16
+
+        # time plane, zero-ring padded and flattened for the four-hot
+        timep = jnp.concatenate(
+            [params["density"]["time_0"], params["app"]["time_0"]], -1)
+        TH, TW, _ = timep.shape
+        tp = jnp.pad(timep.astype(jnp.float32),
+                     ((1, 1), (1, 1), (0, 0)))
+        rt0 = (TH + 2) * (TW + 2)
+        rt = ((rt0 + 127) // 128) * 128
+        ttab = jnp.pad(tp.reshape(rt0, C), ((0, rt - rt0), (0, 0)))
+
+        # basis matrix with zeroed density rows
+        w = params["basis_mat"]["w"].astype(jnp.float32)     # [C_app, 27]
+        nd = self.density_n_comp[0]
+        wb = jnp.concatenate(
+            [jnp.zeros((nd, w.shape[1]), jnp.float32), w], 0)
+
+        shb = eval_sh_bases(self._sh_deg, viewdirs[:, 0, :])  # [B, K]
+
+        if "color_scale" in x:
+            cs3 = x["color_scale"].reshape(B, S, 3)
+            csh3 = x["color_shift"].reshape(B, S, 3)
+        else:
+            cs3 = jnp.ones((B, S, 3), jnp.float32)
+            csh3 = jnp.zeros((B, S, 3), jnp.float32)
+        cs = tuple(cs3[..., c].reshape(-1) for c in range(3))
+        csh = tuple(csh3[..., c].reshape(-1) for c in range(3))
+
+        # tile: largest power of two dividing B, capped so the [tile*S, Rt]
+        # four-hot scratch stays well under VMEM
+        tile = 64
+        while tile > 1 and (B % tile != 0
+                            or tile * S * rt * 6 > 6 * (1 << 20)):
+            tile //= 2
+
+        out = fused_shade_composite(
+            rows, xn2.reshape(-1), yn2.reshape(-1), zn2.reshape(-1),
+            tn2.reshape(-1), valid2.reshape(-1), cs, csh, dists, shb,
+            ttab, wb,
+            W=W, H=H, TW=TW, TH=TH, n_density=nd,
+            density_shift=0.0,  # fea2dense == relu (no shift)
+            distance_scale=self.distance_scale, tile=tile)
+
+        rgb_map = out[:, :3]
+        acc_map = out[:, 3]
+        if not self.black_bg and self.white_bg:
+            rgb_map = rgb_map + (1.0 - acc_map[:, None])
+
+        if "color_scale_global" in x:
+            rgb_map = scale_shift_color_one(
+                rgb_map,
+                x["color_scale_global"].reshape(B, S, 3)[:, 0],
+                x["color_shift_global"].reshape(B, S, 3)[:, 0])
+        elif "color_transform_global" in x:
+            rgb_map = transform_color_one(
+                rgb_map,
+                x["color_transform_global"].reshape(B, S, 3, 3)[:, 0],
+                x["color_shift_global"].reshape(B, S, 3)[:, 0])
+
+        rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+        outputs = {"rgb": rgb_map}
+        if "distances" in render_kwargs.get("fields", []):
+            outputs["distances"] = out[:, 4:5]
+        return outputs
+
     # -- forward -----------------------------------------------------------
 
     def apply(self, params, x, ctx, render_kwargs=None):
         render_kwargs = render_kwargs or {}
+        if self._fused_ok(x, ctx, render_kwargs or {}):
+            return self.apply_fused(params, x, ctx, render_kwargs)
         B = x["viewdirs"].shape[0]
         pts = x["points"].reshape(B, -1, 3)
         S = pts.shape[1]
