@@ -42,6 +42,11 @@ class RayDataset:
     # push generated rays through the same transform (reference
     # datasets/base.py get_coords_from_camera applies to_ndc)
     ndc_params: Optional[tuple] = None
+    # lightfield camera-grid structure (rows x cols), set by grid-shaped
+    # loaders (stanford) — the EPI visualizer extracts ground-truth EPIs
+    # from it (reference nlf/visualizers/epipolar.py:93-101)
+    num_rows: Optional[int] = None
+    num_cols: Optional[int] = None
 
     def __post_init__(self):
         if self.all_weights is None:

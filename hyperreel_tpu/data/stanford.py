@@ -70,4 +70,6 @@ def load_stanford_lightfield(root_dir, split="train", rows=17, cols=17,
         near=-1.0,
         far=0.0,
         depth_range=(0.0, 1.0),
+        num_rows=(rows + step - 1) // step,
+        num_cols=(cols + step - 1) // step,
     )

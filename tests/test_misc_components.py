@@ -127,3 +127,56 @@ class TestMultiChunkRenderer:
             assert np.allclose(a[k], b[k], atol=1e-6)
         assert multi.render_rays(params, rays[:50])["rgb"].shape[0] == 50
         assert multi.render_rays(params, rays[:512])["rgb"].shape[0] == 512
+
+
+class TestEPIFocusVisualizers:
+    """End-to-end EPI/focus visualizer runs against a tiny system
+    (reference nlf/visualizers/epipolar.py:20-141, focus.py:13-160)."""
+
+    @staticmethod
+    def _system():
+        from hyperreel_tpu.config import load_config
+        from hyperreel_tpu.system import System
+        import jax
+        cfg = load_config(overrides=[
+            "dataset.name=synthetic_blobs", "dataset.n_views=2",
+            "dataset.wh=[8,8]", "model=tiny_static",
+            "training.num_iters=2", "training.ray_chunk=64",
+        ])
+        system = System(cfg)
+        state = system.trainer.init_state(jax.random.PRNGKey(0))
+        batch = system.train_dataset.image(0)
+        return system, state, batch
+
+    def test_epi_pred_and_gt(self):
+        from hyperreel_tpu.train.visualizers import EPIVisualizer
+        system, state, batch = self._system()
+        # fake a 2x1 lightfield grid so the GT-EPI path runs
+        ds = system.train_dataset
+        ds.num_rows, ds.num_cols = 1, 2
+        vis = EPIVisualizer(cfg={"v": 0.0, "t": 0.0, "H": 6})
+        images = vis.render(system, state, batch["rays"], ds.img_wh)
+        W, H = ds.img_wh
+        assert images["epi_pred"].shape == (6, W, 3)
+        assert np.all(np.isfinite(images["epi_pred"]))
+        assert "epi_gt" in images
+        assert images["epi_gt"].shape == (2, W, 3)
+        # GT row is the center scanline of each grid image
+        want = ds.all_rgb.reshape(1, 2, H, W, 3)[0, :, H // 2, :, :]
+        np.testing.assert_allclose(images["epi_gt"], want, atol=1e-6)
+
+    def test_focus_cone_and_ray(self):
+        from hyperreel_tpu.train.visualizers import FocusVisualizer
+        system, state, batch = self._system()
+        ds = system.train_dataset
+        vis = FocusVisualizer(cfg={"focal": -0.5, "ds": 0.5, "dt": 0.5,
+                                   "aperture_samples": 2})
+        images = vis.render(system, state, batch["rays"], ds.img_wh)
+        W, H = ds.img_wh
+        for key in ("focus_rgb_ray", "focus_rgb_cone"):
+            assert images[key].shape == (H, W, 3)
+            assert np.all(np.isfinite(images[key]))
+            assert images[key].min() >= 0 and images[key].max() <= 1
+        # the aperture average must differ from the pinhole render
+        assert not np.allclose(images["focus_rgb_ray"],
+                               images["focus_rgb_cone"], atol=1e-5)
