@@ -260,4 +260,16 @@ def build_net(in_channels, out_channels, cfg, **kwargs):
         return Siren(in_channels, out_channels, int(cfg.get("depth", 6)),
                      int(cfg.get("hidden_channels", 256)),
                      float(cfg.get("omega_0", 30.0)))
+    # learned-array / tensor-factorization nets share the registry, like
+    # the reference's nets.py merging tensor_dict into net_dict
+    # (reference nlf/nets/nets.py:12-20); lazy import avoids a cycle
+    from hyperreel_tpu.models import array_nd
+    if t in array_nd.array_dict:
+        return array_nd.array_dict[t](cfg=dict(cfg),
+                                      in_channels=in_channels,
+                                      out_channels=out_channels)
+    if t in array_nd.tensor_dict:
+        return array_nd.tensor_dict[t](cfg=dict(cfg),
+                                       in_channels=in_channels,
+                                       out_channels=out_channels)
     raise ValueError(f"unknown mlp net type {t}")
