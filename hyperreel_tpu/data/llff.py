@@ -42,10 +42,13 @@ def load_llff(root_dir, split="train", downsample=4, use_ndc=True,
     K[1, 1] = focal * H_img / H
     K[1, 2] = (H / 2.0) * H_img / H
 
+    raw_poses = poses
     poses, _, bounds = correct_poses_bounds(poses[:, :, :4], bounds)
 
     if not use_ndc:
-        bounds = bounds / np.max(np.abs(poses[..., :3, 3]))
+        # reference divides by the UNcorrected translations
+        # (llff.py:80-81 uses the pre-correction `poses` local)
+        bounds = bounds / np.max(np.abs(raw_poses[..., :3, 3]))
 
     near = bounds.min() * 0.95
     far = bounds.max() * 1.05
@@ -71,8 +74,11 @@ def load_llff(root_dir, split="train", downsample=4, use_ndc=True,
         rays_o, rays_d = get_rays(directions, c2w)
         rays = np.concatenate([rays_o, rays_d], -1).astype(np.float32)
         if use_ndc:
+            # reference to_ndc projects with self.near = bounds.min()*0.95
+            # (llff.py:83,120-123), not the classic NeRF near=1.0
             rays = get_ndc_rays_fx_fy(
-                H_img, W_img, K[0, 0], K[1, 1], 1.0, rays).astype(np.float32)
+                H_img, W_img, K[0, 0], K[1, 1], near,
+                rays).astype(np.float32)
         cam_idx = np.full((rays.shape[0], 1),
                           idx if split == "train" else 1, np.float32)
         coords_list.append(np.concatenate([rays, cam_idx], -1))
@@ -91,7 +97,8 @@ def load_llff(root_dir, split="train", downsample=4, use_ndc=True,
         num_views=n_images,
         poses=np.asarray([poses[i][:3, :4] for i in indices], np.float32),
         intrinsics=np.asarray(K, np.float32),
-        ndc_params=(float(K[0, 0]), float(K[1, 1]), 1.0) if use_ndc else None,
+        ndc_params=(float(K[0, 0]), float(K[1, 1]), float(near))
+        if use_ndc else None,
         near=float(near) if not use_ndc else 0.0,
         far=float(far) if not use_ndc else 1.0,
         depth_range=(float(near * 2.0), float(far)),

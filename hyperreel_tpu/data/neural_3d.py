@@ -74,8 +74,10 @@ def load_neural_3d(root_dir, split="train", img_wh=(1352, 1014),
         rays_o, rays_d = get_rays(directions, c2w)
         rays = np.concatenate([rays_o, rays_d], -1).astype(np.float32)
         if use_ndc:
+            # reference to_ndc uses self.near = bounds.min()*0.95
+            # (neural_3d.py:105,382-385)
             rays = get_ndc_rays_fx_fy(
-                H, W, K[0, 0], K[1, 1], 1.0, rays).astype(np.float32)
+                H, W, K[0, 0], K[1, 1], near, rays).astype(np.float32)
 
         keyframe_offset = frame_offset = video_idx
         last_rgb = None
@@ -130,7 +132,8 @@ def load_neural_3d(root_dir, split="train", img_wh=(1352, 1014),
         num_images=len(cam_indices) * num_frames,
         poses=np.asarray(poses[:, :3, :4], np.float32),
         intrinsics=np.asarray(K, np.float32),
-        ndc_params=(float(K[0, 0]), float(K[1, 1]), 1.0) if use_ndc else None,
+        ndc_params=(float(K[0, 0]), float(K[1, 1]), float(near))
+        if use_ndc else None,
         num_keyframes=num_frames // keyframe_step,
         num_frames=num_frames,
         num_views=images_per_frame,

@@ -72,7 +72,8 @@ def load_technicolor(root_dir, split="train", collection=None,
                      keyframe_step=4, load_full_step=8,
                      subsample_keyframe_step=4, subsample_keyframe_frac=0.25,
                      subsample_frac=0.125, use_ndc=True,
-                     rows=4, cols=4, val_pairs=((2, 2),), val_all=False):
+                     rows=4, cols=4, val_pairs=((2, 2),), val_all=False,
+                     lightfield_step=1):
     collection = collection or os.path.basename(os.path.normpath(root_dir))
     W, H = img_wh
     images_per_frame = rows * cols
@@ -108,13 +109,18 @@ def load_technicolor(root_dir, split="train", collection=None,
     near = bounds.min() * 0.95
     far = bounds.max() * 1.05
 
-    # lightfield holdout (reference technicolor.py:169-198)
+    # lightfield holdout (reference technicolor.py:169-198): cameras off
+    # the step lattice and explicit val_pairs are validation; step==1
+    # with no pairs means validate-on-all
     val_pairs = [list(p) for p in val_pairs]
+    step = int(lightfield_step)
+    val_all = val_all or (step == 1 and len(val_pairs) == 0)
     val_indices = []
     for row in range(rows):
         for col in range(cols):
             idx = row * rows + col
-            if [row, col] in val_pairs and not val_all:
+            if (row % step != 0 or col % step != 0
+                    or [row, col] in val_pairs) and not val_all:
                 val_indices += [f * images_per_frame + idx
                                 for f in range(num_frames)]
     train_indices = [i for i in range(len(image_paths))

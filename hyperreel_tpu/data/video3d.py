@@ -64,8 +64,9 @@ def load_video3d_static(root_dir, split="train", img_wh=(512, 512),
         rays_o, rays_d = get_rays(directions, poses[idx])
         rays = np.concatenate([rays_o, rays_d], -1).astype(np.float32)
         if use_ndc:
+            # reference to_ndc uses self.near (video3d_static.py:196-199)
             rays = get_ndc_rays_fx_fy(
-                H, W, K[0, 0], K[1, 1], 1.0, rays).astype(np.float32)
+                H, W, K[0, 0], K[1, 1], near, rays).astype(np.float32)
         coords_list.append(np.concatenate([
             rays, np.full((rays.shape[0], 1), idx, np.float32)], -1))
         img = Image.open(os.path.join(

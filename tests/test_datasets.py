@@ -225,4 +225,6 @@ def test_llff_exposes_render_path_fields(llff_tree):
     ds = load_llff(llff_tree, "train", downsample=1, img_wh=(16, 12))
     assert ds.poses is not None and ds.poses.shape[1:] == (3, 4)
     assert ds.intrinsics is not None and ds.intrinsics.shape == (3, 3)
-    assert ds.ndc_params is not None and ds.ndc_params[2] == 1.0
+    # world near used by the NDC projection = bounds.min()*0.95
+    # (reference llff.py:83; pinned by test_reference_loader_parity)
+    assert ds.ndc_params is not None and ds.ndc_params[2] > 0.0
