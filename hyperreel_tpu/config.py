@@ -60,11 +60,13 @@ MODEL_PRESETS = {
     "technicolor_z_plane": presets.technicolor_z_plane,
     "llff_z_plane": presets.llff_z_plane,
     "donerf_sphere": presets.donerf_sphere,
+    "immersive_sphere_new": presets.immersive_sphere_new,
     "stanford_llff_z_plane": presets.stanford_llff_z_plane,
     "shiny_z_plane": presets.shiny_z_plane,
     "tiny_static": presets.tiny_static,
     "tiny_dynamic": presets.tiny_dynamic,
     "tiny_donerf_sphere": presets.tiny_donerf_sphere,
+    "tiny_immersive_sphere": presets.tiny_immersive_sphere,
     "tiny_stanford_llff": presets.tiny_stanford_llff,
     "tiny_shiny": presets.tiny_shiny,
 }

@@ -388,6 +388,142 @@ def donerf_sphere(z_channels=32):
     }
 
 
+def immersive_sphere_new(z_channels=32):
+    """Dynamic HyperReel for Google Immersive scenes: outward-facing
+    concentric spheres with miss fallback (sphere_new), mipnerf
+    contraction to dataset bounds, spatial-flow advection, and 3-axis
+    [8, 4, 4] keyframe grids (reference
+    conf/experiment/model/immersive_sphere_new.yaml; BASELINE.md pipeline
+    #5). Deviation as in donerf_sphere: the reference's multi-channel
+    z_vals (8 per slot) reduce to per-slot radius offsets — its shipped
+    z_scale/origin factors make the extra channels inert."""
+    return {
+        "type": "lightfield",
+        "param": {"n_dims": 6, "fn": "identity"},
+        "embedding": {
+            "type": "ray_point",
+            "embeddings": {
+                "ray_prediction_0": {
+                    "type": "ray_prediction",
+                    "params": {
+                        "ray": {
+                            "start": 0, "end": 6,
+                            "param": {"n_dims": 6, "fn": "pluecker",
+                                      "direction_multiplier": 1.0,
+                                      "moment_multiplier": 1.0},
+                            "pe": {"type": "windowed", "n_freqs": 1,
+                                   "freq_multiplier": 2.0,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                        "time": {
+                            "start": 7, "end": 8,
+                            "param": {"n_dims": 1, "fn": "identity"},
+                            "pe": {"type": "windowed", "n_freqs": 2,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                    },
+                    "net": {"type": "base", "group": "embedding_impl",
+                            "depth": 6, "hidden_channels": 256, "skips": [3]},
+                    "z_channels": z_channels,
+                    "outputs": {
+                        "z_vals": {"channels": 1},
+                        "spatial_flow": {
+                            "channels": 3,
+                            "activation": {"type": "identity",
+                                           "outer_fac": 1.0},
+                        },
+                        "sigma": {"channels": 1,
+                                  "activation": _ease_sigmoid(3, 0)},
+                        "point_sigma": {"channels": 1,
+                                        "activation": _ease_sigmoid(3, 1)},
+                        "point_offset": {
+                            "channels": 3,
+                            "activation": {"type": "tanh", "outer_fac": 0.25},
+                        },
+                        "color_scale": {"channels": 3,
+                                        "activation": _ease_zero()},
+                        "color_shift": {"channels": 3,
+                                        "activation": _ease_zero()},
+                    },
+                },
+                "ray_intersect_0": {
+                    "type": "ray_intersect",
+                    "z_channels": z_channels,
+                    "intersect": {
+                        "type": "sphere_new",
+                        "sort": True,
+                        "outward_facing": True,
+                        "use_disparity": False,
+                        "max_axis": False,
+                        "use_sigma": True,
+                        "out_points": "raw_points",
+                        "out_distance": "raw_distance",
+                        "use_dataset_bounds": True,
+                        "resize_scale_factor": 1.0,
+                        "origin_scale_factor": 1.0,
+                        "contract": {
+                            "type": "mipnerf",
+                            "contract_samples": True,
+                            "use_dataset_bounds": True,
+                        },
+                        "activation": {"type": "identity", "fac": 0.5},
+                    },
+                },
+                "flow_0": {
+                    "type": "advect_points",
+                    "use_spatial_flow": True,
+                    "use_angular_flow": False,
+                    "out_flow_field": "raw_flow",
+                    "flow_scale": 0.0,
+                    "spatial_flow_activation": {"type": "identity",
+                                                "fac": 0.25},
+                },
+                "point_offset_0": {
+                    "type": "point_offset",
+                    "in_density_field": "point_sigma",
+                    "use_sigma": True,
+                },
+                "add_point_outputs_0": {
+                    "type": "add_point_outputs",
+                    "extra_outputs": ["viewdirs", "times"],
+                },
+                "extract_fields": {
+                    "type": "extract_fields",
+                    "fields": ["points", "distances", "base_times",
+                               "time_offset", "times", "viewdirs", "weights",
+                               "color_transform_global", "color_scale_global",
+                               "color_shift_global", "color_transform",
+                               "color_scale", "color_shift"],
+                },
+            },
+        },
+        "color": {
+            "type": "base",
+            "net": {
+                "type": "tensor_vm_split_time",
+                "white_bg": 0,
+                "black_bg": 0,
+                "fea2denseAct": "relu",
+                "distance_scale": 16.0,
+                "density_shift": 0.0,
+                "aabb": [[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]],
+                "N_voxel_init": 2097152,
+                "N_voxel_final": 262144000,
+                "upsamp_list": [4000, 6000, 8000, 10000, 12000],
+                "lr_upsample_reset": True,
+                "update_AlphaMask_list": [4000, 8000],
+                "rm_weight_mask_thre": 0,
+                "alpha_mask_thre": 1e-3,
+                "n_lamb_sigma": [8, 4, 4],
+                "n_lamb_sh": [8, 4, 4],
+                "shadingMode": "SH",
+                "data_dim_color": 27,
+                "densityMode": "Density",
+            },
+        },
+    }
+
+
 def stanford_llff_z_plane(z_channels=32):
     """Stanford light fields, two-plane NDC parameterization + z-planes
     (reference conf/experiment/model/stanford_llff_z_plane.yaml; BASELINE.md
@@ -673,6 +809,12 @@ def _shrink_for_tests(cfg, grid=32):
 def tiny_donerf_sphere(z_channels=8, grid=32):
     """Miniature donerf_sphere for tests."""
     return _shrink_for_tests(donerf_sphere(z_channels=z_channels), grid)
+
+
+def tiny_immersive_sphere(z_channels=8, grid=32):
+    """Miniature immersive_sphere_new for tests."""
+    return _shrink_for_tests(immersive_sphere_new(z_channels=z_channels),
+                             grid)
 
 
 def tiny_stanford_llff(z_channels=8, grid=32):

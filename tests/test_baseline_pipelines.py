@@ -96,3 +96,31 @@ class TestShinyZPlane:
         out = model.apply(params, rays, make_ctx(it=100, training=False))
         assert out["rgb"].shape == (32, 3)
         assert bool(jnp.all(jnp.isfinite(out["rgb"])))
+
+
+class TestImmersiveSphereNew:
+    def test_trains(self):
+        """immersive_sphere_new (BASELINE pipeline #5): dynamic keyframe
+        grids on 3 active modes + outward sphere_new intersect + mipnerf
+        contraction + flow advection."""
+        from hyperreel_tpu.configs.presets import tiny_immersive_sphere
+        ds = gaussian_blob_scene(n_views=4, wh=(16, 16), dynamic=True)
+        cfg = convert_epochs_to_iters(tiny_immersive_sphere(),
+                                      iters_per_epoch=50)
+        model = build_model(cfg, dataset_info=ds.info())
+        # all 3 modes active (reference n_lamb [8,4,4])
+        assert model.color_net.active_density == [0, 1, 2]
+        trainer = Trainer(model, _training_cfg(),
+                          regularizer_cfgs=tv_4000_defaults(),
+                          iters_per_epoch=50)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, history = trainer.fit(
+            state, _jnp_batches(ds, 512), num_iters=150,
+            rng=jax.random.PRNGKey(1), log_every=10)
+        first = np.mean([h["image_loss"] for h in history[:3]])
+        last = np.mean([h["image_loss"] for h in history[-3:]])
+        assert np.isfinite(last)
+        assert last < first * 0.75, (first, last)
+        # sphere_new picked up dataset bounds
+        stage = dict(model.embedding.stages)["ray_intersect_0"].intersect
+        assert stage.initial != 0.0 or stage.end != 1.0
