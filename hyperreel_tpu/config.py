@@ -61,12 +61,14 @@ MODEL_PRESETS = {
     "llff_z_plane": presets.llff_z_plane,
     "donerf_sphere": presets.donerf_sphere,
     "immersive_sphere_new": presets.immersive_sphere_new,
+    "neural_3d_z_plane": presets.neural_3d_z_plane,
     "stanford_llff_z_plane": presets.stanford_llff_z_plane,
     "shiny_z_plane": presets.shiny_z_plane,
     "tiny_static": presets.tiny_static,
     "tiny_dynamic": presets.tiny_dynamic,
     "tiny_donerf_sphere": presets.tiny_donerf_sphere,
     "tiny_immersive_sphere": presets.tiny_immersive_sphere,
+    "tiny_neural_3d": presets.tiny_neural_3d,
     "tiny_stanford_llff": presets.tiny_stanford_llff,
     "tiny_shiny": presets.tiny_shiny,
 }

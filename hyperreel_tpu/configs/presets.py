@@ -35,13 +35,13 @@ def convert_epochs_to_iters(cfg, iters_per_epoch):
     return cfg
 
 
-def _ease_sigmoid(window_epochs, wait_epochs):
+def _ease_sigmoid(window_epochs, wait_epochs, shift=4.0):
     return {
         "type": "ease_value",
         "start_value": 1.0,
         "window_epochs": window_epochs,
         "wait_epochs": wait_epochs,
-        "activation": {"type": "sigmoid", "shift": 4.0},
+        "activation": {"type": "sigmoid", "shift": shift},
     }
 
 
@@ -524,6 +524,140 @@ def immersive_sphere_new(z_channels=32):
     }
 
 
+def neural_3d_z_plane(z_channels=64):
+    """Dynamic HyperReel for Neural 3D Video scenes (reference
+    conf/experiment/model/neural_3d_z_plane.yaml; BASELINE.md pipeline #5
+    n3d variant): pluecker rays with 1-freq windowed PE, 64 z-planes with
+    explicit-radius mipnerf contraction, stronger spatial flow
+    (outer_fac 4), soft sigma gate (sigmoid shift 1), 3-active-mode
+    [8, 4, 4] keyframe grids, no alpha-mask events."""
+    return {
+        "type": "lightfield",
+        "param": {"n_dims": 6, "fn": "identity"},
+        "embedding": {
+            "type": "ray_point",
+            "embeddings": {
+                "ray_prediction_0": {
+                    "type": "ray_prediction",
+                    "params": {
+                        "ray": {
+                            "start": 0, "end": 6,
+                            "param": {"n_dims": 6, "fn": "pluecker",
+                                      "direction_multiplier": 1.0,
+                                      "moment_multiplier": 1.0},
+                            "pe": {"type": "windowed", "n_freqs": 1,
+                                   "freq_multiplier": 2.0,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                        "time": {
+                            "start": 7, "end": 8,
+                            "param": {"n_dims": 1, "fn": "identity"},
+                            "pe": {"type": "windowed", "n_freqs": 2,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                    },
+                    "net": {"type": "base", "group": "embedding_impl",
+                            "depth": 6, "hidden_channels": 256, "skips": [3]},
+                    "z_channels": z_channels,
+                    "outputs": {
+                        "z_vals": {"channels": 1},
+                        "spatial_flow": {
+                            "channels": 3,
+                            "activation": {"type": "identity",
+                                           "outer_fac": 4.0},
+                        },
+                        "sigma": {"channels": 1,
+                                  "activation": _ease_sigmoid(3, 0,
+                                                              shift=1.0)},
+                        "point_sigma": {"channels": 1,
+                                        "activation": _ease_sigmoid(3, 1)},
+                        "point_offset": {
+                            "channels": 3,
+                            "activation": {"type": "tanh", "outer_fac": 0.25},
+                        },
+                        "color_scale": {"channels": 3,
+                                        "activation": _ease_zero()},
+                        "color_shift": {"channels": 3,
+                                        "activation": _ease_zero()},
+                    },
+                },
+                "ray_intersect_0": {
+                    "type": "ray_intersect",
+                    "z_channels": z_channels,
+                    "intersect": {
+                        "type": "z_plane",
+                        "sort": True,
+                        "outward_facing": False,
+                        "use_disparity": False,
+                        "use_sigma": True,
+                        "out_points": "raw_points",
+                        "out_distance": "raw_distance",
+                        "initial": -1.0,
+                        "end": 1.0,
+                        "contract": {
+                            "type": "mipnerf",
+                            "contract_samples": True,
+                            "contract_start_radius": 1.0,
+                            "contract_end_radius": 8.0,
+                        },
+                        "activation": {"type": "identity", "fac": 0.5},
+                    },
+                },
+                "flow_0": {
+                    "type": "advect_points",
+                    "use_spatial_flow": True,
+                    "use_angular_flow": False,
+                    "out_flow_field": "raw_flow",
+                    "flow_scale": 0.0,
+                    "spatial_flow_activation": {"type": "identity",
+                                                "fac": 0.25},
+                },
+                "point_offset_0": {
+                    "type": "point_offset",
+                    "in_density_field": "point_sigma",
+                    "use_sigma": True,
+                },
+                "add_point_outputs_0": {
+                    "type": "add_point_outputs",
+                    "extra_outputs": ["viewdirs", "times"],
+                },
+                "extract_fields": {
+                    "type": "extract_fields",
+                    "fields": ["points", "distances", "base_times",
+                               "time_offset", "times", "viewdirs", "weights",
+                               "color_transform_global", "color_scale_global",
+                               "color_shift_global", "color_transform",
+                               "color_scale", "color_shift"],
+                },
+            },
+        },
+        "color": {
+            "type": "base",
+            "net": {
+                "type": "tensor_vm_split_time",
+                "white_bg": 0,
+                "black_bg": 0,
+                "fea2denseAct": "relu",
+                "distance_scale": 16.0,
+                "density_shift": 0.0,
+                "aabb": [[-2.0, -1.5, -1.25], [2.0, 1.5, 1.25]],
+                "N_voxel_init": 2097152,
+                "N_voxel_final": 262144000,
+                "upsamp_list": [4000, 6000, 8000, 10000, 12000],
+                "lr_upsample_reset": True,
+                "update_AlphaMask_list": [],
+                "rm_weight_mask_thre": 0,
+                "alpha_mask_thre": 1e-3,
+                "n_lamb_sigma": [8, 4, 4],
+                "n_lamb_sh": [8, 4, 4],
+                "shadingMode": "SH",
+                "data_dim_color": 27,
+                "densityMode": "Density",
+            },
+        },
+    }
+
+
 def stanford_llff_z_plane(z_channels=32):
     """Stanford light fields, two-plane NDC parameterization + z-planes
     (reference conf/experiment/model/stanford_llff_z_plane.yaml; BASELINE.md
@@ -814,6 +948,12 @@ def tiny_donerf_sphere(z_channels=8, grid=32):
 def tiny_immersive_sphere(z_channels=8, grid=32):
     """Miniature immersive_sphere_new for tests."""
     return _shrink_for_tests(immersive_sphere_new(z_channels=z_channels),
+                             grid)
+
+
+def tiny_neural_3d(z_channels=8, grid=32):
+    """Miniature neural_3d_z_plane for tests."""
+    return _shrink_for_tests(neural_3d_z_plane(z_channels=z_channels),
                              grid)
 
 

@@ -8,6 +8,6 @@ EPOCHS=${3:-40}
 python -m hyperreel_tpu.main \
     dataset.name=neural_3d \
     dataset.root_dir="$DATA_DIR/$SCENE" \
-    model=technicolor_z_plane \
+    model=neural_3d_z_plane \
     training.num_epochs="$EPOCHS" \
     params.name="n3d_$SCENE"

@@ -124,3 +124,24 @@ class TestImmersiveSphereNew:
         # sphere_new picked up dataset bounds
         stage = dict(model.embedding.stages)["ray_intersect_0"].intersect
         assert stage.initial != 0.0 or stage.end != 1.0
+
+
+class TestNeural3DZPlane:
+    def test_trains(self):
+        """neural_3d_z_plane: 64 z-planes with explicit-radius mipnerf
+        contraction, 3-mode grids, soft sigma gate."""
+        from hyperreel_tpu.configs.presets import tiny_neural_3d
+        ds = gaussian_blob_scene(n_views=4, wh=(16, 16), dynamic=True)
+        cfg = convert_epochs_to_iters(tiny_neural_3d(), iters_per_epoch=50)
+        model = build_model(cfg, dataset_info=ds.info())
+        assert model.color_net.active_density == [0, 1, 2]
+        trainer = Trainer(model, _training_cfg(),
+                          regularizer_cfgs=tv_4000_defaults(),
+                          iters_per_epoch=50)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, history = trainer.fit(
+            state, _jnp_batches(ds, 512), num_iters=150,
+            rng=jax.random.PRNGKey(1), log_every=10)
+        first = np.mean([h["image_loss"] for h in history[:3]])
+        last = np.mean([h["image_loss"] for h in history[-3:]])
+        assert np.isfinite(last) and last < first * 0.75, (first, last)
