@@ -15,7 +15,6 @@ def log(*a):
 
 def kernel_sweep():
     from hyperreel_tpu.ops.pallas.shade import fused_shade_composite
-    rng = np.random.default_rng(0)
     B, S, C = 1 << 18, 32, 16
     N = B * S
     W = H = 203
@@ -23,27 +22,42 @@ def kernel_sweep():
     rt0 = (TH + 2) * (TW + 2)
     Rt = ((rt0 + 127) // 128) * 128
 
-    rows = jnp.asarray(rng.standard_normal((N, 4 * C)).astype(np.float32),
-                       jnp.bfloat16)
-    one = lambda lo, hi: jnp.asarray(
-        rng.uniform(lo, hi, N).astype(np.float32))
-    xn, yn, zn, tn = one(-1, 1), one(-1, 1), one(-1, 1), one(-1, 1)
+    # generate inputs ON DEVICE — multi-GB host->device transfers crawl
+    # through the axon tunnel
+    ks = list(jax.random.split(jax.random.PRNGKey(0), 16))
+    gen = jax.jit(lambda k, lo, hi: jax.random.uniform(
+        k, (N,), jnp.float32, lo, hi))
+    rows = jax.jit(lambda k: jax.random.normal(
+        k, (N, 4 * C), jnp.bfloat16))(ks[0])
+    xn, yn, zn, tn = (gen(ks[i + 1], -1, 1) for i in range(4))
     valid = jnp.ones((N,), jnp.float32)
-    cs = tuple(one(-0.1, 0.1) for _ in range(3))
-    csh = tuple(one(-0.1, 0.1) for _ in range(3))
-    dists = jnp.asarray(np.sort(
-        rng.uniform(0.1, 4.0, (B, S)).astype(np.float32), 1))
-    shb = jnp.asarray(rng.standard_normal((B, 9)).astype(np.float32))
-    ttab = jnp.asarray(rng.standard_normal((Rt, C)).astype(np.float32))
-    wb = jnp.asarray(rng.standard_normal((C, 27)).astype(np.float32))
+    cs = tuple(gen(ks[5 + i], -0.1, 0.1) for i in range(3))
+    csh = tuple(gen(ks[8 + i], -0.1, 0.1) for i in range(3))
+    dists = jax.jit(lambda k: jnp.sort(jax.random.uniform(
+        k, (B, S), jnp.float32, 0.1, 4.0), 1))(ks[11])
+    shb = jax.jit(lambda k: jax.random.normal(
+        k, (B, 9), jnp.float32))(ks[12])
+    ttab = jax.jit(lambda k: jax.random.normal(
+        k, (Rt, C), jnp.float32))(ks[13])
+    wb = jax.jit(lambda k: jax.random.normal(
+        k, (C, 27), jnp.float32))(ks[14])
+
+    args = (rows, yn, zn, tn, valid, *cs, *csh, dists, shb, ttab, wb)
 
     for tile in (32, 64, 128, 256):
         try:
-            f = jax.jit(lambda xnv, rows=rows: fused_shade_composite(
-                rows, xnv, yn, zn, tn, valid, cs, csh, dists, shb, ttab,
-                wb, W=W, H=H, TW=TW, TH=TH, n_density=8, density_shift=0.0,
-                distance_scale=16.0, tile=tile))
-            out = f(xn)
+            # everything an explicit jit arg — closed-over device arrays
+            # become jaxpr CONSTANTS and get serialized through the remote
+            # AOT compile helper (GBs -> endless compiles)
+            def call(xnv, rows, yn, zn, tn, valid, c0, c1, c2, h0, h1, h2,
+                     dists, shb, ttab, wb, tile=tile):
+                return fused_shade_composite(
+                    rows, xnv, yn, zn, tn, valid, (c0, c1, c2),
+                    (h0, h1, h2), dists, shb, ttab, wb,
+                    W=W, H=H, TW=TW, TH=TH, n_density=8,
+                    density_shift=0.0, distance_scale=16.0, tile=tile)
+            f = jax.jit(call)
+            out = f(xn, *args)
             out.block_until_ready()
 
             def run(k):
@@ -52,7 +66,7 @@ def kernel_sweep():
                 o = None
                 for i in range(k):
                     x = x.at[0].add(1e-6 if o is None else o[0, 0] * 1e-9)
-                    o = f(x)
+                    o = f(x, *args)
                 float(o[0, 0])
                 return time.perf_counter() - t0
             run(1)

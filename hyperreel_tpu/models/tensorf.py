@@ -978,8 +978,9 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         four-hot lookup, bilinear reduce, basis matmul, SH shading, color
         scale/shift, and the composite (ops/pallas/shade.py; replaces the
         XLA chain of reference nlf/nets/tensorf_dynamic.py:287-371)."""
-        from hyperreel_tpu.ops.pallas.shade import fused_shade_composite
-        from hyperreel_tpu.ops.sh import eval_sh_bases
+        from hyperreel_tpu.ops.pallas.shade import (
+            fused_shade_composite, build_scalar_pack)
+        from hyperreel_tpu.ops.sh import eval_sh_bases_cf
 
         render_kwargs = render_kwargs or {}
         B = x["viewdirs"].shape[0]
@@ -999,9 +1000,9 @@ class TensorVMKeyframeTime(TensorVMNoSample):
             [params["density"]["space_0"], params["app"]["space_0"]], -1)
         H, W, C = space.shape
         p = jnp.pad(space.astype(jnp.bfloat16), ((1, 1), (1, 1), (0, 0)))
-        pack = jnp.concatenate(
+        qpack = jnp.concatenate(
             [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1)
-        table = pack.reshape((H + 1) * (W + 1), 4 * C)
+        table = qpack.reshape((H + 1) * (W + 1), 4 * C)
 
         px = (xn2 + 1.0) * 0.5 * (W - 1)
         py = (yn2 + 1.0) * 0.5 * (H - 1)
@@ -1010,50 +1011,61 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         idx = (yi * (W + 1) + xi).reshape(-1)                # [N]
         rows = table[idx]                                    # [N, 4C] bf16
 
-        # time plane, zero-ring padded and flattened for the four-hot
+        # time plane, zero-ring padded, keyframe-major rows (row k*C + c),
+        # z on lanes — the kernel's separable z-two-hot layout (tiny)
         timep = jnp.concatenate(
             [params["density"]["time_0"], params["app"]["time_0"]], -1)
         TH, TW, _ = timep.shape
-        tp = jnp.pad(timep.astype(jnp.float32),
-                     ((1, 1), (1, 1), (0, 0)))
-        rt0 = (TH + 2) * (TW + 2)
-        rt = ((rt0 + 127) // 128) * 128
-        ttab = jnp.pad(tp.reshape(rt0, C), ((0, rt - rt0), (0, 0)))
+        tp = jnp.pad(timep.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
+        twp = ((TW + 2 + 127) // 128) * 128
+        ttab_t = jnp.pad(
+            jnp.moveaxis(tp, -1, 1).reshape((TH + 2) * C, TW + 2),
+            ((0, 0), (0, twp - (TW + 2))))
 
-        # basis matrix with zeroed density rows
-        w = params["basis_mat"]["w"].astype(jnp.float32)     # [C_app, 27]
+        # transposed basis matrix with zeroed density columns: [3K, C]
+        w = params["basis_mat"]["w"].astype(jnp.float32)     # [C_app, 3K]
         nd = self.density_n_comp[0]
-        wb = jnp.concatenate(
-            [jnp.zeros((nd, w.shape[1]), jnp.float32), w], 0)
+        wb_t = jnp.concatenate(
+            [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
 
-        shb = eval_sh_bases(self._sh_deg, viewdirs[:, 0, :])  # [B, K]
+        # channels-first SH basis rows: built from elementwise [N] rows,
+        # no transpose (ops/sh.py eval_sh_bases_cf)
+        vd = viewdirs.reshape(-1, 3)
+        shb_rows = list(eval_sh_bases_cf(self._sh_deg, vd))   # K x [N]
 
         if "color_scale" in x:
             cs3 = x["color_scale"].reshape(B, S, 3)
             csh3 = x["color_shift"].reshape(B, S, 3)
+            cs = tuple(cs3[..., c].reshape(-1) for c in range(3))
+            csh = tuple(csh3[..., c].reshape(-1) for c in range(3))
         else:
-            cs3 = jnp.ones((B, S, 3), jnp.float32)
-            csh3 = jnp.zeros((B, S, 3), jnp.float32)
-        cs = tuple(cs3[..., c].reshape(-1) for c in range(3))
-        csh = tuple(csh3[..., c].reshape(-1) for c in range(3))
+            zero = jnp.zeros((B * S,), jnp.float32)
+            cs = (zero, zero, zero)   # rgb * (0 + 1) + 0
+            csh = (zero, zero, zero)
 
-        # tile: largest power of two dividing B, capped so the [tile*S, Rt]
-        # four-hot scratch stays well under VMEM
+        pack = build_scalar_pack(
+            xn2.reshape(-1), yn2.reshape(-1), zn2.reshape(-1),
+            tn2.reshape(-1), valid2.reshape(-1), cs, csh,
+            dists.reshape(-1), shb_rows)
+
+        # tile: sized so the [TWp, tile*S] z-two-hot scratch + keyframe
+        # z-features stay in VMEM
         tile = 64
+        scratch = twp * 6 + (TH + 2) * C * 4
         while tile > 1 and (B % tile != 0
-                            or tile * S * rt * 6 > 6 * (1 << 20)):
+                            or tile * S * scratch > 8 * (1 << 20)):
             tile //= 2
 
         out = fused_shade_composite(
-            rows, xn2.reshape(-1), yn2.reshape(-1), zn2.reshape(-1),
-            tn2.reshape(-1), valid2.reshape(-1), cs, csh, dists, shb,
-            ttab, wb,
-            W=W, H=H, TW=TW, TH=TH, n_density=nd,
+            rows, pack, ttab_t, wb_t,
+            S=S, W=W, H=H, TW=TW, TH=TH, n_density=nd,
+            n_basis=(self._sh_deg + 1) ** 2,
             density_shift=0.0,  # fea2dense == relu (no shift)
             distance_scale=self.distance_scale, tile=tile)
 
-        rgb_map = out[:, :3]
-        acc_map = out[:, 3]
+        res = out[:, S - 1::S]                               # [8, B]
+        rgb_map = res[:3].T                                  # [B, 3]
+        acc_map = res[3]
         if not self.black_bg and self.white_bg:
             rgb_map = rgb_map + (1.0 - acc_map[:, None])
 
@@ -1071,7 +1083,7 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
         outputs = {"rgb": rgb_map}
         if "distances" in render_kwargs.get("fields", []):
-            outputs["distances"] = out[:, 4:5]
+            outputs["distances"] = res[4][:, None]
         return outputs
 
     # -- forward -----------------------------------------------------------
