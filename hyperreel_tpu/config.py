@@ -62,6 +62,7 @@ MODEL_PRESETS = {
     "donerf_sphere": presets.donerf_sphere,
     "immersive_sphere_new": presets.immersive_sphere_new,
     "neural_3d_z_plane": presets.neural_3d_z_plane,
+    "technicolor_cascaded": presets.technicolor_cascaded,
     "stanford_llff_z_plane": presets.stanford_llff_z_plane,
     "shiny_z_plane": presets.shiny_z_plane,
     "tiny_static": presets.tiny_static,
@@ -69,6 +70,7 @@ MODEL_PRESETS = {
     "tiny_donerf_sphere": presets.tiny_donerf_sphere,
     "tiny_immersive_sphere": presets.tiny_immersive_sphere,
     "tiny_neural_3d": presets.tiny_neural_3d,
+    "tiny_cascaded": presets.tiny_cascaded,
     "tiny_stanford_llff": presets.tiny_stanford_llff,
     "tiny_shiny": presets.tiny_shiny,
 }

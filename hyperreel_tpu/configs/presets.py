@@ -524,6 +524,137 @@ def immersive_sphere_new(z_channels=32):
     }
 
 
+def technicolor_cascaded(coarse_z=8, z_channels=32):
+    """Two-stage cascaded sample prediction (reference
+    conf/experiment/model/technicolor_cascaded.yaml): a coarse
+    ray-prediction MLP places 8 z-planes, their intersection points feed a
+    per-point refinement MLP (point_prediction) that emits the full
+    32-sample set plus flow/offset/calibration fields, followed by a
+    second z-plane intersect."""
+    return {
+        "type": "lightfield",
+        "param": {"n_dims": 6, "fn": "identity"},
+        "embedding": {
+            "type": "ray_point",
+            "embeddings": {
+                "ray_prediction_0": {
+                    "type": "ray_prediction",
+                    "params": {
+                        "ray": {
+                            "start": 0, "end": 6,
+                            "param": {"n_dims": 4, "fn": "two_plane"},
+                            "pe": {"type": "windowed", "n_freqs": 0,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                        "time": {
+                            "start": 7, "end": 8,
+                            "param": {"n_dims": 1, "fn": "identity"},
+                            "pe": {"type": "windowed", "n_freqs": 2,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                    },
+                    "net": {"type": "base", "group": "embedding_impl",
+                            "depth": 6, "hidden_channels": 256, "skips": [3]},
+                    "z_channels": coarse_z,
+                    "outputs": {"z_vals": {"channels": 1}},
+                },
+                "ray_intersect_0": {
+                    "type": "ray_intersect",
+                    "z_channels": coarse_z,
+                    "intersect": {
+                        "type": "z_plane",
+                        "sort": True,
+                        "use_disparity": False,
+                        "use_sigma": True,
+                        "out_points": "raw_points",
+                        "out_distance": "raw_distance",
+                        "initial": -1.0,
+                        "end": 1.0,
+                        "activation": {"type": "identity", "fac": 0.5},
+                    },
+                },
+                "point_prediction_0": {
+                    "type": "point_prediction",
+                    "in_z_channels": coarse_z,
+                    "inputs": {"points": 3, "viewdirs": 3, "times": 1},
+                    "params": {
+                        "points": {
+                            "start": 0, "end": 3,
+                            "param": {"n_dims": 3, "fn": "identity"},
+                            "pe": {"type": "basic", "n_freqs": 2},
+                        },
+                        "times": {
+                            "start": 0, "end": 1,
+                            "param": {"n_dims": 1, "fn": "identity"},
+                            "pe": {"type": "basic", "n_freqs": 4},
+                        },
+                    },
+                    "net": {"type": "base", "group": "embedding_impl",
+                            "depth": 6, "hidden_channels": 256, "skips": [3]},
+                    "out_z_channels": z_channels,
+                    "outputs": {
+                        "z_vals": {"channels": 1},
+                        "spatial_flow": {"channels": 3},
+                        "sigma": {"channels": 1,
+                                  "activation": _ease_sigmoid(3, 0)},
+                        "point_sigma": {"channels": 1,
+                                        "activation": _ease_sigmoid(3, 1)},
+                        "point_offset": {
+                            "channels": 3,
+                            "activation": {"type": "tanh",
+                                           "outer_fac": 0.125},
+                        },
+                        "color_scale": {"channels": 3,
+                                        "activation": _ease_zero()},
+                        "color_shift": {"channels": 3,
+                                        "activation": _ease_zero()},
+                    },
+                },
+                "ray_intersect_1": {
+                    "type": "ray_intersect",
+                    "z_channels": z_channels,
+                    "intersect": {
+                        "type": "z_plane",
+                        "sort": True,
+                        "use_disparity": False,
+                        "use_sigma": True,
+                        "initial": -1.0,
+                        "end": 1.0,
+                        "activation": {"type": "identity", "fac": 0.5},
+                    },
+                },
+                "flow_0": {
+                    "type": "advect_points",
+                    "use_spatial_flow": True,
+                    "use_angular_flow": False,
+                    "out_flow_field": "raw_flow",
+                    "flow_scale": 0.0,
+                    "spatial_flow_activation": {"type": "identity",
+                                                "fac": 0.25},
+                },
+                "point_offset_1": {
+                    "type": "point_offset",
+                    "in_density_field": "point_sigma",
+                    "use_sigma": True,
+                },
+                "add_point_outputs_0": {
+                    "type": "add_point_outputs",
+                    "extra_outputs": ["viewdirs", "times"],
+                },
+                "extract_fields": {
+                    "type": "extract_fields",
+                    "fields": ["points", "distances", "base_times",
+                               "time_offset", "times", "viewdirs", "weights",
+                               "color_transform_global", "color_scale_global",
+                               "color_shift_global", "color_transform",
+                               "color_scale", "color_shift"],
+                },
+            },
+        },
+        "color": technicolor_z_plane()["color"],
+    }
+
+
 def neural_3d_z_plane(z_channels=64):
     """Dynamic HyperReel for Neural 3D Video scenes (reference
     conf/experiment/model/neural_3d_z_plane.yaml; BASELINE.md pipeline #5
@@ -955,6 +1086,21 @@ def tiny_neural_3d(z_channels=8, grid=32):
     """Miniature neural_3d_z_plane for tests."""
     return _shrink_for_tests(neural_3d_z_plane(z_channels=z_channels),
                              grid)
+
+
+def tiny_cascaded(grid=32):
+    """Miniature technicolor_cascaded for tests."""
+    cfg = technicolor_cascaded(coarse_z=4, z_channels=8)
+    net = cfg["color"]["net"]
+    net["bf16_tables"] = False
+    net["N_voxel_init"] = grid ** 3
+    net["N_voxel_final"] = grid ** 3
+    net["upsamp_list"] = []
+    net["update_AlphaMask_list"] = []
+    for key in ("ray_prediction_0", "point_prediction_0"):
+        cfg["embedding"]["embeddings"][key]["net"].update(
+            {"depth": 4, "hidden_channels": 64, "skips": [2]})
+    return cfg
 
 
 def tiny_stanford_llff(z_channels=8, grid=32):

@@ -524,26 +524,52 @@ class PointPredictionEmbedding:
         ]
         self.out_channels = sum(self.output_shapes)
 
+        # cascaded refinement: each coarse sample emits
+        # out_z_channels / in_z_channels refined samples (reference
+        # point.py in_channels_per_z/out_channels_per_z)
+        in_z = int(cfg.get("in_z_channels", 0))
+        out_z = int(cfg.get("out_z_channels", 0))
+        self.expand_factor = max(out_z // in_z, 1) if in_z and out_z else 1
+
         net_cfg = dict(cfg["net"])
         if "depth" in net_cfg:
             net_cfg["depth"] = int(net_cfg["depth"]) - 2
             net_cfg["linear_last"] = False
-        self.net = build_net(self.in_channels, self.out_channels, net_cfg,
-                             compute_dtype=self.compute_dtype)
+        self.net = build_net(self.in_channels,
+                             self.out_channels * self.expand_factor,
+                             net_cfg, compute_dtype=self.compute_dtype)
 
     def init(self, key):
         return {"net": self.net.init(key)}
+
+    def _field(self, x, name, B, S):
+        """Per-sample input field; time/viewdir fields that only enter x
+        later (AddPointOutputs) synthesize from the rays, like the
+        reference assembles point-MLP inputs before those stages run
+        (nlf/embedding/point.py:39-218 inputs dict)."""
+        if name in x:
+            return x[name]
+        rays = x[self.rays_name]
+        if name in ("times", "base_times"):
+            return jnp.broadcast_to(rays[..., None, -1:], (B, S, 1))
+        if name == "viewdirs":
+            d = rays[..., 3:6]
+            d = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            return jnp.broadcast_to(d[..., None, :], (B, S, 3))
+        raise KeyError(name)
 
     def apply(self, params, x, ctx, render_kwargs=None):
         B, S = x["points"].shape[:2]
         feats = []
         for name, start, end, rp, pe in self.in_fields:
-            field = x[name]
+            field = self._field(x, name, B, S)
             cur = field[..., start:end]
             flat = cur.reshape(B * S, -1)
             feats.append(pe.apply(rp.apply(flat), ctx))
         net_in = jnp.concatenate(feats, -1)
-        out = self.net.apply(params["net"], net_in, ctx).reshape(B, S, -1)
+        out = self.net.apply(params["net"], net_in, ctx).reshape(
+            B, S * self.expand_factor, -1)
 
         offset = 0
         for name, width, act in zip(self.output_names, self.output_shapes,

@@ -145,3 +145,27 @@ class TestNeural3DZPlane:
         first = np.mean([h["image_loss"] for h in history[:3]])
         last = np.mean([h["image_loss"] for h in history[-3:]])
         assert np.isfinite(last) and last < first * 0.75, (first, last)
+
+
+class TestTechnicolorCascaded:
+    def test_trains(self):
+        """technicolor_cascaded: coarse ray-MLP z-planes -> per-point
+        refinement MLP (point_prediction) -> second intersect (reference
+        conf/experiment/model/technicolor_cascaded.yaml)."""
+        from hyperreel_tpu.configs.presets import tiny_cascaded
+        ds = gaussian_blob_scene(n_views=4, wh=(16, 16), dynamic=True)
+        cfg = convert_epochs_to_iters(tiny_cascaded(), iters_per_epoch=50)
+        model = build_model(cfg, dataset_info=ds.info())
+        names = [n for n, _ in model.embedding.stages]
+        assert "point_prediction_0" in names
+        assert "ray_intersect_1" in names
+        trainer = Trainer(model, _training_cfg(),
+                          regularizer_cfgs=tv_4000_defaults(),
+                          iters_per_epoch=50)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, history = trainer.fit(
+            state, _jnp_batches(ds, 512), num_iters=150,
+            rng=jax.random.PRNGKey(1), log_every=10)
+        first = np.mean([h["image_loss"] for h in history[:3]])
+        last = np.mean([h["image_loss"] for h in history[-3:]])
+        assert np.isfinite(last) and last < first * 0.75, (first, last)
