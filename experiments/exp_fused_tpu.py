@@ -48,14 +48,22 @@ def rays_chunk(n, seed=0):
 
 
 def time_fn(jfn, params, rays, it, rng, k1=3, k2=9):
+    """Chained timing that survives the axon tunnel: every call's input
+    depends on the FULL previous output (sum is never exactly zero) and
+    perturbs a distinct element, so no two queued calls are identical —
+    corner-pixel outputs are often exactly 0.0, which silently collapsed
+    an out[0,0]-based chain into deduped repeats."""
     def run(k):
         t0 = time.perf_counter()
-        r = rays
+        carry = None
         out = None
         for i in range(k):
-            r = r.at[0, 0].add(1e-6 if out is None else out[0, 0] * 1e-9)
+            delta = 1e-6 * (i + 1) if carry is None \
+                else carry * 1e-9 + 1e-6 * (i + 1)
+            r = rays.at[0, i % 6].add(delta)
             out = jfn(params, r, it, rng)
-        float(out[0, 0])
+            carry = jnp.sum(out)
+        float(carry)
         return time.perf_counter() - t0
     run(1)  # warm
     t1 = run(k1)

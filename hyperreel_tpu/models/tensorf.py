@@ -980,7 +980,6 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         XLA chain of reference nlf/nets/tensorf_dynamic.py:287-371)."""
         from hyperreel_tpu.ops.pallas.shade import (
             fused_shade_composite, build_scalar_pack)
-        from hyperreel_tpu.ops.sh import eval_sh_bases_cf
 
         render_kwargs = render_kwargs or {}
         B = x["viewdirs"].shape[0]
@@ -993,7 +992,7 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         xyz = self.normalize_coord(pts)                      # [B, S, 3]
         tn2 = self.normalize_time_coord(base_times)          # [B, S]
         xn2, yn2, zn2 = xyz[..., 0], xyz[..., 1], xyz[..., 2]
-        valid2 = (self.valid_mask(pts) & (dists > 0)).astype(jnp.float32)
+        # validity (aabb + dist > 0) is derived in-kernel from the coords
 
         # space quad table (bf16, corner-major; ops/grid_sample.py:241-307)
         space = jnp.concatenate(
@@ -1028,10 +1027,9 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         wb_t = jnp.concatenate(
             [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
 
-        # channels-first SH basis rows: built from elementwise [N] rows,
-        # no transpose (ops/sh.py eval_sh_bases_cf)
+        # viewdir component rows ([N] each); SH basis is computed in-kernel
         vd = viewdirs.reshape(-1, 3)
-        shb_rows = list(eval_sh_bases_cf(self._sh_deg, vd))   # K x [N]
+        vd_rows = [vd[:, 0], vd[:, 1], vd[:, 2]]
 
         if "color_scale" in x:
             cs3 = x["color_scale"].reshape(B, S, 3)
@@ -1045,8 +1043,7 @@ class TensorVMKeyframeTime(TensorVMNoSample):
 
         pack = build_scalar_pack(
             xn2.reshape(-1), yn2.reshape(-1), zn2.reshape(-1),
-            tn2.reshape(-1), valid2.reshape(-1), cs, csh,
-            dists.reshape(-1), shb_rows)
+            tn2.reshape(-1), cs, csh, dists.reshape(-1), vd_rows)
 
         # tile: sized so the [TWp, tile*S] z-two-hot scratch + keyframe
         # z-features stay in VMEM
@@ -1063,7 +1060,7 @@ class TensorVMKeyframeTime(TensorVMNoSample):
             density_shift=0.0,  # fea2dense == relu (no shift)
             distance_scale=self.distance_scale, tile=tile)
 
-        res = out[:, S - 1::S]                               # [8, B]
+        res = out                                            # [8, B]
         rgb_map = res[:3].T                                  # [B, 3]
         acc_map = res[3]
         if not self.black_bg and self.white_bg:

@@ -28,9 +28,12 @@ Eval-only (no VJP); training keeps the packed-scatter XLA path.
 Scalar pack row layout (build_scalar_pack):
   0 xn  1 yn  (space plane coords, [-1, 1])
   2 zn  3 tn  (time plane coords)
-  4 valid     5 dist (sorted ray distance)
-  6..8  color_scale rgb   9..11 color_shift rgb
-  12..20 SH basis rows (deg 2)   21..23 zero pad
+  4 dist (sorted ray distance)
+  5..7  color_scale rgb   8..10 color_shift rgb
+  11..13 viewdir xyz      14..15 zero pad
+Validity (coords inside the aabb and dist > 0) and the SH basis rows are
+computed IN-KERNEL from these — shipping 16 rows instead of 24 cuts the
+pack's HBM traffic by a third (~270 MB/call at 8.4M samples).
 """
 
 import functools
@@ -40,9 +43,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hyperreel_tpu.ops.sh import C0, C1, C2, C3, C4
+
 _LOG_EPS = -23.025850929940457
 _EXP_CLAMP = 70.0
-PACK_ROWS = 24
+PACK_ROWS = 16
+
+
+def _sh_basis_rows(deg, x, y, z):
+    """SH basis values on channels-first [1, blk] rows (mirrors
+    ops/sh.py eval_sh_bases, reference utils/sh_utils.py:41-141)."""
+    out = [jnp.full_like(x, C0)]
+    if deg > 0:
+        out += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            out += [C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                    C2[3] * xz, C2[4] * (xx - yy)]
+            if deg > 2:
+                out += [
+                    C3[0] * y * (3.0 * xx - yy),
+                    C3[1] * xy * z,
+                    C3[2] * y * (4.0 * zz - xx - yy),
+                    C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                    C3[4] * x * (4.0 * zz - xx - yy),
+                    C3[5] * z * (xx - yy),
+                    C3[6] * x * (xx - 3.0 * yy),
+                ]
+                if deg > 3:
+                    out += [
+                        C4[0] * xy * (xx - yy),
+                        C4[1] * yz * (3.0 * xx - yy),
+                        C4[2] * xy * (7.0 * zz - 1.0),
+                        C4[3] * yz * (7.0 * zz - 3.0),
+                        C4[4] * (zz * (35.0 * zz - 30.0) + 3.0),
+                        C4[5] * xz * (7.0 * zz - 3.0),
+                        C4[6] * (xx - yy) * (7.0 * zz - 1.0),
+                        C4[7] * xz * (xx - 3.0 * yy),
+                        C4[8] * (xx * (xx - 3.0 * yy)
+                                 - yy * (3.0 * xx - yy)),
+                    ]
+    return out
 
 
 def _corner_weights(p, lim):
@@ -59,14 +101,18 @@ def _corner_weights(p, lim):
 
 def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
                   *, S, blk, W, H, TW, TH, Rt, C, n_density, n_basis,
-                  density_shift, distance_scale, acc_dtype):
-    pk = pack_ref[:]                                       # [24, blk]
+                  sh_deg, density_shift, distance_scale, acc_dtype):
+    pk = pack_ref[:]                                       # [16, blk]
     xn = pk[0:1]
     yn = pk[1:2]
     zn = pk[2:3]
     tn = pk[3:4]
-    valid = pk[4:5]
-    dist = pk[5:6]
+    dist = pk[4:5]
+
+    # validity in-kernel: coords inside the aabb (|normalized| <= 1,
+    # matching valid_mask on the pre-normalized points) and dist > 0
+    valid = ((jnp.abs(xn) <= 1.0) & (jnp.abs(yn) <= 1.0)
+             & (jnp.abs(zn) <= 1.0) & (dist > 0.0)).astype(jnp.float32)
 
     # ---- space bilinear from gathered quad rows (corner-major 4 x C)
     px = (xn + 1.0) * 0.5 * (W - 1)
@@ -118,14 +164,15 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     app = jax.lax.dot_general(
         wb_ref[:], prod, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [3K, blk]
-    shb = pk[12:12 + n_basis]                              # [K, blk]
+    shb = _sh_basis_rows(sh_deg, pk[11:12], pk[12:13], pk[13:14])
     rgb = []
     for c in range(3):
-        e = jnp.sum(app[c * n_basis:(c + 1) * n_basis] * shb, 0,
-                    keepdims=True)
+        e = jnp.zeros((1, blk), jnp.float32)
+        for k in range(n_basis):
+            e = e + app[c * n_basis + k:c * n_basis + k + 1] * shb[k]
         v = jnp.maximum(e + 0.5, 0.0)                      # sh_render
         # rgb * (scale + 1) + shift (utils/tensorf_utils.py:267-273)
-        v = v * (pk[6 + c:7 + c] + 1.0) + pk[9 + c:10 + c]
+        v = v * (pk[5 + c:6 + c] + 1.0) + pk[8 + c:9 + c]
         rgb.append(v)
 
     # ---- composite: segmented (per-ray, S lanes each) scan in lane space.
@@ -152,29 +199,41 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     t_excl = jnp.exp(jnp.where(seg == 0, 0.0, prev))
     w = alpha * t_excl                                     # [1, blk]
 
-    def seg_sum(v):
-        s_acc = v
-        sh = 1
-        while sh < S:
-            shd = pltpu.roll(s_acc, sh, 1)
-            s_acc = s_acc + jnp.where(seg >= sh, shd, 0.0)
-            sh *= 2
-        return s_acc  # inclusive; lane S-1 of each segment = total
+    # per-ray totals as a segment-indicator matmul, compacting the output
+    # to [8, rays] (the old [8, N] write was ~268 MB/call + a 3.3 ms
+    # strided host-side gather to extract lane S-1). M[r, j] = (r//S == j).
+    # Precision: the default MXU path truncates f32 operands to bf16
+    # (measured 2e-3 rgb error) and Precision.HIGHEST costs ~8 ms/8.4M
+    # samples; but mseg is 0/1 — EXACT in bf16 — so splitting only v into
+    # bf16 hi+lo gives f32-accurate totals in 2 default-precision passes.
+    # (A [1, blk] -> [rays, S] reshape + lane-sum would avoid the MXU
+    # entirely but Mosaic rejects the shape cast.)
+    pt = out_ref.shape[1]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, pt), 0)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, pt), 1)
+    mseg = (r_iota // S == j_iota).astype(jnp.float32)
 
-    out_ref[0:1, :] = seg_sum(w * rgb[0])
-    out_ref[1:2, :] = seg_sum(w * rgb[1])
-    out_ref[2:3, :] = seg_sum(w * rgb[2])
-    out_ref[3:4, :] = seg_sum(w)
-    out_ref[4:5, :] = seg_sum(w * dist)
-    out_ref[5:8, :] = jnp.zeros((3, blk), jnp.float32)
+    vs = jnp.concatenate(
+        [w * rgb[0], w * rgb[1], w * rgb[2], w, w * dist,
+         jnp.zeros((3, blk), jnp.float32)], 0)             # [8, blk]
+    hi = vs.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = vs - hi
+
+    def dot(a):
+        return jax.lax.dot_general(
+            a, mseg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [8, pt]
+
+    out_ref[:, :] = dot(hi) + dot(lo)
 
 
-def build_scalar_pack(xn, yn, zn, tn, valid, cs, csh, dist, shb_rows):
-    """Assemble the [24, N] channels-first scalar pack from [N] rows —
+def build_scalar_pack(xn, yn, zn, tn, cs, csh, dist, vd_rows):
+    """Assemble the [16, N] channels-first scalar pack from [N] rows —
     pure stacking of elementwise-derived rows, so XLA fuses the writes
-    without any [N, k] -> [k, N] transpose."""
-    rows = [xn, yn, zn, tn, valid, dist, cs[0], cs[1], cs[2],
-            csh[0], csh[1], csh[2], *shb_rows]
+    without any [N, k] -> [k, N] transpose. Validity and SH basis are
+    derived in-kernel (from coords/dist and viewdir rows)."""
+    rows = [xn, yn, zn, tn, dist, cs[0], cs[1], cs[2],
+            csh[0], csh[1], csh[2], *vd_rows]
     n = rows[0].shape[0]
     while len(rows) < PACK_ROWS:
         rows.append(jnp.zeros((n,), jnp.float32))
@@ -187,17 +246,18 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
                           acc_dtype=jnp.bfloat16, interpret=None):
     """Args:
       rows:   [N, 4C] bf16 gathered space quad rows (corner-major).
-      pack:   [24, N] f32 scalar pack (build_scalar_pack; NOTE the row
-              order there: dist is row 5, cs rows 6-8, csh rows 9-11).
+      pack:   [16, N] f32 scalar pack (build_scalar_pack; dist row 4,
+              cs rows 5-7, csh rows 8-10, viewdir rows 11-13).
       time_table_t: [(TH+2)*C, TWp] f32 zero-ring-padded time plane,
               keyframe-major rows (row k*C + c), z on lanes padded to a
               multiple of 128.
       wb_t:   [3*n_basis, C] f32 transposed basis matrix (density columns
               zeroed).
 
-    Returns [8, N] f32 rows: r, g, b, acc, depth as INCLUSIVE per-segment
-    scans — lane S-1 of each S-lane segment holds the ray total; callers
-    take out[:, S-1::S].
+    Returns [8, N // S] f32 rows: r, g, b, acc, depth — one compacted
+    column per ray (per-ray totals computed in-kernel via a
+    segment-indicator matmul; per-block 128-lane padding is stripped
+    before returning).
     """
     N = rows.shape[0]
     C4 = rows.shape[1]
@@ -210,9 +270,11 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    pt = ((tile + 127) // 128) * 128     # padded output lanes per block
+    sh_deg = {1: 0, 4: 1, 9: 2, 16: 3, 25: 4}[n_basis]
     kern = functools.partial(
         _shade_kernel, S=S, blk=blk, W=W, H=H, TW=TW, TH=TH, Rt=Rt, C=C,
-        n_density=n_density, n_basis=n_basis,
+        n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
         density_shift=float(density_shift),
         distance_scale=float(distance_scale), acc_dtype=acc_dtype)
 
@@ -230,9 +292,11 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
             pl.BlockSpec((3 * n_basis, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, blk), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, pt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, (N // blk) * pt), jnp.float32),
         interpret=interpret,
     )(rows, pack, time_table_t, wb_t)
+    if pt != tile:
+        out = out.reshape(8, N // blk, pt)[:, :, :tile].reshape(8, N // S)
     return out
