@@ -14,6 +14,7 @@ rank-striping, nlf/__init__.py:896). Multi-host would add
 seeds by `jax.process_index()`.
 """
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import numpy as np
@@ -53,7 +54,16 @@ def make_mesh(n_devices: Optional[int] = None, axis_name="data",
 
 
 def shard_batch(batch, mesh, axis_name="data"):
+    """Place a host batch sharded over the mesh's data axis. Under a
+    multi-process (multi-host) mesh the local batch is THIS host's shard —
+    each host feeds rays from its own host_shard_seed'ed iterator and the
+    global batch is their concatenation (the reference's per-rank
+    DistributedSampler equivalent, main.py:186-204)."""
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
@@ -138,11 +148,21 @@ class ShardedTrainer:
 
         if spc > 1 and num_iters >= spc:
             scan_step, _ = self.make_train_step_scan(params, spc)
-            while (state.it + num_iters) - it >= spc:
+
+            def next_chunk():
                 bs = [next(batch_iter) for _ in range(spc)]
-                chunk = self.shard_stacked_batch(
+                return self.shard_stacked_batch(
                     {key: np.stack([np.asarray(b[key]) for b in bs])
                      for key in bs[0]})
+
+            # sample + stack on a worker thread so host batch prep overlaps
+            # the device call (same pattern as Trainer.fit's scan path)
+            pool = ThreadPoolExecutor(max_workers=1)
+            pending = pool.submit(next_chunk)
+            while (state.it + num_iters) - it >= spc:
+                chunk = pending.result()
+                if (state.it + num_iters) - it >= 2 * spc:
+                    pending = pool.submit(next_chunk)
                 rng, sub = jax.random.split(rng)
                 its = jnp.arange(it, it + spc, dtype=jnp.int32)
                 rngs = jax.random.split(sub, spc)
@@ -150,6 +170,7 @@ class ShardedTrainer:
                     params, opt_state, chunk, its, rngs)
                 metrics = {key: v[-1] for key, v in metrics.items()}
                 it += spc
+            pool.shutdown(wait=False)
 
         if it < state.it + num_iters:
             step, _ = self.make_train_step(params)

@@ -10,6 +10,7 @@ regularizers, schedules) is traced with the iteration as data.
 """
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -210,11 +211,17 @@ class Trainer:
                     return jax.device_put(
                         {k: np.stack([b[k] for b in bs]) for k in bs[0]})
 
-                pending = next_chunk()
+                # host batch sampling + stacking runs on a worker thread so
+                # it overlaps the device call (device_put itself is async,
+                # but the iterator + np.stack work is host CPU time that
+                # would otherwise sit on the dispatch path). Only the worker
+                # touches batch_iter inside this segment.
+                pool = ThreadPoolExecutor(max_workers=1)
+                pending = pool.submit(next_chunk)
                 while (seg_end - state.it) >= spc:
-                    chunk = pending
+                    chunk = pending.result()
                     if (seg_end - state.it) >= 2 * spc:
-                        pending = next_chunk()
+                        pending = pool.submit(next_chunk)
                     rng, sub = jax.random.split(rng)
                     its = jnp.arange(state.it, state.it + spc, dtype=jnp.int32)
                     rngs = jax.random.split(sub, spc)
@@ -226,6 +233,7 @@ class Trainer:
                         for j in range(spc):
                             if (prev_it + j + 1) % log_every == 0:
                                 log(metrics, prev_it + j + 1, j)
+                pool.shutdown(wait=False)
 
             if state.it < seg_end:
                 step, _ = self.make_train_step(params)
