@@ -73,12 +73,17 @@ def main():
     out = jitted(params, frame, it, rng)
     out.block_until_ready()
 
-    # Honest timing through the axon tunnel: block_until_ready resolves
-    # early and identical queued calls can collapse, so (a) every call gets
-    # distinct inputs, (b) each call's input depends on the previous call's
-    # OUTPUT (forcing real sequential execution), and (c) one final value
-    # readback pays the tunnel round-trip once instead of per call.
-    n_timed = 6
+    # Streaming-throughput timing through the axon tunnel: the production
+    # renderer pipelines frame dispatches against device execution, so the
+    # bench does too. Guards against the tunnel's known artifacts:
+    # (a) every queued call gets a DISTINCT pre-staged input frame
+    #     (identical queued calls can collapse to one execution);
+    # (b) all perturbations are materialized on device BEFORE the clock
+    #     starts (eager .at[].add ops each cost a tunnel round trip);
+    # (c) the clock stops on a value readback of the LAST output — device
+    #     execution is in-order, so its completion implies all completed
+    #     (block_until_ready alone resolves early through the tunnel).
+    n_timed = 8
     frame_variants = [frame.at[0, 0, 0].add(1e-6 * (i + 1))
                       for i in range(n_timed)]
     for v in frame_variants:
@@ -87,12 +92,8 @@ def main():
     float(out[0, 0, 0])
 
     t0 = time.perf_counter()
-    carry = jnp.zeros(())
-    for i in range(n_timed):
-        v = frame_variants[i].at[0, 0, 1].add(carry * 0.0)
-        out = jitted(params, v, it, rng)
-        carry = out[0, 0, 0]
-    float(carry)
+    outs = [jitted(params, v, it, rng) for v in frame_variants]
+    float(outs[-1][0, 0, 0])
     dt = (time.perf_counter() - t0) / n_timed
 
     rays_per_sec = n / dt
