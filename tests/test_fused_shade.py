@@ -102,3 +102,68 @@ class TestFusedShade:
         g = jax.grad(loss)(params)
         flat = jax.tree.leaves(g)
         assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
+class TestFusedShadeShapes:
+    """Parity at non-flagship shapes: more z samples, more keyframes, and
+    the inference_samples-reduced eval path."""
+
+    def _model_pair(self, z_channels, info):
+        import copy
+        cfg_f = convert_epochs_to_iters(
+            technicolor_z_plane(z_channels), 100)
+        net = cfg_f["color"]["net"]
+        net["N_voxel_init"] = 24 ** 3
+        net["N_voxel_final"] = 24 ** 3
+        net["upsamp_list"] = []
+        net["update_AlphaMask_list"] = []
+        cfg_r = copy.deepcopy(cfg_f)
+        cfg_f["color"]["net"]["fused_render"] = True
+        cfg_r["color"]["net"]["fused_render"] = False
+        model_f = build_model(cfg_f, dataset_info=info)
+        model_r = build_model(cfg_r, dataset_info=info)
+        params = model_f.init(jax.random.PRNGKey(0))
+        params["color"]["density"] = jax.tree.map(
+            lambda a: a * 6.0, params["color"]["density"])
+        return model_f, model_r, params
+
+    def test_parity_z64_k6(self):
+        info = {"num_keyframes": 6, "num_frames": 18, "num_views": 4}
+        model_f, model_r, params = self._model_pair(64, info)
+        rays = _rays(32, seed=11)
+        ctx = StepCtx(it=jnp.asarray(0), rng=jax.random.PRNGKey(1),
+                      training=False)
+        out_f = model_f.apply(params, rays, ctx)["rgb"]
+        out_r = model_r.apply(params, rays, ctx)["rgb"]
+        assert np.all(np.isfinite(np.asarray(out_f)))
+        err = np.abs(np.asarray(out_f) - np.asarray(out_r)).max()
+        assert err < 5e-3, err
+
+    def test_parity_with_inference_samples(self):
+        from hyperreel_tpu.configs.presets import with_inference_samples
+        info = {"num_keyframes": 3, "num_frames": 12, "num_views": 4}
+        cfg = convert_epochs_to_iters(technicolor_z_plane(16), 100)
+        net = cfg["color"]["net"]
+        net["N_voxel_init"] = 24 ** 3
+        net["N_voxel_final"] = 24 ** 3
+        net["upsamp_list"] = []
+        net["update_AlphaMask_list"] = []
+        cfg = with_inference_samples(cfg, 8)
+        import copy
+        cfg_r = copy.deepcopy(cfg)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg_r["color"]["net"]["fused_render"] = False
+        model_f = build_model(cfg, dataset_info=info)
+        model_r = build_model(cfg_r, dataset_info=info)
+        params = model_f.init(jax.random.PRNGKey(2))
+        params["color"]["density"] = jax.tree.map(
+            lambda a: a * 6.0, params["color"]["density"])
+        rays = _rays(32, seed=12)
+        ctx = StepCtx(it=jnp.asarray(0), rng=jax.random.PRNGKey(3),
+                      training=False)
+        out_f = model_f.apply(params, rays, ctx)["rgb"]
+        out_r = model_r.apply(params, rays, ctx)["rgb"]
+        assert out_f.shape == (32, 3)
+        assert np.all(np.isfinite(np.asarray(out_f)))
+        err = np.abs(np.asarray(out_f) - np.asarray(out_r)).max()
+        assert err < 5e-3, err
