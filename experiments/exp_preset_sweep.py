@@ -37,13 +37,16 @@ def _training_cfg(steps_per_call=8):
 
 
 def _mid_scale(cfg, grid=96, final=128):
-    """Shrink the production grid schedule to a mid-scale one (one
-    upsample event) so each preset trains in minutes, not hours."""
+    """Fix the grid at mid scale with NO events: each event boundary
+    re-jits a fresh segment graph and the remote AOT helper costs
+    5-15 min per graph — grid events are validated on hardware separately
+    (PERFORMANCE.md full-schedule runs); this sweep is per-preset
+    end-to-end evidence."""
     net = cfg["color"]["net"]
     net["N_voxel_init"] = grid ** 3
-    net["N_voxel_final"] = final ** 3
-    net["upsamp_list"] = [400]
-    net["update_AlphaMask_list"] = [300]
+    net["N_voxel_final"] = grid ** 3
+    net["upsamp_list"] = []
+    net["update_AlphaMask_list"] = []
     return cfg
 
 
