@@ -12,6 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hyperreel_tpu.ops.intersect_math import safe_norm
 from hyperreel_tpu.train.losses import get_loss
 from hyperreel_tpu.train.regularizers import (
     schedule_weight, regularizer_dict)
@@ -290,18 +291,72 @@ class PointRegularizer:
 
 @dataclass
 class FlowRegularizer:
-    """Spatial-flow smoothness: penalize flow magnitude and neighboring-
-    sample flow differences (reference nlf/regularizers/geometry.py:187+)."""
+    """Scene-flow supervision (reference nlf/regularizers/geometry.py:
+    187-263): the model's predicted per-sample (start, end) point pairs —
+    named fields produced by intersect stages' `out_points` — are pulled
+    toward the ground-truth world point (from batch depth) and its
+    flow-advected end position, masked to rays with valid flow/depth and
+    nonzero predicted distance, optionally keeping only the `num_points`
+    closest samples.
+
+    When the batch carries no flow/depth supervision (no shipped
+    reference experiment wires the field names either — the flow config's
+    `raw_points_start/end` appear in no model yaml), falls back to the
+    flow-magnitude + neighbor-smoothness prior on `spatial_flow`."""
 
     cfg: dict
 
+    def __post_init__(self):
+        self.fields = list(self.cfg.get(
+            "fields", ["raw_points_start", "raw_points_end",
+                       "raw_distance"]))
+        self.origin = jnp.asarray(self.cfg.get("origin", [0.0, 0.0, 0.0]),
+                                  jnp.float32)
+        ccfg = self.cfg.get("contract")
+        from hyperreel_tpu.ops.contract import get_contract
+        self.contract = get_contract(ccfg)
+        self.num_points = int(self.cfg.get("num_points", -1))
+
     def loss(self, model, params, batch, ctx, system=None):
+        base = schedule_weight(self.cfg, ctx.it)
+        if "flow" in batch and "depth" in batch:
+            out = model.embed(params, batch["rays"], ctx,
+                              {"fields": self.fields,
+                               "no_over_fields": self.fields})
+            if all(f in out for f in self.fields):
+                B = batch["rays"].shape[0]
+                p_start = out[self.fields[0]].reshape(B, -1, 3)
+                p_end = out[self.fields[1]].reshape(B, -1, 3)
+                p_dist = out[self.fields[2]].reshape(B, -1)
+
+                rays = batch["rays"]
+                o = rays[..., :3] - self.origin
+                d = rays[..., 3:6]
+                d = d / jnp.maximum(
+                    jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+                gt_depth = batch["depth"].reshape(B, 1)
+                gt_flow = batch["flow"].reshape(B, 3)
+                gt_world = o + gt_depth * d
+                gt_start = self.contract.contract_points(gt_world)
+                gt_end = self.contract.contract_points(gt_world + gt_flow)
+                gt = jnp.concatenate([gt_start, gt_end], -1)  # [B, 6]
+
+                pred = jnp.concatenate([p_start, p_end], -1)  # [B, S, 6]
+                mask = (jnp.any(gt_flow != 0.0, -1, keepdims=True)
+                        & (gt_depth[..., 0:1] != 0.0)
+                        & (p_dist != 0.0))
+                diff = safe_norm(pred - gt[:, None, :], axis=-1,
+                                 keepdims=False) \
+                    * mask.astype(jnp.float32)
+                if self.num_points > 0:
+                    diff = -jax.lax.top_k(-diff, self.num_points)[0]
+                return base * jnp.mean(diff)
+
         out = model.embed(params, batch["rays"], ctx,
                           {"fields": ["spatial_flow"]})
         if "spatial_flow" not in out:
             return jnp.asarray(0.0)
         flow = out["spatial_flow"]
-        base = schedule_weight(self.cfg, ctx.it)
         mag = jnp.mean(flow ** 2)
         smooth = jnp.mean((flow[:, 1:] - flow[:, :-1]) ** 2)
         return base * (mag * float(self.cfg.get("magnitude_weight", 0.01))

@@ -243,3 +243,47 @@ def test_teacher_model_from_checkpoint(tmp_path):
     # identical params -> zero distillation loss
     val0 = reg.loss(model, t_params, batch, make_ctx(10, training=True))
     assert float(val0) < float(val)
+
+
+def test_flow_regularizer_gt_supervision(setup):
+    """Reference semantics (nlf/regularizers/geometry.py:187-263): with
+    batch flow/depth present, predicted (start, end) point pairs are
+    pulled to the GT world point and its advected end; rays with zero
+    flow are masked out entirely."""
+    model, params, batch = setup
+    B = batch["rays"].shape[0]
+    rng = np.random.default_rng(0)
+    batch = dict(batch)
+    batch["depth"] = jnp.asarray(
+        rng.uniform(0.5, 2.0, (B, 1)).astype(np.float32))
+    batch["flow"] = jnp.asarray(
+        rng.normal(0, 0.1, (B, 3)).astype(np.float32))
+
+    (_, reg), = build_regularizers({
+        "r": {"type": "flow", "weight": 1.0,
+              "fields": ["points", "points", "distances"]}})
+
+    def loss(p):
+        return reg.loss(model, p, batch, make_ctx(100, training=True))
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert float(val) > 0.0
+    assert np.isfinite(float(val))
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree.leaves(grads))
+
+    # all-zero flow masks every ray -> exactly zero loss
+    batch["flow"] = jnp.zeros((B, 3), jnp.float32)
+    assert float(loss(params)) == 0.0
+
+    # num_points keeps only the closest samples -> loss can only shrink
+    (_, reg_k), = build_regularizers({
+        "r": {"type": "flow", "weight": 1.0, "num_points": 2,
+              "fields": ["points", "points", "distances"]}})
+    batch["flow"] = jnp.asarray(
+        rng.normal(0, 0.1, (B, 3)).astype(np.float32))
+    full = float(reg.loss(model, params, batch,
+                          make_ctx(100, training=True)))
+    topk = float(reg_k.loss(model, params, batch,
+                            make_ctx(100, training=True)))
+    assert topk <= full + 1e-6
