@@ -510,20 +510,77 @@ class BlurryTeacherRegularizer(TeacherRegularizer):
 
 @dataclass
 class FourierRegularizer:
-    """Frequency-space supervision: match the FFT magnitude of predictions
-    to ground truth over a ray batch (reference
-    nlf/regularizers/fourier.py:24+ with datasets/fourier.py)."""
+    """Frequency-space supervision (reference nlf/regularizers/fourier.py
+    + datasets/fourier.py): each step, a RANDOM full-image ray grid is
+    synthesized host-side (random origin within +-range.pos at z=0,
+    random per-pixel directions around -z — get_random_rays), the model
+    renders it, and the per-image 2D FFT magnitude is matched against the
+    train images' mean FFT magnitude. (The reference MSEs the render
+    against EVERY image's FFT; the gradient of that mean-of-MSEs equals
+    the MSE against the mean target, which is what ships here.)
+
+    Without a System (standalone Trainer), falls back to matching
+    rfft magnitudes of pred vs gt along the ray batch axis."""
 
     cfg: dict
 
     def __post_init__(self):
         self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
+        rng_cfg = self.cfg.get("range", {})
+        self.pos_range = float(rng_cfg.get("pos", 0.25))
+        self.dir_range = float(rng_cfg.get("dir", 0.25))
+        self.max_side = int(self.cfg.get("max_side", 128))
+        self._rng = np.random.default_rng(
+            int(self.cfg.get("seed", 2024)))
+        self._target = None
+        self._wh = None
+        self._ray_dim = None
+
+    def _prepare(self, system):
+        ds = system.train_dataset
+        W, H = ds.img_wh
+        stride = max(1, int(np.ceil(max(W, H) / self.max_side)))
+        Ws, Hs = W // stride, H // stride
+        imgs = ds.all_rgb[: ds.num_images * W * H].reshape(
+            ds.num_images, H, W, 3)[:, ::stride, ::stride][:, :Hs, :Ws]
+        fft = np.abs(np.fft.fft2(imgs, axes=(1, 2)))
+        self._target = fft.mean(0).astype(np.float32)   # [Hs, Ws, 3]
+        self._wh = (Ws, Hs)
+        self._ray_dim = ds.all_coords.shape[-1]
+
+    def host_batch(self, system=None):
+        if system is None:
+            return {}
+        if self._target is None:
+            self._prepare(system)
+        Ws, Hs = self._wh
+        pos = (self._rng.uniform(-1, 1, (1, 1, 3))
+               * self.pos_range).astype(np.float32)
+        pos[..., 2] = 0.0
+        d = (self._rng.uniform(-1, 1, (Hs, Ws, 3))
+             * self.dir_range).astype(np.float32)
+        d[..., 2] = -1.0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = np.concatenate(
+            [np.broadcast_to(pos, d.shape), d], -1).reshape(-1, 6)
+        if self._ray_dim > 6:  # cam-idx / time channels -> zeros
+            rays = np.concatenate(
+                [rays, np.zeros((len(rays), self._ray_dim - 6),
+                                np.float32)], -1)
+        return {"fourier_rays": rays, "fourier_mean_fft": self._target}
 
     def loss(self, model, params, batch, ctx, system=None):
+        base = schedule_weight(self.cfg, ctx.it)
+        if "fourier_rays" in batch:
+            target = batch["fourier_mean_fft"]
+            Hs, Ws = target.shape[0], target.shape[1]
+            out = model.apply(params, batch["fourier_rays"], ctx)["rgb"]
+            pred_f = jnp.abs(jnp.fft.fft2(out.reshape(Hs, Ws, 3),
+                                          axes=(0, 1)))
+            return base * self.loss_fn(pred_f, target)
         out = model.apply(params, batch["rays"], ctx)["rgb"]
         pred_f = jnp.abs(jnp.fft.rfft(out, axis=0))
         gt_f = jnp.abs(jnp.fft.rfft(batch["rgb"], axis=0))
-        base = schedule_weight(self.cfg, ctx.it)
         return base * self.loss_fn(pred_f, gt_f)
 
 

@@ -287,3 +287,36 @@ def test_flow_regularizer_gt_supervision(setup):
     topk = float(reg_k.loss(model, params, batch,
                             make_ctx(100, training=True)))
     assert topk <= full + 1e-6
+
+
+def test_fourier_regularizer_random_view_fft(setup):
+    """Reference semantics (nlf/regularizers/fourier.py + datasets/
+    fourier.py): render a random full-image ray grid, match its 2D FFT
+    magnitude against the train images' mean FFT magnitude."""
+    from types import SimpleNamespace
+    from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+
+    model, params, _ = setup
+    ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+    system = SimpleNamespace(train_dataset=ds)
+
+    (_, reg), = build_regularizers({
+        "r": {"type": "fourier", "weight": 1.0,
+              "range": {"pos": 0.2, "dir": 0.2}}})
+    hb = reg.host_batch(system)
+    assert hb["fourier_rays"].shape == (256, ds.all_coords.shape[-1])
+    assert hb["fourier_mean_fft"].shape == (16, 16, 3)
+
+    batch = {k: jnp.asarray(v) for k, v in hb.items()}
+
+    def loss(p):
+        return reg.loss(model, p, batch, make_ctx(100, training=True))
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val)) and float(val) > 0.0
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree.leaves(grads))
+
+    # two host batches draw different random views
+    hb2 = reg.host_batch(system)
+    assert not np.allclose(hb["fourier_rays"], hb2["fourier_rays"])
