@@ -488,12 +488,74 @@ class TeacherModelRegularizer(TeacherRegularizer):
         return base * self.loss_fn(out["rgb"], target)
 
 
+def _gaussian_blur2d(img_hwc, radius):
+    """Separable gaussian blur, kernel (2r+1), sigma r/3 (matches kornia
+    gaussian_blur2d as used by the reference, teacher.py:94-98)."""
+    sigma = radius / 3.0
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+    pad = [(radius, radius), (0, 0), (0, 0)]
+    out = jnp.pad(img_hwc, pad, mode="edge")
+    out = sum(k[i] * out[i:i + img_hwc.shape[0]]
+              for i in range(2 * radius + 1))
+    out = jnp.pad(out, [(0, 0), (radius, radius), (0, 0)], mode="edge")
+    out = sum(k[i] * out[:, i:i + img_hwc.shape[1]]
+              for i in range(2 * radius + 1))
+    return out
+
+
 @dataclass
 class BlurryTeacherRegularizer(TeacherRegularizer):
-    """Match a blurred teacher (low-frequency supervision,
-    reference teacher.py blurry variant): compare means over ray groups."""
+    """Blurred-patch teacher supervision (reference teacher.py:60-116):
+    draw a patch_width^2 CONTIGUOUS pixel patch from the teacher dataset,
+    render it, gaussian-blur the PREDICTION (kernel 2r+1, sigma r/3),
+    crop the r-pixel border from both, and apply the loss against the
+    un-blurred teacher rgb.
+
+    Without a config dataset, distills ray-group means against a frozen
+    in-memory teacher (set_teacher) on the train batch's rays."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.patch_width = int(
+            self.cfg.get("dataset", {}).get("patch_width", 32)
+            if isinstance(self.cfg.get("dataset"), dict) else 32)
+        self.blur_radius = int(self.cfg.get("blur_radius", 2))
+
+    def host_batch(self, system=None):
+        dcfg = self.cfg.get("dataset")
+        if not dcfg:
+            return {}
+        if self._ds is None:
+            from hyperreel_tpu.data import get_dataset
+            kwargs = {k: v for k, v in dcfg.items()
+                      if k not in ("name", "root_dir", "patch_width")}
+            args = [dcfg["root_dir"]] if dcfg.get("root_dir") else []
+            self._ds = get_dataset(dcfg["name"], *args, **kwargs)
+        ds = self._ds
+        W, H = ds.img_wh
+        pw = self.patch_width
+        img = int(self._ds_rng.integers(0, ds.num_images))
+        x0 = int(self._ds_rng.integers(0, max(W - pw, 0) + 1))
+        y0 = int(self._ds_rng.integers(0, max(H - pw, 0) + 1))
+        rows = (np.arange(pw)[:, None] + y0) * W \
+            + (np.arange(pw)[None, :] + x0) + img * W * H
+        rows = rows.reshape(-1)
+        return {"teacher_patch_rays": ds.all_coords[rows],
+                "teacher_patch_rgb": ds.all_rgb[rows]}
 
     def loss(self, model, params, batch, ctx, system=None):
+        base = schedule_weight(self.cfg, ctx.it)
+        if "teacher_patch_rays" in batch:
+            pw, r = self.patch_width, self.blur_radius
+            pred = model.apply(params, batch["teacher_patch_rays"],
+                               ctx)["rgb"].reshape(pw, pw, 3)
+            gt = batch["teacher_patch_rgb"].reshape(pw, pw, 3)
+            if r > 0:
+                pred = _gaussian_blur2d(pred, r)[r:-r, r:-r]
+                gt = gt[r:-r, r:-r]
+            return base * self.loss_fn(pred, gt)
         if self.teacher_model is None:
             return jnp.asarray(0.0)
         target = jax.lax.stop_gradient(
@@ -504,7 +566,6 @@ class BlurryTeacherRegularizer(TeacherRegularizer):
         B = (out.shape[0] // g) * g
         tm = target[:B].reshape(-1, g, 3).mean(1)
         om = out[:B].reshape(-1, g, 3).mean(1)
-        base = schedule_weight(self.cfg, ctx.it)
         return base * self.loss_fn(om, tm)
 
 

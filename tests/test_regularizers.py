@@ -320,3 +320,37 @@ def test_fourier_regularizer_random_view_fft(setup):
     # two host batches draw different random views
     hb2 = reg.host_batch(system)
     assert not np.allclose(hb["fourier_rays"], hb2["fourier_rays"])
+
+
+def test_blurry_teacher_patch_supervision(setup):
+    """Reference semantics (teacher.py:60-116): contiguous pixel patch
+    from the teacher dataset, gaussian-blurred prediction vs raw teacher
+    rgb, border-cropped."""
+    model, params, _ = setup
+    (_, reg), = build_regularizers({
+        "r": {"type": "blurry_teacher", "weight": 1.0, "blur_radius": 2,
+              "dataset": {"name": "synthetic_blobs", "n_views": 2,
+                          "wh": [16, 16], "patch_width": 8}}})
+    hb = reg.host_batch()
+    assert hb["teacher_patch_rays"].shape[0] == 64  # 8x8 patch
+    batch = {k: jnp.asarray(v) for k, v in hb.items()}
+
+    def loss(p):
+        return reg.loss(model, p, batch, make_ctx(100, training=True))
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val)) and float(val) > 0.0
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree.leaves(grads))
+
+    # patches are contiguous pixel blocks: ray rows of one patch row are
+    # adjacent dataset rows
+    rows = np.asarray(hb["teacher_patch_rays"])
+    ds_coords = reg._ds.all_coords
+    first_row = rows[:8]
+    found = False
+    for start in range(len(ds_coords) - 8):
+        if np.allclose(ds_coords[start:start + 8], first_row):
+            found = True
+            break
+    assert found
