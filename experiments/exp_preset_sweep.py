@@ -117,6 +117,8 @@ def main():
         ("donerf_sphere", P.donerf_sphere, False),
         ("stanford_llff_z_plane", P.stanford_llff_z_plane, False),
         ("shiny_z_plane", P.shiny_z_plane, False),
+        ("donerf_cylinder", P.donerf_cylinder, False),
+        ("blender_voxel", P.blender_voxel, False),
     ]
     args = [a for a in sys.argv[1:] if a != "--smoke"]
     smoke = "--smoke" in sys.argv[1:]

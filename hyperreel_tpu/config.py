@@ -59,6 +59,8 @@ DEFAULT_TRAINING = {
 MODEL_PRESETS = {
     "technicolor_z_plane": presets.technicolor_z_plane,
     "llff_z_plane": presets.llff_z_plane,
+    "donerf_cylinder": presets.donerf_cylinder,
+    "blender_voxel": presets.blender_voxel,
     "donerf_sphere": presets.donerf_sphere,
     "immersive_sphere_new": presets.immersive_sphere_new,
     "neural_3d_z_plane": presets.neural_3d_z_plane,
@@ -73,6 +75,8 @@ MODEL_PRESETS = {
     "tiny_cascaded": presets.tiny_cascaded,
     "tiny_stanford_llff": presets.tiny_stanford_llff,
     "tiny_shiny": presets.tiny_shiny,
+    "tiny_donerf_cylinder": presets.tiny_donerf_cylinder,
+    "tiny_blender_voxel": presets.tiny_blender_voxel,
 }
 
 

@@ -388,6 +388,115 @@ def donerf_sphere(z_channels=32):
     }
 
 
+def donerf_cylinder(z_channels=32):
+    """donerf_sphere with concentric CYLINDER primitives — the reference
+    configs differ only in the intersect type (diff of
+    conf/experiment/model/donerf_sphere.yaml vs donerf_cylinder.yaml:
+    `type: sphere` -> `type: cylinder`)."""
+    cfg = donerf_sphere(z_channels=z_channels)
+    cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
+        "type"] = "cylinder"
+    return cfg
+
+
+def blender_voxel(z_channels=192):
+    """Static HyperReel with axis-aligned voxel-grid primitives on
+    synthetic Blender scenes (reference
+    conf/experiment/model/blender_voxel.yaml): pluecker rays with a
+    windowed 2-freq PE, 192 z-channels over 3 axes, pre-intersect ray
+    density (sigmoid, shift 2), voxel_grid intersection over [-2, 2]^3
+    with [2, 6] clipping, post-intersect point density + offsets, and a
+    [8, 8, 8] softplus TensorVM color net on a white background."""
+    density = {"type": "point_density", "shift": 2.0,
+               "activation": {"type": "sigmoid", "fac": 1.0}}
+    return {
+        "type": "lightfield",
+        "param": {"n_dims": 6, "fn": "identity"},
+        "embedding": {
+            "type": "ray_point",
+            "embeddings": {
+                "ray_prediction_0": {
+                    "type": "ray_prediction",
+                    "params": {
+                        "ray": {
+                            "start": 0, "end": 6,
+                            "param": {"n_dims": 6, "fn": "pluecker",
+                                      "direction_multiplier": 1.0,
+                                      "moment_multiplier": 1.0},
+                            "pe": {"type": "windowed", "n_freqs": 2,
+                                   "wait_iters": 0, "max_freq_epoch": 0},
+                        },
+                    },
+                    "net": {"type": "base", "group": "embedding_impl",
+                            "depth": 6, "hidden_channels": 256,
+                            "skips": [3]},
+                    "z_channels": z_channels,
+                    "outputs": {
+                        "z_vals": {"channels": 1},
+                        "sigma": {"channels": 1},
+                        "point_offset": {"channels": 3},
+                    },
+                },
+                "point_density_0": dict(density),
+                "ray_intersect_0": {
+                    "type": "ray_intersect",
+                    "z_channels": z_channels,
+                    "intersect": {
+                        "type": "voxel_grid",
+                        "sort": True,
+                        "outward_facing": False,
+                        "use_disparity": False,
+                        "use_sigma": True,
+                        "origin": [0.0, 0.0, 0.0],
+                        "initial": [-2.0, -2.0, -2.0],
+                        "end": [2.0, 2.0, 2.0],
+                        "near": 2.0,
+                        "far": 6.0,
+                        "activation": {"type": "identity", "fac": 0.5},
+                    },
+                },
+                "add_point_outputs_0": {
+                    "type": "add_point_outputs",
+                    "extra_outputs": ["viewdirs"],
+                },
+                "point_density_1": dict(density),
+                "point_offset_0": {
+                    "type": "point_offset",
+                    "use_sigma": True,
+                    "activation": {"type": "identity", "fac": 0.25},
+                },
+                "extract_fields": {
+                    "type": "extract_fields",
+                    "fields": ["points", "distances", "viewdirs"],
+                },
+            },
+        },
+        "color": {
+            "type": "base",
+            "net": {
+                "type": "tensor_vm_split_no_sample",
+                "white_bg": 1,
+                "ndc_ray": 0,
+                "fea2denseAct": "softplus",
+                "distance_scale": 25.0,
+                "density_shift": -10.0,
+                "aabb": [[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]],
+                "N_voxel_init": 1000000,
+                "N_voxel_final": 27000000,
+                "upsamp_list": [4000, 6000, 8000, 10000, 12000],
+                "lr_upsample_reset": True,
+                "update_AlphaMask_list": [4000, 8000],
+                "rm_weight_mask_thre": 1e-4,
+                "alpha_mask_thre": 1e-4,
+                "n_lamb_sigma": [8, 8, 8],
+                "n_lamb_sh": [8, 8, 8],
+                "shadingMode": "SH",
+                "data_dim_color": 27,
+            },
+        },
+    }
+
+
 def immersive_sphere_new(z_channels=32):
     """Dynamic HyperReel for Google Immersive scenes: outward-facing
     concentric spheres with miss fallback (sphere_new), mipnerf
@@ -1101,6 +1210,17 @@ def tiny_cascaded(grid=32):
         cfg["embedding"]["embeddings"][key]["net"].update(
             {"depth": 4, "hidden_channels": 64, "skips": [2]})
     return cfg
+
+
+def tiny_donerf_cylinder(z_channels=8, grid=32):
+    """Miniature donerf_cylinder for tests."""
+    return _shrink_for_tests(donerf_cylinder(z_channels=z_channels), grid)
+
+
+def tiny_blender_voxel(z_channels=12, grid=32):
+    """Miniature blender_voxel for tests (z divisible by 3: the voxel
+    grid splits channels across the 3 axes)."""
+    return _shrink_for_tests(blender_voxel(z_channels=z_channels), grid)
 
 
 def tiny_stanford_llff(z_channels=8, grid=32):

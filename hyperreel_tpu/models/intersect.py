@@ -406,10 +406,35 @@ class IntersectVoxelGrid(IntersectStage):
         cfg = self.cfg
         self.outward_facing = bool(cfg.get("outward_facing", False))
         self.max_axis = bool(cfg.get("max_axis", False))
-        n = self.z_channels  # z_vals carry [.., S, 3] offsets flattened
-        self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
-            n, cfg, self.contract
-        )
+        assert self.z_channels % 3 == 0, self.z_channels
+        n = self.z_channels // 3
+        # per-axis anchors (reference voxel.py:46-63): initial/end are
+        # 3-vectors, a z/3-point linspace per axis, z_scale per axis
+        initial = np.asarray(cfg.get("initial", [0.0] * 3),
+                             np.float32).reshape(-1)
+        end = np.asarray(cfg.get("end", [1.0] * 3), np.float32).reshape(-1)
+        if initial.size == 1:
+            initial = np.repeat(initial, 3)
+        if end.size == 1:
+            end = np.repeat(end, 3)
+        if self.contract.contract_samples:
+            initial = np.asarray(self.contract.contract_distance(initial),
+                                 np.float32)
+            end = np.asarray(self.contract.contract_distance(end),
+                             np.float32)
+        samples = np.stack(
+            [np.linspace(initial[d], end[d], n) for d in range(3)],
+            -1).astype(np.float32)                     # [n, 3]
+        if "z_scale" in cfg:
+            z_scale = np.asarray(cfg["z_scale"], np.float32)
+        elif n > 1:
+            z_scale = np.abs(samples[1] - samples[0])
+        else:
+            z_scale = np.ones(3, np.float32)
+        self.z_scale = np.where(z_scale == 0.0, 1.0,
+                                z_scale).astype(np.float32)
+        self.samples = samples
+        self.initial, self.end = initial, end
 
     def intersect(self, params, rays, z_vals, x):
         B = z_vals.shape[0]
@@ -417,7 +442,17 @@ class IntersectVoxelGrid(IntersectStage):
         if self.outward_facing:
             d = rays[..., 3:6]
             vals = vals * jnp.sign(d)[:, None, :]
-        return intersect_voxel_grid(rays[:, None, :], jnp.zeros(3), vals)
+        dists = intersect_voxel_grid(rays[:, None, :], jnp.zeros(3), vals)
+        if self.max_axis:
+            # keep only the dominant-direction axis' planes
+            # (reference voxel.py:99-112)
+            d = jnp.abs(rays[..., 3:6])
+            keep = d >= (jnp.max(d, -1, keepdims=True) - 1e-8)
+            dists = jnp.where(
+                jnp.tile(keep[:, None, :], (1, vals.shape[1], 1)).reshape(
+                    B, -1),
+                dists.reshape(B, -1), 0.0)
+        return dists
 
 
 @dataclass

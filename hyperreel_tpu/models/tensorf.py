@@ -493,7 +493,10 @@ class TensorVMNoSample:
             [dists[..., 1:] - dists[..., :-1],
              jnp.full_like(dists[:, :1], 1e10)], -1)
         viewdirs = x["viewdirs"].reshape(B, S, 3)
-        weights = x["weights"].reshape(B, S)
+        # configs whose extract_fields drops "weights" (e.g. blender_voxel)
+        # mean uniform sample weights
+        weights = x["weights"].reshape(B, S) if "weights" in x \
+            else jnp.ones((B, S), dists.dtype)
 
         ray_valid = self.valid_mask(pts) & (dists > 0)
 

@@ -169,3 +169,21 @@ class TestTechnicolorCascaded:
         first = np.mean([h["image_loss"] for h in history[:3]])
         last = np.mean([h["image_loss"] for h in history[-3:]])
         assert np.isfinite(last) and last < first * 0.75, (first, last)
+
+
+class TestDonerfCylinder:
+    """donerf_cylinder: the reference yaml differs from donerf_sphere only
+    in `intersect.type: cylinder` (model/donerf_cylinder.yaml)."""
+
+    def test_trains(self):
+        from hyperreel_tpu.configs.presets import tiny_donerf_cylinder
+        _train_and_check(tiny_donerf_cylinder())
+
+
+class TestBlenderVoxel:
+    """blender_voxel: voxel-grid primitives + pre/post point density +
+    softplus TensorVM on white bg (model/blender_voxel.yaml)."""
+
+    def test_trains(self):
+        from hyperreel_tpu.configs.presets import tiny_blender_voxel
+        _train_and_check(tiny_blender_voxel())
