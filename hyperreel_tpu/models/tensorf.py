@@ -992,9 +992,22 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         dists = x["distances"].reshape(B, S)
         viewdirs = x["viewdirs"].reshape(B, S, 3)
 
+        import os
+        coord_dot = os.environ.get("HYPERREEL_COORD_DOT", "1") not in (
+            "0", "false")
+
         xyz = self.normalize_coord(pts)                      # [B, S, 3]
         tn2 = self.normalize_time_coord(base_times)          # [B, S]
-        xn2, yn2, zn2 = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        if coord_dot:
+            # component extraction as a minor-axis reduce (dot with a
+            # one-hot) instead of a stride-3 slice: the slice form makes
+            # XLA canonicalize to the [N, 3] -> [3, N] transpose
+            # while-loop (~4 ms/chunk; PERFORMANCE.md round-1 notes)
+            e3 = jnp.eye(3, dtype=xyz.dtype)
+            xn2, yn2, zn2 = (jnp.einsum("bsc,c->bs", xyz, e3[c])
+                             for c in range(3))
+        else:
+            xn2, yn2, zn2 = xyz[..., 0], xyz[..., 1], xyz[..., 2]
         # validity (aabb + dist > 0) is derived in-kernel from the coords
 
         # space quad table (bf16, corner-major; ops/grid_sample.py:241-307)
@@ -1030,15 +1043,27 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         wb_t = jnp.concatenate(
             [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
 
-        # viewdir component rows ([N] each); SH basis is computed in-kernel
-        vd = viewdirs.reshape(-1, 3)
-        vd_rows = [vd[:, 0], vd[:, 1], vd[:, 2]]
+        # viewdir component rows ([N] each); SH basis is computed in-kernel.
+        # viewdirs are the ray direction broadcast to every sample
+        # (CreateRays/AddPointOutputs), so extract per-RAY (a [B, 3]
+        # strided read, 32x smaller than [N, 3]) and re-broadcast
+        vd_ray = viewdirs[:, 0, :]                           # [B, 3]
+        vd_rows = [jnp.broadcast_to(vd_ray[:, c:c + 1], (B, S)).reshape(-1)
+                   for c in range(3)]
 
         if "color_scale" in x:
             cs3 = x["color_scale"].reshape(B, S, 3)
             csh3 = x["color_shift"].reshape(B, S, 3)
-            cs = tuple(cs3[..., c].reshape(-1) for c in range(3))
-            csh = tuple(csh3[..., c].reshape(-1) for c in range(3))
+            if coord_dot:
+                e3c = jnp.eye(3, dtype=cs3.dtype)
+                cs = tuple(jnp.einsum("bsc,c->bs", cs3, e3c[c]).reshape(-1)
+                           for c in range(3))
+                csh = tuple(
+                    jnp.einsum("bsc,c->bs", csh3, e3c[c]).reshape(-1)
+                    for c in range(3))
+            else:
+                cs = tuple(cs3[..., c].reshape(-1) for c in range(3))
+                csh = tuple(csh3[..., c].reshape(-1) for c in range(3))
         else:
             zero = jnp.zeros((B * S,), jnp.float32)
             cs = (zero, zero, zero)   # rgb * (0 + 1) + 0
