@@ -14,7 +14,6 @@ rank-striping, nlf/__init__.py:896). Multi-host would add
 seeds by `jax.process_index()`.
 """
 
-from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import numpy as np
@@ -151,18 +150,22 @@ class ShardedTrainer:
 
             def next_chunk():
                 bs = [next(batch_iter) for _ in range(spc)]
-                return self.shard_stacked_batch(
-                    {key: np.stack([np.asarray(b[key]) for b in bs])
-                     for key in bs[0]})
+                out = {}
+                for key in bs[0]:
+                    if isinstance(bs[0][key], np.ndarray):
+                        out[key] = np.stack([b[key] for b in bs])
+                    else:
+                        # device-resident batches: stack on device (a
+                        # np.asarray here is a device->host readback per
+                        # batch per key — see Trainer.fit's note)
+                        out[key] = jnp.stack([b[key] for b in bs])
+                return self.shard_stacked_batch(out)
 
-            # sample + stack on a worker thread so host batch prep overlaps
-            # the device call (same pattern as Trainer.fit's scan path)
-            pool = ThreadPoolExecutor(max_workers=1)
-            pending = pool.submit(next_chunk)
+            pending = next_chunk()
             while (state.it + num_iters) - it >= spc:
-                chunk = pending.result()
+                chunk = pending
                 if (state.it + num_iters) - it >= 2 * spc:
-                    pending = pool.submit(next_chunk)
+                    pending = next_chunk()
                 rng, sub = jax.random.split(rng)
                 its = jnp.arange(it, it + spc, dtype=jnp.int32)
                 rngs = jax.random.split(sub, spc)
@@ -170,7 +173,6 @@ class ShardedTrainer:
                     params, opt_state, chunk, its, rngs)
                 metrics = {key: v[-1] for key, v in metrics.items()}
                 it += spc
-            pool.shutdown(wait=False)
 
         if it < state.it + num_iters:
             step, _ = self.make_train_step(params)

@@ -10,7 +10,6 @@ regularizers, schedules) is traced with the iteration as data.
 """
 
 import time
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -208,20 +207,29 @@ class Trainer:
 
                 def next_chunk():
                     bs = [next(batch_iter) for _ in range(spc)]
-                    return jax.device_put(
-                        {k: np.stack([b[k] for b in bs]) for k in bs[0]})
+                    out = {}
+                    for k in bs[0]:
+                        if isinstance(bs[0][k], np.ndarray):
+                            out[k] = jax.device_put(
+                                np.stack([b[k] for b in bs]))
+                        else:
+                            # device-resident batches: stack ON device —
+                            # np.stack here triggered a device->host
+                            # readback PER BATCH PER KEY through the
+                            # tunnel (~10-50 ms each; measured 153-202
+                            # ms/step vs ~17 for spc=1)
+                            out[k] = jnp.stack([b[k] for b in bs])
+                    return out
 
-                # host batch sampling + stacking runs on a worker thread so
-                # it overlaps the device call (device_put itself is async,
-                # but the iterator + np.stack work is host CPU time that
-                # would otherwise sit on the dispatch path). Only the worker
-                # touches batch_iter inside this segment.
-                pool = ThreadPoolExecutor(max_workers=1)
-                pending = pool.submit(next_chunk)
+                # NOTE (negative result, round 2): moving next_chunk onto a
+                # ThreadPoolExecutor worker did not help either (the slow
+                # step was the hidden readbacks above, and threaded
+                # device_put serializes against in-flight dispatch).
+                pending = next_chunk()
                 while (seg_end - state.it) >= spc:
-                    chunk = pending.result()
+                    chunk = pending
                     if (seg_end - state.it) >= 2 * spc:
-                        pending = pool.submit(next_chunk)
+                        pending = next_chunk()
                     rng, sub = jax.random.split(rng)
                     its = jnp.arange(state.it, state.it + spc, dtype=jnp.int32)
                     rngs = jax.random.split(sub, spc)
@@ -233,7 +241,6 @@ class Trainer:
                         for j in range(spc):
                             if (prev_it + j + 1) % log_every == 0:
                                 log(metrics, prev_it + j + 1, j)
-                pool.shutdown(wait=False)
 
             if state.it < seg_end:
                 step, _ = self.make_train_step(params)
