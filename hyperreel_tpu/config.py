@@ -61,6 +61,7 @@ MODEL_PRESETS = {
     "llff_z_plane": presets.llff_z_plane,
     "donerf_cylinder": presets.donerf_cylinder,
     "blender_voxel": presets.blender_voxel,
+    "catacaustics_distance": presets.catacaustics_distance,
     "donerf_sphere": presets.donerf_sphere,
     "immersive_sphere_new": presets.immersive_sphere_new,
     "neural_3d_z_plane": presets.neural_3d_z_plane,
@@ -77,6 +78,7 @@ MODEL_PRESETS = {
     "tiny_shiny": presets.tiny_shiny,
     "tiny_donerf_cylinder": presets.tiny_donerf_cylinder,
     "tiny_blender_voxel": presets.tiny_blender_voxel,
+    "tiny_catacaustics_distance": presets.tiny_catacaustics_distance,
 }
 
 

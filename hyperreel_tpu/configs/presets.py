@@ -497,6 +497,56 @@ def blender_voxel(z_channels=192):
     }
 
 
+def catacaustics_distance(z_channels=64):
+    """Static HyperReel with DIRECT per-sample distance prediction
+    (euclidean_distance_unified) + mipnerf contraction on Catacaustics
+    captures (reference conf/experiment/model/catacaustics_distance.yaml).
+    The reference writes the grid schedule as grid_size start/end
+    [100^3 -> 400^3]; with its cubic aabb that is exactly
+    N_voxel_init/final 1e6 -> 6.4e7 through n_to_reso, which is the form
+    used here."""
+    cfg = donerf_sphere(z_channels=z_channels)
+    emb = cfg["embedding"]["embeddings"]
+    pred = emb["ray_prediction_0"]
+    pred["params"]["ray"]["pe"] = {
+        "type": "windowed", "n_freqs": 2, "freq_multiplier": 2.0,
+        "wait_iters": 0, "max_freq_epoch": 0}
+    outs = pred["outputs"]
+    outs.pop("color_scale", None)
+    outs.pop("color_shift", None)
+    outs.pop("point_sigma", None)
+    outs["point_offset"] = {"channels": 3,
+                            "activation": {"type": "tanh",
+                                           "outer_fac": 0.25}}
+    outs["color_scale_global"] = {"channels": 3, "activation": _ease_zero()}
+    outs["color_shift_global"] = {"channels": 3, "activation": _ease_zero()}
+    emb["ray_intersect_0"]["intersect"] = {
+        "type": "euclidean_distance_unified",
+        "sort": True,
+        "outward_facing": False,
+        "use_disparity": False,
+        "use_sigma": True,
+        "out_points": "raw_points",
+        "out_distance": "raw_distance",
+        "use_dataset_bounds": True,
+        "contract": {"type": "mipnerf", "contract_samples": True,
+                     "use_dataset_bounds": True},
+        "activation": {"type": "identity", "fac": 0.5},
+    }
+    emb["point_offset_0"] = {"type": "point_offset", "use_sigma": True}
+    emb["extract_fields"]["fields"] = [
+        "points", "distances", "viewdirs", "weights",
+        "color_scale_global", "color_shift_global"]
+    net = cfg["color"]["net"]
+    net["N_voxel_init"] = 1000000
+    net["N_voxel_final"] = 64000000
+    net["n_lamb_sigma"] = [8, 8, 8]
+    net["n_lamb_sh"] = [8, 8, 8]
+    net["shadingMode"] = "SH"
+    net["data_dim_color"] = 27
+    return cfg
+
+
 def immersive_sphere_new(z_channels=32):
     """Dynamic HyperReel for Google Immersive scenes: outward-facing
     concentric spheres with miss fallback (sphere_new), mipnerf
@@ -1221,6 +1271,12 @@ def tiny_blender_voxel(z_channels=12, grid=32):
     """Miniature blender_voxel for tests (z divisible by 3: the voxel
     grid splits channels across the 3 axes)."""
     return _shrink_for_tests(blender_voxel(z_channels=z_channels), grid)
+
+
+def tiny_catacaustics_distance(z_channels=8, grid=32):
+    """Miniature catacaustics_distance for tests."""
+    return _shrink_for_tests(catacaustics_distance(z_channels=z_channels),
+                             grid)
 
 
 def tiny_stanford_llff(z_channels=8, grid=32):

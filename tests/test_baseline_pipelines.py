@@ -187,3 +187,12 @@ class TestBlenderVoxel:
     def test_trains(self):
         from hyperreel_tpu.configs.presets import tiny_blender_voxel
         _train_and_check(tiny_blender_voxel())
+
+
+class TestCatacausticsDistance:
+    """catacaustics_distance: direct euclidean distance prediction +
+    mipnerf contraction (model/catacaustics_distance.yaml)."""
+
+    def test_trains(self):
+        from hyperreel_tpu.configs.presets import tiny_catacaustics_distance
+        _train_and_check(tiny_catacaustics_distance())
