@@ -119,6 +119,7 @@ def main():
         ("shiny_z_plane", P.shiny_z_plane, False),
         ("donerf_cylinder", P.donerf_cylinder, False),
         ("blender_voxel", P.blender_voxel, False),
+        ("catacaustics_distance", P.catacaustics_distance, False),
     ]
     args = [a for a in sys.argv[1:] if a != "--smoke"]
     smoke = "--smoke" in sys.argv[1:]
