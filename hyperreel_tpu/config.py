@@ -62,6 +62,7 @@ MODEL_PRESETS = {
     "donerf_cylinder": presets.donerf_cylinder,
     "blender_voxel": presets.blender_voxel,
     "catacaustics_distance": presets.catacaustics_distance,
+    "shiny_z_deformable": presets.shiny_z_deformable,
     "donerf_sphere": presets.donerf_sphere,
     "immersive_sphere_new": presets.immersive_sphere_new,
     "neural_3d_z_plane": presets.neural_3d_z_plane,
@@ -79,6 +80,7 @@ MODEL_PRESETS = {
     "tiny_donerf_cylinder": presets.tiny_donerf_cylinder,
     "tiny_blender_voxel": presets.tiny_blender_voxel,
     "tiny_catacaustics_distance": presets.tiny_catacaustics_distance,
+    "tiny_shiny_deformable": presets.tiny_shiny_deformable,
 }
 
 

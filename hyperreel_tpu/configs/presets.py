@@ -1171,6 +1171,44 @@ def shiny_z_plane(z_channels=32, sample_stages=False):
     return cfg
 
 
+def shiny_z_deformable(z_channels=64):
+    """Shiny with DEFORMABLE plane primitives: each sample predicts a
+    plane-normal perturbation + offset (4 z channels/sample) intersected
+    as learned-normal planes from start_normal [0, 0, 1]
+    (reference conf/experiment/model/shiny_z_deformable.yaml)."""
+    cfg = shiny_z_plane(z_channels=z_channels)
+    emb = cfg["embedding"]["embeddings"]
+    pred = emb["ray_prediction_0"]
+    pred["params"]["ray"]["pe"] = {"type": "basic", "n_freqs": 2}
+    pred["outputs"] = {
+        "z_vals": {"channels": 4},
+        "sigma": {"channels": 1,
+                  "activation": {"type": "sigmoid", "fac": 1.0,
+                                 "shift": 4.0}},
+        "point_offset": {"channels": 3,
+                         "activation": {"type": "tanh", "fac": 0.25}},
+    }
+    emb["ray_intersect_0"]["intersect"] = {
+        "type": "deformable_voxel_grid",
+        "sort": True,
+        "outward_facing": False,
+        "use_disparity": False,
+        "use_sigma": False,
+        "max_axis": False,
+        "out_points": "raw_points",
+        "out_distance": "raw_distance",
+        "start_normal": [[0.0, 0.0, 1.0]],
+        "normal_scale_factor": 1.0,
+        "initial": [-1.0],
+        "end": [1.0],
+        "activation": {"type": "identity", "fac": 0.5},
+    }
+    emb["point_offset_0"] = {"type": "point_offset", "use_sigma": True}
+    emb["extract_fields"]["fields"] = ["points", "distances", "viewdirs",
+                                       "weights"]
+    return cfg
+
+
 def with_inference_samples(cfg, n):
     """Insert a select_points stage (inference-time sample-count control,
     reference nlf/embedding/point.py:402-480) right after the point_offset /
@@ -1271,6 +1309,12 @@ def tiny_blender_voxel(z_channels=12, grid=32):
     """Miniature blender_voxel for tests (z divisible by 3: the voxel
     grid splits channels across the 3 axes)."""
     return _shrink_for_tests(blender_voxel(z_channels=z_channels), grid)
+
+
+def tiny_shiny_deformable(z_channels=8, grid=32):
+    """Miniature shiny_z_deformable for tests."""
+    return _shrink_for_tests(shiny_z_deformable(z_channels=z_channels),
+                             grid)
 
 
 def tiny_catacaustics_distance(z_channels=8, grid=32):

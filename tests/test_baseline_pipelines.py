@@ -196,3 +196,12 @@ class TestCatacausticsDistance:
     def test_trains(self):
         from hyperreel_tpu.configs.presets import tiny_catacaustics_distance
         _train_and_check(tiny_catacaustics_distance())
+
+
+class TestShinyDeformable:
+    """shiny_z_deformable: learned-normal deformable plane primitives
+    (model/shiny_z_deformable.yaml)."""
+
+    def test_trains(self):
+        from hyperreel_tpu.configs.presets import tiny_shiny_deformable
+        _train_and_check(tiny_shiny_deformable())
