@@ -120,6 +120,7 @@ def main():
         ("donerf_cylinder", P.donerf_cylinder, False),
         ("blender_voxel", P.blender_voxel, False),
         ("catacaustics_distance", P.catacaustics_distance, False),
+        ("shiny_z_deformable", P.shiny_z_deformable, False),
     ]
     args = [a for a in sys.argv[1:] if a != "--smoke"]
     smoke = "--smoke" in sys.argv[1:]
