@@ -165,3 +165,21 @@ def test_stage_gating_blends_by_iteration():
     np.testing.assert_allclose(np.asarray(before), np.asarray(rays),
                                atol=1e-6)
     assert not np.allclose(np.asarray(after), np.asarray(rays))
+
+
+def test_every_model_preset_builds():
+    """Every MODEL_PRESETS entry must compose into a buildable model (a
+    registry typo or a preset/config drift would otherwise only surface
+    at CLI runtime)."""
+    import jax
+    from hyperreel_tpu.config import MODEL_PRESETS
+    from hyperreel_tpu.configs.presets import convert_epochs_to_iters
+    from hyperreel_tpu.models.model import build_model
+
+    info = {"num_keyframes": 3, "num_frames": 12, "num_views": 4,
+            "near": 0.5, "far": 3.5, "depth_range": (0.5, 3.5)}
+    for name, fn in MODEL_PRESETS.items():
+        cfg = convert_epochs_to_iters(fn(), iters_per_epoch=100)
+        model = build_model(cfg, dataset_info=info)
+        params = model.init(jax.random.PRNGKey(0))
+        assert params, name
