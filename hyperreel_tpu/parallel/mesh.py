@@ -78,6 +78,7 @@ class ShardedTrainer:
         self.trainer = trainer
         self.mesh = mesh
         self.axis_name = axis_name
+        self._step_cache = {}
 
     def place_state(self, state):
         from hyperreel_tpu.train.trainer import TrainState
@@ -127,6 +128,24 @@ class ShardedTrainer:
 
         return jax.jit(scan_step, donate_argnums=(0, 1)), optimizer
 
+    def get_train_step(self, params_example):
+        """Compiled-step cache keyed on param shapes: shape-preserving
+        events (alpha-mask-only) must not recompile a segment (the remote
+        AOT helper costs 5-20 min per compile)."""
+        from hyperreel_tpu.train.trainer import params_fingerprint
+        key = ("step", params_fingerprint(params_example))
+        if key not in self._step_cache:
+            self._step_cache[key] = self.make_train_step(params_example)
+        return self._step_cache[key]
+
+    def get_train_step_scan(self, params_example, k):
+        from hyperreel_tpu.train.trainer import params_fingerprint
+        key = ("scan", k, params_fingerprint(params_example))
+        if key not in self._step_cache:
+            self._step_cache[key] = self.make_train_step_scan(
+                params_example, k)
+        return self._step_cache[key]
+
     def shard_stacked_batch(self, batch):
         """Place a [k, B, ...] stacked batch with B sharded over the mesh."""
         sharding = NamedSharding(self.mesh, P(None, self.axis_name))
@@ -146,7 +165,7 @@ class ShardedTrainer:
         it = state.it
 
         if spc > 1 and num_iters >= spc:
-            scan_step, _ = self.make_train_step_scan(params, spc)
+            scan_step, _ = self.get_train_step_scan(params, spc)
 
             def next_chunk():
                 bs = [next(batch_iter) for _ in range(spc)]
@@ -175,7 +194,7 @@ class ShardedTrainer:
                 it += spc
 
         if it < state.it + num_iters:
-            step, _ = self.make_train_step(params)
+            step, _ = self.get_train_step(params)
             while it < state.it + num_iters:
                 batch = shard_batch(next(batch_iter), self.mesh,
                                     self.axis_name)

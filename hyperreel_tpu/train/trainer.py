@@ -32,6 +32,17 @@ class TrainState:
     it: int  # host-side integer
 
 
+def params_fingerprint(params):
+    """Hashable (treedef, shapes, dtypes) key for the compiled-step cache.
+
+    Grid events that change no shapes (e.g. a second alpha-mask update,
+    reference tensorf_base.py:509-553) must NOT recompile: through the
+    remote AOT helper a recompile costs 5-20 min per segment."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    return (treedef,
+            tuple((tuple(l.shape), np.dtype(l.dtype).str) for l in leaves))
+
+
 class Trainer:
     """Single-model trainer with segment-based grid events."""
 
@@ -46,6 +57,7 @@ class Trainer:
         self.mesh = mesh
         self.donate = donate
         self._cached_step = None
+        self._step_cache = {}
         # back-reference set by System: regularizers that synthesize rays
         # from train-camera statistics (ray_density, reference
         # nlf/regularizers/ray_density.py) read dataset poses through it
@@ -134,6 +146,24 @@ class Trainer:
         donate = (0, 1) if self.donate else ()
         return jax.jit(scan_step, donate_argnums=donate), optimizer
 
+    # -- compiled-step cache -------------------------------------------------
+
+    def get_train_step(self, params_example):
+        """make_train_step, memoized on param shapes (see
+        params_fingerprint): shape-preserving grid events reuse the
+        compiled step instead of re-jitting every segment."""
+        key = ("step", params_fingerprint(params_example))
+        if key not in self._step_cache:
+            self._step_cache[key] = self.make_train_step(params_example)
+        return self._step_cache[key]
+
+    def get_train_step_scan(self, params_example, k):
+        key = ("scan", k, params_fingerprint(params_example))
+        if key not in self._step_cache:
+            self._step_cache[key] = self.make_train_step_scan(
+                params_example, k)
+        return self._step_cache[key]
+
     # -- host-side grid events (reference tensorf_base.py:509-553) ----------
 
     def pending_events(self, start_it, end_it):
@@ -203,7 +233,7 @@ class Trainer:
             params, opt_state = state.params, state.opt_state
 
             if spc > 1 and (seg_end - state.it) >= spc:
-                scan_step, _ = self.make_train_step_scan(params, spc)
+                scan_step, _ = self.get_train_step_scan(params, spc)
 
                 def next_chunk():
                     bs = [next(batch_iter) for _ in range(spc)]
@@ -243,7 +273,7 @@ class Trainer:
                                 log(metrics, prev_it + j + 1, j)
 
             if state.it < seg_end:
-                step, _ = self.make_train_step(params)
+                step, _ = self.get_train_step(params)
                 # one-batch prefetch: device_put is async, so the next batch
                 # uploads while the current step computes (host->device goes
                 # through a tunnel here; unoverlapped it costs ~a step's

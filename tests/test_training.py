@@ -12,7 +12,7 @@ from hyperreel_tpu.configs.presets import (
     tiny_static, tiny_dynamic, convert_epochs_to_iters)
 from hyperreel_tpu.data.synthetic import gaussian_blob_scene
 from hyperreel_tpu.models.model import build_model
-from hyperreel_tpu.train.trainer import Trainer
+from hyperreel_tpu.train.trainer import Trainer, params_fingerprint
 from hyperreel_tpu.train.regularizers import tv_4000_defaults
 from hyperreel_tpu.train.optim import make_lr_schedule
 from hyperreel_tpu.train.metrics import psnr, ssim
@@ -195,3 +195,53 @@ class TestMetrics:
             sigma=1.5, use_sample_covariance=False)
         got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
         assert got == pytest.approx(ref, abs=2e-3)
+
+
+class TestStepCache:
+    """Shape-preserving grid events must reuse the compiled train step
+    (a recompile via the remote AOT helper costs 5-20 min per segment;
+    reference alpha-mask-only events change no shapes,
+    tensorf_base.py:509-553)."""
+
+    def test_same_shapes_reuse_compiled_step(self):
+        ds = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        model = build_model(cfg, dataset_info=ds.info())
+        trainer = Trainer(model, _training_cfg(), iters_per_epoch=50)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        s1 = trainer.get_train_step(state.params)
+        s2 = trainer.get_train_step(state.params)
+        assert s1[0] is s2[0]
+        sc1 = trainer.get_train_step_scan(state.params, 4)
+        sc2 = trainer.get_train_step_scan(state.params, 4)
+        assert sc1[0] is sc2[0]
+        assert sc1[0] is not s1[0]
+
+    def test_alpha_only_event_does_not_rebuild_step(self, monkeypatch):
+        """Second alpha-mask event (no shrink, no upsample) preserves all
+        shapes: fit must cross it without calling make_train_step again."""
+        ds = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"]["upsamp_list"] = []
+        cfg["color"]["net"]["update_AlphaMask_list"] = [10, 20]
+        model = build_model(cfg, dataset_info=ds.info())
+        trainer = Trainer(model, _training_cfg(), iters_per_epoch=50)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+
+        calls = []
+        orig = Trainer.make_train_step
+
+        def counted(self, params_example):
+            calls.append(params_fingerprint(params_example))
+            return orig(self, params_example)
+
+        monkeypatch.setattr(Trainer, "make_train_step", counted)
+        batches = _jnp_batches(ds, 128)
+        state, _ = trainer.fit(state, batches, num_iters=30,
+                               rng=jax.random.PRNGKey(1))
+        assert state.it == 30
+        # one compile per distinct shape signature: the iter-10 event may
+        # shrink (shape change -> second compile), but iter-20 (alpha-only)
+        # must NOT add a third
+        assert len(calls) == len(set(calls))
+        assert len(calls) <= 2, calls
