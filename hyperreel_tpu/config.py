@@ -69,6 +69,9 @@ MODEL_PRESETS = {
     "technicolor_cascaded": presets.technicolor_cascaded,
     "stanford_llff_z_plane": presets.stanford_llff_z_plane,
     "shiny_z_plane": presets.shiny_z_plane,
+    "refnerf_sphere": presets.refnerf_sphere,
+    "refnerf_sphere_reflect": presets.refnerf_sphere_reflect,
+    "tiny_refnerf_reflect": presets.tiny_refnerf_reflect,
     "tiny_static": presets.tiny_static,
     "tiny_dynamic": presets.tiny_dynamic,
     "tiny_donerf_sphere": presets.tiny_donerf_sphere,
@@ -108,9 +111,18 @@ def apply_overrides(cfg, overrides: Optional[List[str]]):
     model.color.net.upsamp_list=[150]`) wrap the name into
     `{"preset": name, "overrides": {...}}` so resolve_model_cfg applies
     them on top of the preset.
+
+    The reference's group-selection syntax `experiment/model=X`
+    (reference conf/experiment/local.yaml:3-9) is accepted too: it selects
+    the TPU-tuned preset named X when one exists, else ingests the
+    reference's own conf/experiment/model/X.yaml
+    (configs/reference_yaml.py). `ref:X` model names force the yaml.
     """
     cfg = copy.deepcopy(cfg)
     for ov in overrides or []:
+        if ov.startswith("experiment/model="):
+            cfg["model"] = ov.split("=", 1)[1]
+            continue
         if "=" not in ov:
             raise ValueError(f"override must be key=value, got {ov}")
         key, val = ov.split("=", 1)
@@ -152,10 +164,24 @@ def resolve_model_cfg(cfg, iters_per_epoch):
     fully resolved model dict with epoch->iter conversion applied."""
     model = cfg["model"]
     if isinstance(model, str):
-        model_cfg = MODEL_PRESETS[model]()
+        model_cfg = _named_model_cfg(model)
     elif isinstance(model, dict) and "preset" in model:
-        model_cfg = MODEL_PRESETS[model["preset"]]()
+        model_cfg = _named_model_cfg(model["preset"])
         model_cfg = deep_update(model_cfg, model.get("overrides", {}))
     else:
         model_cfg = copy.deepcopy(model)
     return presets.convert_epochs_to_iters(model_cfg, iters_per_epoch)
+
+
+def _named_model_cfg(name):
+    """Resolve a model name: TPU-tuned preset first, then the reference's
+    own conf/experiment/model/<name>.yaml (`ref:` prefix forces the yaml)."""
+    from hyperreel_tpu.configs import reference_yaml
+    if name.startswith("ref:"):
+        return reference_yaml.reference_model_cfg(name[4:])
+    if name in MODEL_PRESETS:
+        return MODEL_PRESETS[name]()
+    if reference_yaml.reference_conf_available():
+        return reference_yaml.reference_model_cfg(name)
+    raise KeyError(
+        f"unknown model '{name}': not a preset and no reference conf dir")

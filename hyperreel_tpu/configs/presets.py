@@ -736,14 +736,18 @@ def technicolor_cascaded(coarse_z=8, z_channels=32):
                     "type": "point_prediction",
                     "in_z_channels": coarse_z,
                     "inputs": {"points": 3, "viewdirs": 3, "times": 1},
+                    # ranges index the CONCATENATED inputs above;
+                    # `time: 3:4` therefore reads viewdirs.x — the
+                    # shipped technicolor_cascaded.yaml's exact ranges
+                    # (reference point.py:120-127 quirk, kept faithfully)
                     "params": {
-                        "points": {
+                        "ray": {
                             "start": 0, "end": 3,
                             "param": {"n_dims": 3, "fn": "identity"},
                             "pe": {"type": "basic", "n_freqs": 2},
                         },
-                        "times": {
-                            "start": 0, "end": 1,
+                        "time": {
+                            "start": 3, "end": 4,
                             "param": {"n_dims": 1, "fn": "identity"},
                             "pe": {"type": "basic", "n_freqs": 4},
                         },
@@ -1206,6 +1210,85 @@ def shiny_z_deformable(z_channels=64):
     emb["point_offset_0"] = {"type": "point_offset", "use_sigma": True}
     emb["extract_fields"]["fields"] = ["points", "distances", "viewdirs",
                                        "weights"]
+    return cfg
+
+
+def refnerf_sphere(z_channels=64, reflect=False):
+    """RefNeRF-style sphere model (reference
+    conf/experiment/model/refnerf_sphere.yaml). The shipped yaml has its
+    reflect_0 stage commented out; `reflect=True` enables the full
+    RefNeRF composition the yaml sketches (normal / ref_distance /
+    ref_viewdirs_offset MLP outputs + the reflect embedding reflecting
+    viewdirs, reference nlf/embedding/point.py:673-738)."""
+    cfg = donerf_sphere(z_channels=z_channels)
+    emb = cfg["embedding"]["embeddings"]
+    pred = emb["ray_prediction_0"]
+    pred["params"]["ray"]["pe"]["n_freqs"] = 1
+    pred["outputs"]["point_offset"]["activation"]["outer_fac"] = 0.125
+    isect = emb["ray_intersect_0"]["intersect"]
+    isect["initial"] = -2.0
+    isect["end"] = 2.0
+    isect["resize_scale_factor"] = 0.0
+    isect.pop("contract", None)
+    net = cfg["color"]["net"]
+    net["white_bg"] = 1
+    net["distance_scale"] = 8.0
+    net["aabb"] = [[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]]
+    net["update_AlphaMask_list"] = []
+    if reflect:
+        pred["outputs"]["normal"] = {
+            "channels": 3, "activation": {"type": "identity"}}
+        pred["outputs"]["ref_distance"] = {
+            "channels": 1, "activation": {"type": "identity"}}
+        # the yaml's commented reflect_0 block: reflect about the
+        # direction-initialized normal and override viewdirs
+        new_emb = {}
+        for key, val in emb.items():
+            new_emb[key] = val
+            if key == "ray_intersect_0":
+                new_emb["reflect_0"] = {
+                    "type": "reflect",
+                    "direction_init": True,
+                    "out_points_field": "points_temp",
+                    "out_direction_field": "viewdirs",
+                }
+        cfg["embedding"]["embeddings"] = new_emb
+    return cfg
+
+
+def refnerf_sphere_reflect(z_channels=64):
+    return refnerf_sphere(z_channels=z_channels, reflect=True)
+
+
+def tiny_refnerf_reflect(z_channels=8, grid=32):
+    """Miniature reflect-enabled refnerf_sphere for tests."""
+    return _shrink_for_tests(refnerf_sphere(z_channels=z_channels,
+                                            reflect=True), grid)
+
+
+def with_compact_samples(cfg, n, always=False):
+    """Render-time sample COMPACTION (TPU-native; VERDICT r2 item 2):
+    the intersect sorts invalid samples to the far end
+    (invalid_sort_far), and a select_points stage right after it slices
+    the first-n sorted samples — the n nearest valid ones — so every
+    downstream per-sample cost (the space-plane gather above all, the
+    per-ROW floor of PERFORMANCE.md) scales with n instead of
+    z_channels. `always=True` also slices in training (fine-tune at the
+    compacted count). Train and eval must both use invalid_sort_far."""
+    cfg = copy.deepcopy(cfg)
+    emb = cfg["embedding"]["embeddings"]
+    out = {}
+    for name in emb:
+        out[name] = emb[name]
+        if emb[name].get("type") == "ray_intersect":
+            emb[name]["intersect"]["invalid_sort_far"] = True
+            out["select_points_compact"] = {
+                "type": "select_points",
+                "mode": "first",
+                "inference_samples": int(n),
+                "always_slice": bool(always),
+            }
+    cfg["embedding"]["embeddings"] = out
     return cfg
 
 

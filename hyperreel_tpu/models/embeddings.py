@@ -497,12 +497,15 @@ class PointPredictionEmbedding:
     def __post_init__(self):
         cfg = self.cfg
         self.rays_name = cfg.get("rays_name", "rays")
-        self.inputs = cfg.get("inputs", {"points": 3})
-        self.param_cfgs = cfg.get("params", {})
+        # named per-sample input fields, CONCATENATED in declaration
+        # order; the `params` ranges below index into that concatenation
+        # (reference nlf/embedding/point.py:103-133 — note the shipped
+        # cascaded yamls' `time: 3:4` range therefore lands on
+        # viewdirs.x, a reference quirk reproduced faithfully)
+        self.inputs = dict(cfg.get("inputs", {"points": 3}))
 
         self.in_fields = []
         in_channels = 0
-        self.pes = {}
         for name, pcfg in cfg["params"].items():
             start, end = int(pcfg["start"]), int(pcfg["end"])
             param_cfg = dict(pcfg.get("param", {"fn": "identity"}))
@@ -542,30 +545,27 @@ class PointPredictionEmbedding:
     def init(self, key):
         return {"net": self.net.init(key)}
 
-    def _field(self, x, name, B, S):
-        """Per-sample input field; time/viewdir fields that only enter x
-        later (AddPointOutputs) synthesize from the rays, like the
-        reference assembles point-MLP inputs before those stages run
-        (nlf/embedding/point.py:39-218 inputs dict)."""
-        if name in x:
-            return x[name]
+    def _field(self, x, name, width, B, S):
+        """Per-sample input field (reference point.py:107-118:
+        viewdirs/origins/times come straight from the rays; anything else
+        from x, truncated to the declared width)."""
         rays = x[self.rays_name]
+        if name == "viewdirs":
+            return jnp.broadcast_to(rays[..., None, 3:6], (B, S, 3))
+        if name == "origins":
+            return jnp.broadcast_to(rays[..., None, 0:3], (B, S, 3))
         if name in ("times", "base_times"):
             return jnp.broadcast_to(rays[..., None, -1:], (B, S, 1))
-        if name == "viewdirs":
-            d = rays[..., 3:6]
-            d = d / jnp.maximum(
-                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-            return jnp.broadcast_to(d[..., None, :], (B, S, 3))
-        raise KeyError(name)
+        return x[name][..., :width]
 
     def apply(self, params, x, ctx, render_kwargs=None):
         B, S = x["points"].shape[:2]
+        inputs = jnp.concatenate(
+            [self._field(x, name, width, B, S)
+             for name, width in self.inputs.items()], -1)
         feats = []
         for name, start, end, rp, pe in self.in_fields:
-            field = self._field(x, name, B, S)
-            cur = field[..., start:end]
-            flat = cur.reshape(B * S, -1)
+            flat = inputs[..., start:end].reshape(B * S, -1)
             feats.append(pe.apply(rp.apply(flat), ctx))
         net_in = jnp.concatenate(feats, -1)
         out = self.net.apply(params["net"], net_in, ctx).reshape(

@@ -266,20 +266,34 @@ class SelectPointsEmbedding:
             "fields", ["points", "distances", "weights"]))
         isamp = self.cfg.get("inference_samples")
         self.inference_samples = int(isamp) if isamp else None
+        # fine-tune-at-target-count mode: slice in TRAINING too, so a
+        # short fine-tune adapts the model to the reduced sample budget
+        # (the reference trains with randomized counts for the same
+        # purpose, nlf/embedding/point.py:402-449; PERFORMANCE.md ladder)
+        self.always_slice = bool(self.cfg.get("always_slice", False))
+        # "stride" keeps every k-th sample (the reference's arrangement);
+        # "first" keeps the first n sorted samples — the compaction mode
+        # paired with intersect invalid_sort_far, where valid samples
+        # form a nearest-first prefix and first-k drops only padding and
+        # the farthest (most-occluded) tail
+        self.mode = self.cfg.get("mode", "stride")
 
     def init(self, key):
         return {}
 
     def apply(self, params, x, ctx, render_kwargs=None):
         S = x["points"].shape[1]
-        if not ctx.training:
+        if not ctx.training or (self.always_slice
+                                and self.inference_samples):
             n = self.inference_samples or x.get("inference_samples_static")
             if not isinstance(n, (int, float)) or not n or n >= S:
                 return x
-            stride = max(S // int(n), 1)
             for k, v in list(x.items()):
                 if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[1] == S:
-                    x[k] = v[:, ::stride]
+                    if self.mode == "first":
+                        x[k] = v[:, :int(n)]
+                    else:
+                        x[k] = v[:, ::max(S // int(n), 1)]
             return x
         if "num_samples" not in x:
             return x
@@ -341,29 +355,61 @@ class RandomOffsetEmbedding:
 
 @dataclass
 class ReflectEmbedding:
-    """Reflection rays for RefNeRF-style shading: reflect viewdirs about
-    predicted normals (reference nlf/embedding/point.py:673-738)."""
+    """Reflection rays for RefNeRF-style shading (reference
+    nlf/embedding/point.py:673-738): reflect view directions about
+    predicted normals, march reflected points by |ref_distance|, with the
+    reference's forward_facing / direction_init normal parameterizations
+    and the optional predicted direction offset."""
 
     cfg: dict
     group: str = "embedding"
 
     def __post_init__(self):
         cfg = self.cfg
-        self.rays_name = cfg.get("rays_name", "rays")
+        self.in_points_field = cfg.get("in_points_field", "points")
+        self.in_direction_field = cfg.get("in_direction_field", "viewdirs")
         self.in_normal_field = cfg.get("in_normal_field", "normal")
-        self.out_field = cfg.get("out_field", "viewdirs")
-        self.normal_activation = get_activation(
-            cfg.get("normal_activation", "identity"))
+        self.in_distance_field = cfg.get("in_distance_field",
+                                         "ref_distance")
+        self.direction_offset_field = cfg.get("direction_offset_field",
+                                              "ref_viewdirs_offset")
+        self.out_points_field = cfg.get("out_points_field", "ref_points")
+        self.out_direction_field = cfg.get("out_direction_field",
+                                           "ref_viewdirs")
+        self.out_normal_field = cfg.get("out_normal_field", "normal")
+        self.forward_facing = bool(cfg.get("forward_facing", False))
+        self.direction_init = bool(cfg.get("direction_init", False))
 
     def init(self, key):
         return {}
 
     def apply(self, params, x, ctx, render_kwargs=None):
-        rays = x[self.rays_name]
-        S = x["points"].shape[1]
-        d = jnp.broadcast_to(rays[..., None, 3:6],
-                             (rays.shape[0], S, 3))
-        n = _normalize(self.normal_activation(x[self.in_normal_field], ctx))
-        refl = d - 2.0 * jnp.sum(d * n, -1, keepdims=True) * n
-        x[self.out_field] = refl
+        rays = x["rays"]
+        points = x[self.in_points_field]
+        S = points.shape[1]
+        if self.in_direction_field in x:
+            dirs = x[self.in_direction_field]
+        else:
+            dirs = jnp.broadcast_to(rays[..., None, 3:6],
+                                    (rays.shape[0], S, 3))
+        normal = x[self.in_normal_field]
+        if self.forward_facing:
+            normal = normal.at[..., -1].add(-1.0)
+        elif self.direction_init:
+            normal = normal - dirs
+        normal = _normalize(normal)
+        x[self.out_normal_field] = normal
+
+        refl = dirs - 2.0 * jnp.sum(dirs * normal, -1, keepdims=True) \
+            * normal
+        if self.in_distance_field in x:
+            ref_distance = x[self.in_distance_field].reshape(
+                points.shape[0], S, 1)
+            points = points + jnp.abs(ref_distance) * refl
+        if self.direction_offset_field in x:
+            refl = _normalize(
+                refl + x[self.direction_offset_field].reshape(points.shape))
+
+        x[self.out_points_field] = points
+        x[self.out_direction_field] = refl
         return x

@@ -1,0 +1,409 @@
+"""Channels-first fused EVAL pipeline for the flagship dynamic model
+(round-3 design, CLAUDE.md sketch; reference behavior held fixed:
+nlf/embedding/ray.py:213-394 + nlf/intersect/z.py + embedding/point.py
+advect/point_offset + nlf/nets/tensorf_dynamic.py:645-839).
+
+Why: the general eval path keeps every per-sample field in ray-major
+[B, S, C] layout; on TPU that costs ~10-15 ms/262144-ray chunk of pure
+relayout glue (MLP-out [B,480]->[B,32,15] copies, sort-adjacent layout
+copies, component-extraction reduces — PERFORMANCE.md round-2 trace).
+Here the ENTIRE embedding runs channels-first — [S, B] rows with the ray
+axis on TPU lanes — from a transposed MLP onward:
+
+  * the prediction MLP computes [C, B] activations (weights transposed at
+    trace time; MXU shapes unchanged), so per-field-per-z rows are
+    contiguous major-axis slices, not reshape/copy pairs;
+  * the z-sort is a bitonic network on the LEADING axis — every pass's
+    [m, 2, j, B] regroup is a leading-axis reshape (free) over full
+    128-lane rows;
+  * point math (o + d*t, flow advection, point offsets, aabb
+    normalization) is pure row arithmetic — no [N, 3] tensors exist;
+  * ONE batched relayout converts to the Pallas kernel's ray-major lane
+    world: the [16, S, B] scalar pack transposes to [16, B*S] and the
+    gather index [S, B] to [B*S]; the space-table gather then lands rows
+    already in kernel block order. The kernel (ops/pallas/shade.py) is
+    unchanged.
+
+Training and non-flagship configs keep the general path; eligibility is
+checked structurally at build time and per-call (mirrors
+TensorVMKeyframeTime._fused_ok). Parity vs the general path is enforced
+by tests/test_fused_cf.py at ~1e-4.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.models.activations import get_activation
+
+
+def _stage_cfgs(model):
+    return {name: stage for name, stage in model.embedding.stages}
+
+
+def cf_eligible(model):
+    """Structural eligibility: the technicolor_z_plane-family chain."""
+    try:
+        stages = _stage_cfgs(model)
+        names = [n for n, _ in model.embedding.stages]
+        want = ["ray_prediction_0", "ray_intersect_0", "flow_0",
+                "point_offset_0", "add_point_outputs_0", "extract_fields"]
+        want_compact = want[:2] + ["select_points_compact"] + want[2:]
+        if names not in (want, want_compact):
+            return False
+        if names == want_compact:
+            sel = stages["select_points_compact"]
+            k = sel.inference_samples
+            if sel.mode != "first" or not k or (k & (k - 1)):
+                return False
+            if not stages["ray_intersect_0"].intersect.invalid_sort_far:
+                return False
+        for _, st in model.embedding.stages:
+            cfg = getattr(st, "cfg", None)
+            if isinstance(cfg, dict) and (
+                    cfg.get("wait_iters") or cfg.get("stop_iters")):
+                return False
+        if model.ray_param.name != "identity":
+            return False
+        pred = stages["ray_prediction_0"]
+        if pred.total_ray_out != 0:
+            return False
+        from hyperreel_tpu.models.mlp import BaseMLP
+        if not isinstance(pred.net, BaseMLP) or pred.net.pe_cfg:
+            return False
+        if pred.net.activation != "identity":
+            return False
+        isect = stages["ray_intersect_0"].intersect
+        icfg = isect.cfg
+        if icfg.get("type") != "z_plane":
+            return False
+        if not isect.sort or isect.sort_outputs or isect.weight_fn:
+            return False
+        if (isect.use_disparity or isect.normalize or isect.clamp
+                or isect.residual_z or isect.residual_distance
+                or isect.use_local_prediction
+                or isect.contract.name != "identity"
+                or isect.contract.contract_samples):
+            return False
+        if np.any(isect.origin != 0.0):
+            return False
+        if not (isect.near == 0.0 and isect.far == float("inf")):
+            return False
+        if isect.mask_stop_iters != float("inf"):
+            return False
+        flow = stages["flow_0"]
+        if flow.use_angular_flow or not flow.use_spatial_flow:
+            return False
+        po = stages["point_offset_0"]
+        if not po.use_sigma or po.in_density_field != "point_sigma":
+            return False
+        net = model.color_net
+        if not getattr(net, "_fused_eligible", False) or \
+                not getattr(net, "fused_render", False):
+            return False
+        # sample count: bitonic leading-axis sort wants a power of two
+        S = pred.z_channels
+        if S & (S - 1):
+            return False
+        return True
+    except (KeyError, AttributeError):
+        return False
+
+
+def _rows_of(mat, n_cols):
+    """Extract the columns of [B, C] as a list of [B] rows via one-hot
+    reduces (a plain [B, C] -> [C, B] transpose lowers to a pathological
+    while-loop for small C — PERFORMANCE.md round-1 notes)."""
+    e = jnp.eye(n_cols, dtype=mat.dtype)
+    return [jnp.einsum("bc,c->b", mat, e[c]) for c in range(n_cols)]
+
+
+def _cf_bitonic_sort(x):
+    """Values-only ascending bitonic sort along the LEADING axis of
+    [S, B] (S a power of two). Mirrors ops/sort_network.py but with
+    leading-axis regroups, which are layout-free, and full-lane rows."""
+    S, B = x.shape
+    k = 2
+    while k <= S:
+        j = k // 2
+        while j >= 1:
+            m = S // (2 * j)
+            y = x.reshape(m, 2, j, B)
+            a, b = y[:, 0], y[:, 1]
+            base = np.arange(m) * (2 * j)
+            asc = jnp.asarray((base & k) == 0)[:, None, None]
+            lo = jnp.minimum(a, b)
+            hi = jnp.maximum(a, b)
+            na = jnp.where(asc, lo, hi)
+            nb = jnp.where(asc, hi, lo)
+            x = jnp.stack([na, nb], 1).reshape(S, B)
+            j //= 2
+        k *= 2
+    return x
+
+
+@dataclass
+class FusedCFEval:
+    """Compiled-fast-path evaluator bound to one LightfieldModel."""
+
+    model: object
+
+    def __post_init__(self):
+        stages = _stage_cfgs(self.model)
+        self.pred = stages["ray_prediction_0"]
+        self.isect = stages["ray_intersect_0"].intersect
+        self.flow = stages["flow_0"]
+        self.po = stages["point_offset_0"]
+        self.net = self.model.color_net
+        self.S = self.pred.z_channels
+        # post-sort first-k compaction (select_points mode="first"
+        # paired with intersect invalid_sort_far)
+        sel = stages.get("select_points_compact")
+        self.compact_k = sel.inference_samples if sel is not None else None
+        p = self.pred
+        self.field_offsets = {}
+        off = 0
+        for name, width in zip(p.output_names, p.output_shapes):
+            self.field_offsets[name] = (off, width)
+            off += width
+        self.preds = p.preds_per_z
+
+    # -- channels-first MLP -------------------------------------------------
+
+    def _mlp_cf(self, params, net_in_cf, ctx):
+        """BaseMLP.apply with [C, B] activations (same math, transposed
+        weights; mirrors models/mlp.py BaseMLP.apply)."""
+        net = self.pred.net
+        cd = net.compute_dtype
+        x = net_in_cf
+        input_x = x
+        act_until = net.depth if net.linear_last else net.depth + 1
+        for i in range(net.depth + 2):
+            if i in net.skips:
+                x = jnp.concatenate([input_x.astype(x.dtype), x], 0)
+            p = params[f"layer_{i}"]
+            w = p["w"]
+            if cd is not None:
+                x = x.astype(cd)
+                w = w.astype(cd)
+            x = w.T @ x
+            if "b" in p:
+                x = x + p["b"].astype(x.dtype)[:, None]
+            if i < act_until:
+                x = net.layer_act(x, ctx)
+        return x.astype(jnp.float32)
+
+    # -- forward ------------------------------------------------------------
+
+    def ok(self, ctx, render_kwargs):
+        """Per-call gate (mirrors TensorVMKeyframeTime._fused_ok; the
+        structural `color_transform` check is covered by cf_eligible)."""
+        if ctx.training:
+            return False
+        net = self.net
+        if not (net.fused_render and net._fused_eligible):
+            return False
+        rk = render_kwargs or {}
+        if any(f != "distances" for f in rk.get("fields", [])):
+            return False
+        if rk.get("pred_weights_fields") or rk.get("no_over_fields"):
+            return False
+        return True
+
+    def apply(self, params, rays, ctx, render_kwargs=None):
+        from hyperreel_tpu.ops.pallas.shade import (
+            fused_shade_composite, build_scalar_pack)
+
+        render_kwargs = render_kwargs or {}
+        S = self.S
+        B = rays.shape[0]
+        eparams = params["embedding"]
+        cparams = params["color"]
+
+        # ---- per-ray inputs: existing param/PE code on the tiny [B, c]
+        # blocks, then rows via one-hot reduces
+        pred = self.pred
+        feats = []
+        for (start, end), rp, pe in zip(pred.param_ranges, pred.params_fns,
+                                        pred.pes):
+            feats.append(pe.apply(rp.apply(rays[:, start:end]), ctx))
+        net_in = jnp.concatenate(feats, -1)          # [B, in_ch], tiny C
+        net_in_cf = jnp.stack(_rows_of(net_in, net_in.shape[1]))
+
+        out_cf = self._mlp_cf(eparams["ray_prediction_0"]["net"],
+                              net_in_cf, ctx)        # [S*preds, B]
+
+        def field_rows(name):
+            off, width = self.field_offsets[name]
+            act = pred.activations[pred.output_names.index(name)]
+            rows = [act(out_cf[off + c::self.preds], ctx)
+                    for c in range(width)]
+            return rows                              # list of [S, B]
+
+        z = field_rows("z_vals")[0]
+        sigma = field_rows("sigma")[0]
+        point_sigma = field_rows("point_sigma")[0]
+        flow_rows = field_rows("spatial_flow")
+        poff_rows = field_rows("point_offset")
+        cs_rows = field_rows("color_scale")
+        csh_rows = field_rows("color_shift")
+
+        # ---- intersect (z_plane rows; reference nlf/intersect/z.py:77-97
+        # + base.py:142-259 driver, values-only sort)
+        isect = self.isect
+        z = isect.activation(z, ctx) * (1.0 - sigma)
+        samples = np.broadcast_to(
+            np.asarray(isect.samples, np.float32).reshape(-1),
+            (S,))[:, None]                           # [S, 1]
+        z_scale = np.broadcast_to(
+            np.asarray(isect.z_scale, np.float32).reshape(-1),
+            (S,))[:, None] if np.asarray(isect.z_scale).size > 1 \
+            else np.asarray(isect.z_scale, np.float32).reshape(1, 1)
+        z = z * jnp.asarray(z_scale) + jnp.asarray(samples)
+
+        rrows = _rows_of(rays[:, :8] if rays.shape[1] >= 8
+                         else rays, min(rays.shape[1], 8))
+        o_rows, d_rows = rrows[0:3], rrows[3:6]
+        eps_dir, big = 1e-5, 1e12   # ops/intersect_math.py _safe_dirs
+        dz = jnp.where(jnp.abs(d_rows[2]) < eps_dir,
+                       jnp.full_like(d_rows[2], big), d_rows[2])
+        dists = (z - o_rows[2][None]) / dz[None]     # [S, B]
+        if self.isect.invalid_sort_far:
+            # sentinel distances ride through: the sample point lands far
+            # outside the aabb (kernel validity excludes it) and the
+            # boundary valid sample's delta saturates, matching the
+            # general path (see intersect.py invalid_sort_far note)
+            from hyperreel_tpu.models.intersect import _FAR_SENTINEL
+            dists = jnp.where(dists <= 0.0,
+                              jnp.full_like(dists, _FAR_SENTINEL), dists)
+            dists = _cf_bitonic_sort(dists)
+            Sr = self.compact_k or S
+            dists = dists[:Sr]                       # first-k compaction
+        else:
+            dists = jnp.where(dists <= 0.0, jnp.zeros_like(dists), dists)
+            dists = _cf_bitonic_sort(dists)
+            Sr = S
+        if Sr != S:
+            point_sigma = point_sigma[:Sr]
+            flow_rows = [r[:Sr] for r in flow_rows]
+            poff_rows = [r[:Sr] for r in poff_rows]
+            cs_rows = [r[:Sr] for r in cs_rows]
+            csh_rows = [r[:Sr] for r in csh_rows]
+        S = Sr
+
+        # ---- advect (reference embedding/point.py:741-834, eval: no
+        # jitter) — flow/point fields stay in prediction-index order,
+        # matching the general path's values-only sort
+        from hyperreel_tpu.models.embeddings import get_base_time
+        t_row = rrows[7] if len(rrows) > 7 else jnp.zeros_like(o_rows[0])
+        base_t = get_base_time(
+            t_row, self.flow.num_keyframes, self.flow.num_frames,
+            self.flow.flow_scale, False, ctx.rng)    # [B]
+        dt = (t_row - base_t)[None]                  # [1, B]
+
+        p_rows = []
+        for c in range(3):
+            p = o_rows[c][None] + d_rows[c][None] * dists
+            p = p + self.flow.spatial_flow_activation(
+                flow_rows[c], ctx) * dt
+            off = self.po.activation(poff_rows[c], ctx) \
+                * (1.0 - point_sigma)
+            p_rows.append(p + off)
+
+        # ---- normalize to grid coords (tensorf.py normalize_coord /
+        # normalize_time_coord)
+        net = self.net
+        aabb = np.asarray(net.aabb, np.float32)
+        inv = 2.0 / (aabb[1] - aabb[0])
+        xn = (p_rows[0] - aabb[0][0]) * inv[0] - 1.0
+        yn = (p_rows[1] - aabb[0][1]) * inv[1] - 1.0
+        zn = (p_rows[2] - aabb[0][2]) * inv[2] - 1.0
+        tn = (base_t * net.time_scale_factor
+              + net.time_pixel_offset) * 2.0 - 1.0   # [B]
+        tn = jnp.broadcast_to(tn[None], (S, B))
+
+        # ---- space quad table + gather (same table build as
+        # TensorVMKeyframeTime.apply_fused; index computed in CF rows,
+        # flattened RAY-MAJOR so gather rows land in kernel block order)
+        space = jnp.concatenate(
+            [cparams["density"]["space_0"], cparams["app"]["space_0"]], -1)
+        H, W, C = space.shape
+        tbl = jnp.pad(space.astype(jnp.bfloat16), ((1, 1), (1, 1), (0, 0)))
+        qpack = jnp.concatenate(
+            [tbl[:-1, :-1], tbl[:-1, 1:], tbl[1:, :-1], tbl[1:, 1:]], -1)
+        table = qpack.reshape((H + 1) * (W + 1), 4 * C)
+
+        # kernel lane order: S-major blocks (lane = s*tile + r) — the
+        # [S, nb, tile] -> [nb, S, tile] reorder keeps the 128-lane minor
+        # dim intact (a plain tiled copy); a ray-major [S, B] -> [B, S]
+        # transpose instead lowers to a ~15 ms while-loop (the
+        # small-minor-dim transpose class, PERFORMANCE.md)
+        TH_t = cparams["density"]["time_0"].shape[0]
+        TW_t = cparams["density"]["time_0"].shape[1]
+        twp_t = ((TW_t + 2 + 127) // 128) * 128
+        scratch = twp_t * 6 + (TH_t + 2) * C * 4
+        tile = 128
+        while tile > 1 and (B % tile != 0
+                            or tile * S * scratch > 8 * (1 << 20)):
+            tile //= 2
+        nb = B // tile
+
+        def to_block_order(a):
+            """[..., S, B] -> [..., N] in kernel block order."""
+            lead = a.shape[:-2]
+            a = a.reshape(lead + (S, nb, tile))
+            perm = tuple(range(len(lead))) + (
+                len(lead) + 1, len(lead), len(lead) + 2)
+            return a.transpose(perm).reshape(lead + (S * B,))
+
+        px = (xn + 1.0) * 0.5 * (W - 1)
+        py = (yn + 1.0) * 0.5 * (H - 1)
+        xi = (jnp.clip(jnp.floor(px), -1, W - 1) + 1).astype(jnp.int32)
+        yi = (jnp.clip(jnp.floor(py), -1, H - 1) + 1).astype(jnp.int32)
+        idx_cf = yi * (W + 1) + xi                   # [S, B] int32
+        idx = to_block_order(idx_cf)                 # kernel block order
+        rows = table[idx]                            # [N, 4C] bf16
+
+        # ---- time plane + basis (identical to apply_fused)
+        timep = jnp.concatenate(
+            [cparams["density"]["time_0"], cparams["app"]["time_0"]], -1)
+        TH, TW, _ = timep.shape
+        tp = jnp.pad(timep.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
+        twp = ((TW + 2 + 127) // 128) * 128
+        ttab_t = jnp.pad(
+            jnp.moveaxis(tp, -1, 1).reshape((TH + 2) * C, TW + 2),
+            ((0, 0), (0, twp - (TW + 2))))
+        w = cparams["basis_mat"]["w"].astype(jnp.float32)
+        nd = net.density_n_comp[0]
+        wb_t = jnp.concatenate(
+            [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+
+        # ---- scalar pack: ONE batched CF -> ray-major relayout
+        vd_rows_cf = [jnp.broadcast_to(d_rows[c][None], (S, B))
+                      for c in range(3)]
+        pack_cf = jnp.stack(
+            [xn, yn, zn, tn, dists, cs_rows[0], cs_rows[1], cs_rows[2],
+             csh_rows[0], csh_rows[1], csh_rows[2], *vd_rows_cf,
+             jnp.zeros((S, B), jnp.float32),
+             jnp.zeros((S, B), jnp.float32)], 0)     # [16, S, B]
+        pack = to_block_order(pack_cf)               # [16, N]
+
+        out = fused_shade_composite(
+            rows, pack, ttab_t, wb_t,
+            S=S, W=W, H=H, TW=TW, TH=TH, n_density=nd,
+            n_basis=(net._sh_deg + 1) ** 2,
+            density_shift=0.0, distance_scale=net.distance_scale,
+            tile=tile, s_major=True)
+
+        rgb_map = out[:3].T
+        acc_map = out[3]
+        if not net.black_bg and net.white_bg:
+            rgb_map = rgb_map + (1.0 - acc_map[:, None])
+        rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+        outputs = {"rgb": rgb_map}
+        if "distances" in render_kwargs.get("fields", []):
+            outputs["distances"] = out[4][:, None]
+        return outputs

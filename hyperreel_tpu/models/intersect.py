@@ -37,6 +37,10 @@ from hyperreel_tpu.ops.sort_network import (
     bitonic_sort_with_payload,
 )
 
+# invalid-sample sentinel for invalid_sort_far (far beyond any scene
+# distance, small enough that f32 math on it stays exact)
+_FAR_SENTINEL = 1e9
+
 
 def _uniform_weight_fn(cfg):
     def fn(rays, dists):
@@ -112,6 +116,14 @@ class IntersectStage:
         self.use_dropout = dropout is not None
         self.dropout_frequency = int(dropout.get("frequency", 2)) if dropout else 2
         self.dropout_stop_iter = float(dropout.get("stop_iter", float("inf"))) if dropout else float("inf")
+        # TPU-native extension: sort masked-invalid samples to the FAR end
+        # (sentinel before the sort, remapped to 0 after) instead of the
+        # reference's 0-first arrangement. The valid samples then form a
+        # nearest-first PREFIX, so render-time sample compaction is a
+        # static first-k slice (see select_points mode="first"). Changes
+        # only which prediction-slot pairs with which sorted position —
+        # train and eval must agree on the arrangement.
+        self.invalid_sort_far = bool(cfg.get("invalid_sort_far", False))
 
     def init(self, key):
         return {}
@@ -181,7 +193,11 @@ class IntersectStage:
 
         mask = (dists <= self.near) | (dists >= self.far) | (weights == 0.0)
         mask = jnp.where(ctx.it > self.mask_stop_iters, jnp.zeros_like(mask), mask)
-        dists = jnp.where(mask, jnp.zeros_like(dists), dists)
+        if self.invalid_sort_far and self.sort:
+            dists = jnp.where(mask, jnp.full_like(dists, _FAR_SENTINEL),
+                              dists)
+        else:
+            dists = jnp.where(mask, jnp.zeros_like(dists), dists)
 
         if self.sort:
             # bitonic network instead of XLA's variadic sort HLO: pure
@@ -204,6 +220,13 @@ class IntersectStage:
                 # values-only sort — the shipped configs list no
                 # sort_outputs (SURVEY.md §2.10)
                 dists = bitonic_sort(dists)
+
+        # invalid_sort_far: sentinel distances stay — the sample point
+        # lands far outside the aabb so the color net's validity mask
+        # (valid_mask & dist > 0) excludes it, and the PRECEDING valid
+        # sample's delta (sentinel - d_k) saturates its alpha exactly like
+        # the reference's 1e10 last-sample delta. Remapping to 0 instead
+        # would give that boundary sample a NEGATIVE delta.
 
         dists = dists[..., None]
         mask = dists == 0.0
@@ -306,11 +329,14 @@ class IntersectZPlane(IntersectStage):
 
 @dataclass
 class IntersectSphere(IntersectStage):
-    """Concentric spheres (reference nlf/intersect/primitive.py:366-471).
+    """Concentric spheres (reference nlf/intersect/primitive.py:366-441).
 
-    z_vals carry one radius channel per sample; the reference's optional
-    4-channel (origin scale + radius) form degenerates to this whenever
-    origin_scale_factor == 0 (the shipped donerf_sphere.yaml value)."""
+    Two predicted-z layouts, like the reference: 1 radius channel per
+    sample (this repo's radius-only presets — exactly the reference math
+    when origin_scale_factor == 0), or the reference's 4-channel blocks
+    (origin scale x3 + radius; reference process_z_vals views z as
+    [B, -1, 4], primitive.py:417-421) selected whenever the flat z width
+    is a 4-multiple wider than z_channels."""
 
     def __post_init__(self):
         super().__post_init__()
@@ -326,9 +352,36 @@ class IntersectSphere(IntersectStage):
         self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
             self.z_channels, cfg, self.contract, near, far
         )
+        self.origin_scale_factor = float(cfg.get("origin_scale_factor",
+                                                 0.0))
+        self.origin_initial = np.asarray(
+            cfg.get("origin_initial", [1.0, 1.0, 1.0]), np.float32)
+
+    def _blocked(self, z_vals):
+        w = z_vals.shape[-1] if z_vals.ndim == 2 else z_vals.shape[-1]
+        return w != self.z_channels and w % 4 == 0
+
+    def process_z_vals(self, z_vals):
+        if not self._blocked(z_vals):
+            return super().process_z_vals(z_vals)
+        B = z_vals.shape[0]
+        z = z_vals.reshape(B, -1, 4)
+        origins = z[..., :3] * self.origin_scale_factor \
+            + jnp.asarray(self.origin_initial)
+        radii = super().process_z_vals(z[..., -1])
+        return jnp.concatenate([origins, radii[..., None]],
+                               -1).reshape(B, -1)
 
     def intersect(self, params, rays, z_vals, x):
         B = z_vals.shape[0]
+        if self._blocked(z_vals):
+            z = z_vals.reshape(B, -1, 4)
+            origins = z[..., :3]
+            radii = z[..., -1]
+            # reference primitive.py:424-440: origins SCALE the ray
+            r = jnp.concatenate([rays[..., None, :3] * origins,
+                                 rays[..., None, 3:6] * origins], -1)
+            return intersect_sphere(r, jnp.zeros(3), radii)
         radii = z_vals.reshape(B, -1)
         if self.clamp:
             radii = jnp.clip(radii, self.initial, self.end)
@@ -361,9 +414,54 @@ class IntersectSphereNew(IntersectStage):
             self.z_channels, cfg, self.contract, near, far
         )
         self.resize = np.asarray(cfg.get("resize", [1.0, 1.0, 1.0]), np.float32)
+        self.origin_scale_factor = float(cfg.get("origin_scale_factor",
+                                                 0.0))
+        self.resize_scale_factor = float(cfg.get("resize_scale_factor",
+                                                 0.0))
+        self.resize_initial = np.asarray(
+            cfg.get("resize_initial", [1.0, 1.0, 1.0]), np.float32)
+
+    def _blocked(self, z_vals):
+        w = z_vals.shape[-1]
+        return w != self.z_channels and w % 8 == 0
+
+    def process_z_vals(self, z_vals):
+        """8-channel blocks (reference primitive.py:490-504): per-sphere
+        origin x3, resize x3, miss-fallback raw offset, radius."""
+        if not self._blocked(z_vals):
+            return super().process_z_vals(z_vals)
+        B = z_vals.shape[0]
+        z = z_vals.reshape(B, -1, 8)
+        origins = z[..., :3] * self.origin_scale_factor
+        resize = z[..., 3:6] * self.resize_scale_factor \
+            + jnp.asarray(self.resize_initial)
+        raw_offsets = super().process_z_vals(z[..., -2])
+        radii = super().process_z_vals(z[..., -1])
+        return jnp.concatenate(
+            [origins, resize, raw_offsets[..., None], radii[..., None]],
+            -1).reshape(B, -1)
 
     def intersect(self, params, rays, z_vals, x):
         B = z_vals.shape[0]
+        zsc = jnp.asarray(np.asarray(self.z_scale, np.float32).reshape(-1))
+        if self._blocked(z_vals):
+            # reference primitive.py:506-545
+            z = z_vals.reshape(B, -1, 8)
+            origins, resize = z[..., :3], z[..., 3:6]
+            raw_offsets, radii = z[..., -2], z[..., -1]
+            rays_o = (rays[..., None, :3] - origins) * resize
+            rays_d = rays[..., None, 3:6] * resize
+            d_unit = rays_d / safe_norm(rays_d, axis=-1, keepdims=True)
+            r = jnp.concatenate([rays_o, d_unit], -1)
+            t = intersect_sphere(r, jnp.zeros(3), radii)
+            min_r = min_sphere_radius(r, jnp.zeros(3))
+            base_pos = pluecker_closest_point(rays_o, d_unit)
+            diff = base_pos - rays_o
+            base_distance = jnp.sign(jnp.sum(d_unit * diff, -1)) \
+                * safe_norm(diff, axis=-1, keepdims=False)
+            t = jnp.where(jnp.abs(radii) < min_r + 4.0 * zsc,
+                          raw_offsets + base_distance, t)
+            return t / (safe_norm(rays_d, axis=-1, keepdims=False) + 1e-5)
         radii = z_vals.reshape(B, -1)
         r = jnp.concatenate([rays[..., :3] * self.resize, rays[..., 3:6] * self.resize], -1)
         min_r = min_sphere_radius(r, jnp.zeros(3))[:, None]
@@ -379,17 +477,51 @@ class IntersectSphereNew(IntersectStage):
 @dataclass
 class IntersectCylinder(IntersectStage):
     """Concentric y-axis cylinders (reference
-    nlf/intersect/primitive.py:181-363)."""
+    nlf/intersect/primitive.py:181-255). Like IntersectSphere, accepts
+    the radius-only layout or the reference's 4-channel blocks
+    (origin scale x3 + radius, primitive.py:230-254)."""
 
     def __post_init__(self):
         super().__post_init__()
         cfg = self.cfg
+        near = far = None
+        if cfg.get("use_dataset_bounds", False):
+            ds = cfg.get("_dataset_bounds", (0.0, 1.0))
+            near = float(cfg["initial"]) if "initial" in cfg \
+                else float(ds[0]) * 1.5
+            far = float(cfg["end"]) if "end" in cfg else float(ds[1]) * 1.5
         self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
-            self.z_channels, cfg, self.contract
+            self.z_channels, cfg, self.contract, near, far
         )
+        self.origin_scale_factor = float(cfg.get("origin_scale_factor",
+                                                 0.0))
+        self.origin_initial = np.asarray(
+            cfg.get("origin_initial", [1.0, 1.0, 1.0]), np.float32)
+
+    def _blocked(self, z_vals):
+        w = z_vals.shape[-1]
+        return w != self.z_channels and w % 4 == 0
+
+    def process_z_vals(self, z_vals):
+        if not self._blocked(z_vals):
+            return super().process_z_vals(z_vals)
+        B = z_vals.shape[0]
+        z = z_vals.reshape(B, -1, 4)
+        origins = z[..., :3] * self.origin_scale_factor \
+            + jnp.asarray(self.origin_initial)
+        radii = super().process_z_vals(z[..., -1])
+        return jnp.concatenate([origins, radii[..., None]],
+                               -1).reshape(B, -1)
 
     def intersect(self, params, rays, z_vals, x):
         B = z_vals.shape[0]
+        if self._blocked(z_vals):
+            z = z_vals.reshape(B, -1, 4)
+            origins = z[..., :3]
+            radii = z[..., -1]
+            r = jnp.concatenate([rays[..., None, :3] * origins,
+                                 rays[..., None, 3:6] * origins], -1)
+            return intersect_cylinder(r, jnp.zeros(3), radii)
         radii = z_vals.reshape(B, -1)
         if self.clamp:
             radii = jnp.clip(radii, self.initial, self.end)
@@ -574,6 +706,10 @@ class IntersectCylinderNew(IntersectStage):
 
 intersect_dict = {
     "z_plane": IntersectZPlane,
+    # alias: shiny_z_tensorf.yaml says `type: z`, which the reference's
+    # own registry lacks (nlf/intersect/z.py:100-102 — a stale config);
+    # accepted here so the shipped experiment runs
+    "z": IntersectZPlane,
     "plane": IntersectPlane,
     "sphere": IntersectSphere,
     "sphere_new": IntersectSphereNew,

@@ -226,10 +226,104 @@ class PartitionedConstantMLP:
         return params["values"][partition_idx]
 
 
+@dataclass
+class MultipleNet:
+    """Cascade of tensor-input nets with wait/stop gating, per-stage
+    scales, and FEATURE FEEDBACK (reference nlf/nets/nets.py:36-134):
+    stage i consumes [x, features_{i-1}] and emits
+    out_feature_dim + feature_dim_i channels; the feature tail feeds the
+    next stage; per-stage outputs are scaled and summed over active
+    stages; sub-nets see the shifted iteration `it - wait_iters[i]`
+    (reference set_iter offset, nets.py:133-134).
+
+    jit semantics: every stage always runs; inactive stages contribute
+    zeros (output AND fed-forward features) via where-gates on the traced
+    iteration — the static-shape equivalent of the reference's host-side
+    `continue`."""
+
+    in_channels: int
+    out_channels: int
+    cfg: dict
+    compute_dtype: Optional[jnp.dtype] = None
+
+    def __post_init__(self):
+        cfg = self.cfg
+        nets_cfg = cfg["nets"]
+        net_cfgs = list(nets_cfg.values()) if isinstance(nets_cfg, dict) \
+            else list(nets_cfg)
+        self.wait_iters = [float(nc.get("wait_iters", 0))
+                           for nc in net_cfgs]
+        self.stop_iters = [float(nc.get("stop_iters", float("inf")))
+                           for nc in net_cfgs]
+        self.feature_dims = [int(nc.get("feature_dim", 0))
+                             for nc in net_cfgs]
+        self.scales = [float(nc.get("scale", 1.0)) for nc in net_cfgs]
+        self.use_feature_net = bool(cfg.get("feature_net", False))
+        self.out_feature_dim = int(
+            cfg.get("out_feature_dim", self.out_channels)) \
+            if self.use_feature_net else self.out_channels
+        self.nets = []
+        for i, nc in enumerate(net_cfgs):
+            extra_in = self.feature_dims[i - 1] if i > 0 else 0
+            self.nets.append(build_net(
+                self.in_channels + extra_in,
+                self.out_feature_dim + self.feature_dims[i], nc,
+                compute_dtype=self.compute_dtype))
+        if self.use_feature_net:
+            # the reference builds the feature net from the LAST stage's
+            # cfg (nets.py:90-98); an explicit dict is also accepted
+            fn_cfg = cfg["feature_net"] if isinstance(cfg["feature_net"],
+                                                      dict) else net_cfgs[-1]
+            self.feature_net = build_net(self.out_feature_dim,
+                                         self.out_channels, fn_cfg)
+        self.out_act = get_activation(cfg.get("activation", "identity"))
+
+    def init(self, key):
+        n_extra = 1 if self.use_feature_net else 0
+        keys = jax.random.split(key, len(self.nets) + n_extra)
+        params = {f"net_{i}": n.init(k)
+                  for i, (n, k) in enumerate(zip(self.nets, keys))}
+        if self.use_feature_net:
+            params["feature_net"] = self.feature_net.init(keys[-1])
+        return params
+
+    def apply(self, params, x, ctx=None):
+        total = jnp.zeros(x.shape[:-1] + (self.out_channels,), jnp.float32)
+        feats = jnp.zeros(x.shape[:-1] + (0,), x.dtype)
+        from dataclasses import replace as dc_replace
+        for i, net in enumerate(self.nets):
+            ctx_i = dc_replace(
+                ctx, it=ctx.it - jnp.int32(self.wait_iters[i])) \
+                if ctx is not None else None
+            out = net.apply(params[f"net_{i}"],
+                            jnp.concatenate([x, feats], -1), ctx_i)
+            if self.feature_dims[i] > 0:
+                feats = out[..., -self.feature_dims[i]:]
+                out = out[..., :-self.feature_dims[i]]
+            else:
+                feats = jnp.zeros(x.shape[:-1] + (0,), x.dtype)
+            if self.use_feature_net:
+                out = self.feature_net.apply(params["feature_net"], out,
+                                             ctx_i)
+            if ctx is not None:
+                it_f = ctx.it.astype(jnp.float32)
+                gate = ((it_f >= self.wait_iters[i])
+                        & (it_f < self.stop_iters[i])).astype(jnp.float32)
+            else:
+                gate = 1.0
+            total = total + out * (gate * self.scales[i])
+            feats = feats * gate
+        return self.out_act(total, ctx)
+
+
 def build_net(in_channels, out_channels, cfg, **kwargs):
     """net_dict-style MLP construction from config
     (reference nlf/nets/nets.py:12-136 for the mlp family)."""
     t = cfg.get("type", "base")
+    if t == "multiple":
+        return MultipleNet(in_channels=in_channels,
+                           out_channels=out_channels, cfg=dict(cfg),
+                           compute_dtype=kwargs.get("compute_dtype"))
     if t in ("base", "mlp"):
         return BaseMLP(
             in_channels=in_channels,

@@ -30,6 +30,14 @@ class LightfieldModel:
         self.embedding = build_embedding_chain(
             cfg["embedding"], self.dataset_info, self.compute_dtype)
         self.color_net = build_color_net(cfg["color"]["net"], self.dataset_info)
+        # channels-first fused EVAL fast path (models/fused_eval.py):
+        # built when the chain matches the flagship pattern structurally;
+        # falls back to the stage chain otherwise
+        self._cf_eval = None
+        if cfg["color"]["net"].get("fused_render_cf", True):
+            from hyperreel_tpu.models import fused_eval
+            if fused_eval.cf_eligible(self):
+                self._cf_eval = fused_eval.FusedCFEval(self)
 
     def init(self, key):
         k_embed, k_color = jax.random.split(key)
@@ -40,6 +48,9 @@ class LightfieldModel:
 
     def apply(self, params, rays, ctx, render_kwargs=None):
         render_kwargs = render_kwargs or {}
+        if self._cf_eval is not None and self._cf_eval.ok(ctx,
+                                                         render_kwargs):
+            return self._cf_eval.apply(params, rays, ctx, render_kwargs)
         rays = self.ray_param.apply(rays)
         x = self.embedding.apply(params["embedding"], rays, ctx, render_kwargs)
         return self.color_net.apply(params["color"], x, ctx, render_kwargs)

@@ -1351,5 +1351,7 @@ def build_color_net(cfg, dataset_info=None):
         waits = [float(nc.get("wait_iters", 0)) for nc in cfg["nets"]]
         stops = [float(nc.get("stop_iters", float("inf")))
                  for nc in cfg["nets"]]
-        return MultipleNet(nets=sub, wait_iters=waits, stop_iters=stops)
+        scales = [float(nc.get("scale", 1.0)) for nc in cfg["nets"]]
+        return MultipleNet(nets=sub, wait_iters=waits, stop_iters=stops,
+                           scales=scales)
     raise ValueError(f"unknown color net type {t}")

@@ -209,7 +209,11 @@ class TensorVMReflect(TensorVMNoSample):
                 return self.feature2density(feat * w)
 
             d, g = jax.value_and_grad(f)(p)
-            n = -g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+            # safe_norm: jnp.linalg.norm's sqrt VJP NaNs at g = 0 (flat
+            # density regions are common early in training) — see
+            # ops/intersect_math.py safe_norm rationale
+            from hyperreel_tpu.ops.intersect_math import safe_norm
+            n = -g / safe_norm(g, axis=-1, keepdims=False)
             return d, n
 
         flat_xyz = xyz.reshape(-1, 3)
@@ -233,13 +237,18 @@ class TensorVMReflect(TensorVMNoSample):
 
 @dataclass
 class MultipleNet:
-    """Cascade of nets with wait/stop iters and optional feature feedback
-    (reference nlf/nets/nets.py:36-134). Outputs of active nets are summed;
-    gating is a where-blend on the traced iteration."""
+    """Cascade of dict-input COLOR nets with wait/stop iters and per-net
+    scales (reference nlf/nets/nets.py:36-134 applied to the tensorf
+    family). Outputs of active nets are scale-summed; gating is a
+    where-blend on the traced iteration; each sub-net sees the shifted
+    iteration `it - wait_iters[i]` (reference set_iter offset,
+    nets.py:133-134). The tensor-input variant with feature feedback
+    lives in models/mlp.py MultipleNet."""
 
     nets: List
     wait_iters: List[float]
     stop_iters: List[float]
+    scales: List[float] = None
 
     def init(self, key):
         keys = jax.random.split(key, len(self.nets))
@@ -247,12 +256,16 @@ class MultipleNet:
                 for i, (n, k) in enumerate(zip(self.nets, keys))}
 
     def apply(self, params, x, ctx, render_kwargs=None):
+        from dataclasses import replace as dc_replace
+        scales = self.scales or [1.0] * len(self.nets)
         out = None
         for i, net in enumerate(self.nets):
-            o = net.apply(params[f"net_{i}"], x, ctx, render_kwargs)
+            ctx_i = dc_replace(ctx,
+                               it=ctx.it - jnp.int32(self.wait_iters[i]))
+            o = net.apply(params[f"net_{i}"], x, ctx_i, render_kwargs)
             gate = ((ctx.it >= self.wait_iters[i])
                     & (ctx.it < self.stop_iters[i])).astype(jnp.float32)
-            rgb = o["rgb"] * gate
+            rgb = o["rgb"] * (gate * scales[i])
             if out is None:
                 out = dict(o)
                 out["rgb"] = rgb

@@ -101,7 +101,8 @@ def _corner_weights(p, lim):
 
 def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
                   *, S, blk, W, H, TW, TH, Rt, C, n_density, n_basis,
-                  sh_deg, density_shift, distance_scale, acc_dtype):
+                  sh_deg, density_shift, distance_scale, acc_dtype,
+                  s_major=False):
     pk = pack_ref[:]                                       # [16, blk]
     xn = pk[0:1]
     yn = pk[1:2]
@@ -175,13 +176,23 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
         v = v * (pk[5 + c:6 + c] + 1.0) + pk[8 + c:9 + c]
         rgb.append(v)
 
-    # ---- composite: segmented (per-ray, S lanes each) scan in lane space.
+    # ---- composite: segmented (per-ray) scan in lane space. Two lane
+    # orders: ray-major (lane = r*S + s — a ray's samples contiguous) and
+    # S-major (lane = s*tile_r + r — the channels-first pipeline's native
+    # order, where the CF -> kernel conversion keeps the 128-lane minor
+    # dim intact instead of a pathological small-minor-dim transpose).
     # Lane shifts use pltpu.roll (circular) — concatenate-based shifts of
     # computed values hit a Mosaic layout-offset limitation; the
     # wraparound lanes are always masked off by the segment predicate.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
-    seg = lane % S
-    nxt = pltpu.roll(dist, blk - 1, 1)      # dist shifted left by one
+    tile_r = blk // S
+    if s_major:
+        seg = lane // tile_r       # sample index of this lane
+        step = tile_r              # lane distance to the next sample
+    else:
+        seg = lane % S
+        step = 1
+    nxt = pltpu.roll(dist, blk - step, 1)   # next sample's dist
     deltas = jnp.where(seg == S - 1, 1e10, nxt - dist)
 
     x = jnp.clip(sigma * (deltas * distance_scale), -_EXP_CLAMP,
@@ -191,11 +202,11 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     acc = log_trans
     shift = 1
     while shift < S:
-        sh = pltpu.roll(acc, shift, 1)
+        sh = pltpu.roll(acc, shift * step, 1)
         acc = acc + jnp.where(seg >= shift, sh, 0.0)
         shift *= 2
     # exclusive transmittance: shift the inclusive scan by one in-segment
-    prev = pltpu.roll(acc, 1, 1)
+    prev = pltpu.roll(acc, step, 1)
     t_excl = jnp.exp(jnp.where(seg == 0, 0.0, prev))
     w = alpha * t_excl                                     # [1, blk]
 
@@ -211,7 +222,10 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     pt = out_ref.shape[1]
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, pt), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, pt), 1)
-    mseg = (r_iota // S == j_iota).astype(jnp.float32)
+    if s_major:
+        mseg = (r_iota % tile_r == j_iota).astype(jnp.float32)
+    else:
+        mseg = (r_iota // S == j_iota).astype(jnp.float32)
 
     vs = jnp.concatenate(
         [w * rgb[0], w * rgb[1], w * rgb[2], w, w * dist,
@@ -243,11 +257,16 @@ def build_scalar_pack(xn, yn, zn, tn, cs, csh, dist, vd_rows):
 def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
                           S, W, H, TW, TH, n_density, n_basis,
                           density_shift, distance_scale, tile=64,
-                          acc_dtype=jnp.bfloat16, interpret=None):
+                          acc_dtype=jnp.bfloat16, interpret=None,
+                          s_major=False):
     """Args:
       rows:   [N, 4C] bf16 gathered space quad rows (corner-major).
       pack:   [16, N] f32 scalar pack (build_scalar_pack; dist row 4,
               cs rows 5-7, csh rows 8-10, viewdir rows 11-13).
+      s_major: lane order within each tile*S block — False: ray-major
+              (n = r*S + s); True: S-major (n = s*tile + r, the
+              channels-first pipeline's native block order). rows and
+              pack must be pre-ordered accordingly.
       time_table_t: [(TH+2)*C, TWp] f32 zero-ring-padded time plane,
               keyframe-major rows (row k*C + c), z on lanes padded to a
               multiple of 128.
@@ -276,7 +295,8 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         _shade_kernel, S=S, blk=blk, W=W, H=H, TW=TW, TH=TH, Rt=Rt, C=C,
         n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
         density_shift=float(density_shift),
-        distance_scale=float(distance_scale), acc_dtype=acc_dtype)
+        distance_scale=float(distance_scale), acc_dtype=acc_dtype,
+        s_major=s_major)
 
     grid = (N // blk,)
     out = pl.pallas_call(

@@ -185,6 +185,12 @@ class System:
                     f"it {m['it']}: loss {m['loss']:.5f} "
                     f"psnr {m['psnr']:.2f}"))
             metrics_log += history
+            # machine-readable per-iter series (the reference's TensorBoard
+            # scalars analog, main.py:94); one JSON object per logged step
+            with open(os.path.join(self.save_dir, "metrics.jsonl"),
+                      "a") as f:
+                for m in history:
+                    f.write(json.dumps(m) + "\n")
             val_metrics = self.validate(state, max_images=2)
             print(f"[val @ it {state.it}] {val_metrics}")
             with open(os.path.join(self.save_dir, "metrics.txt"), "a") as f:
@@ -205,6 +211,13 @@ class System:
         ds = self.val_dataset
         n = ds.num_images if max_images is None else min(
             ds.num_images, max_images)
+        # LPIPS (reference metrics.py:54-58) behind a weights-path flag:
+        # the graph ships, weights can't be downloaded here (DATASETS.md)
+        lpips_params = None
+        from hyperreel_tpu.train import lpips as lpips_mod
+        lpips_path = lpips_mod.default_weights_path(self.cfg.get("params"))
+        if lpips_path and os.path.isfile(lpips_path):
+            lpips_params = lpips_mod.load_weights(lpips_path)
         outs = []
         for i in range(n):
             img_batch = ds.image(i)
@@ -213,10 +226,14 @@ class System:
             W, H = ds.img_wh
             gt = img_batch["rgb"].reshape(H, W, 3)
             pred = np.clip(out["rgb"], 0, 1)
-            outs.append({
+            m = {
                 "psnr": float(psnr(jnp.asarray(pred), jnp.asarray(gt))),
                 "ssim": float(ssim(jnp.asarray(pred), jnp.asarray(gt))),
-            })
+            }
+            if lpips_params is not None:
+                m["lpips"] = float(lpips_mod.lpips(
+                    lpips_params, jnp.asarray(pred), jnp.asarray(gt)))
+            outs.append(m)
             if save_images or self.visualizers:
                 img_dir = os.path.join(self.save_dir, "val_images",
                                        str(state.it))

@@ -102,10 +102,12 @@ def _set(tree, path, value, report, src_key):
 
 def _collect_mlp_groups(state_dict):
     """Group `<prefix>.layers.{i}.weight/bias` keys by prefix, in key
-    order (the reference's BaseMLP layer list, nlf/nets/mlp.py:125-166)."""
+    order (the reference's BaseMLP layer list, nlf/nets/mlp.py:125-166).
+    Layers followed by an activation are wrapped in nn.Sequential
+    (mlp.py:147-152), so their keys read `layers.{i}.0.weight`."""
     groups = {}
     for key in state_dict:
-        m = re.search(r"^(.*)\.layers\.(\d+)\.(weight|bias)$", key)
+        m = re.search(r"^(.*)\.layers\.(\d+)(?:\.0)?\.(weight|bias)$", key)
         if m:
             groups.setdefault(m.group(1), {}).setdefault(
                 int(m.group(2)), {})[m.group(3)] = key
@@ -144,6 +146,11 @@ def import_reference_state_dict(state_dict: Dict, params: Dict
     color = params.get("color", params)
 
     for key, val in state_dict.items():
+        if getattr(val, "numel", lambda: 1)() == 0:
+            # inactive-axis grids: torch registers [1, 0, H, W] params
+            # for n_lamb entries of 0 (tensorf_dynamic init_svd) — no
+            # weights to carry
+            continue
         matched = False
         for pat, path_fn, conv in _GRID_PATTERNS:
             m = pat.search(key)

@@ -1,0 +1,152 @@
+"""FULL-pipeline golden parity against the reference (VERDICT r2 item 4).
+
+Instantiates the reference's actual `LightfieldModel`
+(/root/reference/nlf/models/models.py:104-143) from its own shipped yaml
+(via configs/reference_yaml.py), runs rays through torch, saves a
+lightning-style .ckpt, imports it with tools/import_reference_ckpt.py,
+and asserts ray-for-ray rgb parity against this framework's model built
+from the SAME yaml — one static (tensor_vm_split_no_sample) and one
+dynamic (tensor_vm_split_time) config.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import reference_shim
+
+from hyperreel_tpu.config import deep_update
+from hyperreel_tpu.configs import reference_yaml
+from hyperreel_tpu.configs.presets import convert_epochs_to_iters
+from hyperreel_tpu.models.ctx import make_ctx
+from hyperreel_tpu.models.model import build_model
+from hyperreel_tpu.tools.import_reference_ckpt import (
+    import_reference_state_dict)
+
+pytestmark = pytest.mark.skipif(
+    not reference_yaml.reference_conf_available(),
+    reason="reference repo not present")
+
+GRID = 24
+IT = 50000  # all ease/window schedules fully settled
+
+
+class _FakeDataset:
+    total_num_views = 4
+    num_frames = 8
+    num_keyframes = 4
+    num_images = 4
+
+
+class _FakeDM:
+    train_dataset = _FakeDataset()
+    val_dataset = _FakeDataset()
+
+
+class _FakeSystem:
+    dm = _FakeDM()
+
+    def __init__(self):
+        self.cfg = reference_shim.Cfg(
+            {"dataset": {"collection": "synthetic", "name": "synthetic"}})
+
+
+def _shrink(cfg):
+    net = cfg["color"]["net"]
+    net["N_voxel_init"] = GRID ** 3
+    net["N_voxel_final"] = GRID ** 3
+    net["upsamp_list"] = []
+    net["update_AlphaMask_list"] = []
+    emb = cfg["embedding"]["embeddings"]
+    emb["ray_prediction_0"]["net"].update(
+        {"depth": 4, "hidden_channels": 32, "skips": [2]})
+    emb["ray_prediction_0"]["z_channels"] = 8
+    for st in emb.values():
+        if "z_channels" in st:
+            st["z_channels"] = 8
+    return cfg
+
+
+def _rays(n, dynamic, seed=0):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    o[:, 2] = -1.2
+    d = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    d[:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    cam = rng.randint(0, 4, (n, 1)).astype(np.float32)
+    t = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+    if dynamic:
+        return np.concatenate([o, d, cam, t], -1)
+    return np.concatenate([o, d], -1)
+
+
+def _run_reference(cfg_dict, rays_np, tmp_path):
+    """Build + run the reference model; return (rgb, ckpt_path)."""
+    reference_shim.install()
+    import torch
+    from nlf.models.models import model_dict as ref_model_dict
+
+    torch.manual_seed(0)
+    ref_cfg = reference_shim.Cfg(cfg_dict)
+    model = ref_model_dict["lightfield"](ref_cfg, system=_FakeSystem())
+    model.eval()
+    model.set_iter(IT)
+    with torch.no_grad():
+        out = model(torch.from_numpy(rays_np), {})
+    rgb = out["rgb"].numpy()
+
+    # lightning-style checkpoint (reference nlf/__init__.py:433-479 save
+    # format: everything nested under deep module prefixes)
+    sd = {"render_fn.model." + k: v for k, v in model.state_dict().items()}
+    ckpt_path = os.path.join(tmp_path, "ref.ckpt")
+    torch.save({"state_dict": sd, "epoch": 1}, ckpt_path)
+    return rgb, ckpt_path
+
+
+def _run_ours(cfg_dict, rays_np, ckpt_path):
+    import torch
+    cfg = convert_epochs_to_iters(cfg_dict, iters_per_epoch=1000)
+    cfg = deep_update(cfg, {"color": {"net": {"bf16_tables": False,
+                                              "fused_render": False}}})
+    info = {"num_keyframes": 4, "num_frames": 8, "num_views": 4,
+            "near": 0.0, "far": 1.0, "depth_range": None}
+    model = build_model(cfg, dataset_info=info)
+    params = model.init(jax.random.PRNGKey(0))
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    params, report = import_reference_state_dict(ckpt["state_dict"], params)
+    # every reference tensor must land somewhere (full-pipeline claim) —
+    # except weights the reference registers but never evaluates:
+    # basis_mat_density exists under densityMode=Density yet only
+    # DensityLinear/Fourier read it (reference tensorf_dynamic.py:373-392)
+    real_skips = [s for s in report["skipped"]
+                  if not s[0].endswith("basis_mat_density.weight")]
+    assert not real_skips, real_skips
+    ctx = make_ctx(it=IT, training=False)
+    out = model.apply(params, jnp.asarray(rays_np), ctx)
+    return np.asarray(out["rgb"]), report
+
+
+def _parity(name, dynamic, tmp_path):
+    cfg = _shrink(reference_yaml.reference_model_cfg(name))
+    rays = _rays(64, dynamic)
+    ref_rgb, ckpt = _run_reference(
+        convert_epochs_to_iters(cfg, iters_per_epoch=1000), rays,
+        str(tmp_path))
+    our_rgb, report = _run_ours(cfg, rays, ckpt)
+    assert len(report["mapped"]) > 10
+    err = np.abs(ref_rgb - our_rgb).max()
+    assert err < 1e-4, (name, err, ref_rgb[:3], our_rgb[:3])
+
+
+class TestFullPipelineParity:
+    def test_static_no_sample(self, tmp_path):
+        _parity("llff_z_plane_small", dynamic=False, tmp_path=tmp_path)
+
+    def test_dynamic_keyframe_time(self, tmp_path):
+        _parity("technicolor_z_plane_small", dynamic=True,
+                tmp_path=tmp_path)

@@ -1,0 +1,154 @@
+"""Channels-first fused eval parity (models/fused_eval.py): the CF
+pipeline must match BOTH the general stage-chain path and the ray-major
+fused path on the flagship dynamic pattern, ray for ray."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hyperreel_tpu.configs.presets import tiny_dynamic, convert_epochs_to_iters
+from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+from hyperreel_tpu.models.ctx import make_ctx
+from hyperreel_tpu.models.model import build_model
+from hyperreel_tpu.models import fused_eval
+
+
+def _scene():
+    return gaussian_blob_scene(n_views=2, wh=(12, 12), dynamic=True,
+                               num_frames=4, num_keyframes=2)
+
+
+def _models(ds):
+    cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+    cfg["color"]["net"]["fused_render"] = True
+    # kernel eligibility requires bf16 gather tables (all three paths
+    # then quantize the same table values, so cross-path parity is tight)
+    cfg["color"]["net"]["bf16_tables"] = True
+    m_cf = build_model(cfg, dataset_info=ds.info())
+
+    import copy
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["color"]["net"]["fused_render_cf"] = False
+    m_rm = build_model(cfg2, dataset_info=ds.info())  # ray-major fused
+
+    cfg3 = copy.deepcopy(cfg)
+    cfg3["color"]["net"]["fused_render"] = False
+    cfg3["color"]["net"]["fused_render_cf"] = False
+    m_gen = build_model(cfg3, dataset_info=ds.info())  # general path
+    return m_cf, m_rm, m_gen
+
+
+class TestFusedCFParity:
+    def test_cf_selected_on_flagship(self):
+        ds = _scene()
+        m_cf, m_rm, m_gen = _models(ds)
+        assert m_cf._cf_eval is not None
+        assert m_rm._cf_eval is None
+        assert m_gen._cf_eval is None
+
+    def test_eval_parity_all_three_paths(self):
+        ds = _scene()
+        m_cf, m_rm, m_gen = _models(ds)
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        rgb_cf = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        rgb_rm = np.asarray(m_rm.apply(params, rays, ctx)["rgb"])
+        rgb_gen = np.asarray(m_gen.apply(params, rays, ctx)["rgb"])
+        assert np.abs(rgb_cf - rgb_rm).max() < 2e-4, \
+            np.abs(rgb_cf - rgb_rm).max()
+        assert np.abs(rgb_cf - rgb_gen).max() < 2e-4, \
+            np.abs(rgb_cf - rgb_gen).max()
+
+    def test_training_path_unaffected(self):
+        ds = _scene()
+        m_cf, _, m_gen = _models(ds)
+        params = m_cf.init(jax.random.PRNGKey(1))
+        rays = jnp.asarray(ds.all_coords[:64])
+        ctx = make_ctx(it=100, training=True,
+                       rng=jax.random.PRNGKey(7))
+        a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_gen.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 1e-5
+
+    def test_distances_field(self):
+        ds = _scene()
+        m_cf, m_rm, _ = _models(ds)
+        params = m_cf.init(jax.random.PRNGKey(2))
+        rays = jnp.asarray(ds.all_coords[:64])
+        ctx = make_ctx(it=5000, training=False)
+        rk = {"fields": ["distances"]}
+        d_cf = np.asarray(
+            m_cf.apply(params, rays, ctx, rk)["distances"])
+        d_rm = np.asarray(
+            m_rm.apply(params, rays, ctx, rk)["distances"])
+        assert np.abs(d_cf - d_rm).max() < 2e-4
+
+    def test_compaction_parity_cf_vs_general(self):
+        """with_compact_samples: the CF path's first-k row slice must
+        match the general path's select_points mode='first' slicing."""
+        import copy
+        from hyperreel_tpu.configs.presets import with_compact_samples
+        ds = _scene()
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        cfg = with_compact_samples(cfg, 4)
+        m_cf = build_model(cfg, dataset_info=ds.info())
+        assert m_cf._cf_eval is not None
+        assert m_cf._cf_eval.compact_k == 4
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_gen = build_model(cfg2, dataset_info=ds.info())
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        rgb_cf = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        rgb_gen = np.asarray(m_gen.apply(params, rays, ctx)["rgb"])
+        assert np.abs(rgb_cf - rgb_gen).max() < 2e-4, \
+            np.abs(rgb_cf - rgb_gen).max()
+
+    def test_compaction_exact_when_k_covers_valid(self):
+        """Rays with <= k valid samples render IDENTICALLY compacted:
+        first-k keeps every valid (nearest-first) sample."""
+        import copy
+        from hyperreel_tpu.configs.presets import with_compact_samples
+        ds = _scene()
+        base = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        base["color"]["net"]["fused_render"] = False
+        base["color"]["net"]["fused_render_cf"] = False
+        # full model WITH the far-sorted arrangement (same pairing of
+        # prediction slots to sorted positions as the compacted model)
+        full_cfg = copy.deepcopy(base)
+        emb = full_cfg["embedding"]["embeddings"]
+        emb["ray_intersect_0"]["intersect"]["invalid_sort_far"] = True
+        comp_cfg = with_compact_samples(copy.deepcopy(base), 4)
+        m_full = build_model(full_cfg, dataset_info=ds.info())
+        m_comp = build_model(comp_cfg, dataset_info=ds.info())
+        params = m_full.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:128])
+        ctx = make_ctx(it=5000, training=False)
+        # count valid samples per ray on the full model
+        x = m_full.embed(params, rays, ctx)
+        d = np.asarray(x["distances"]).reshape(128, -1)
+        pts = np.asarray(x["points"]).reshape(128, -1, 3)
+        aabb = np.asarray(m_full.color_net.aabb)
+        valid = (d > 0) & (d < 1e8) & \
+            np.all((pts >= aabb[0]) & (pts <= aabb[1]), -1)
+        covered = valid.sum(-1) <= 4
+        if covered.sum() == 0:
+            pytest.skip("no rays with <= k valid samples in fixture")
+        rgb_full = np.asarray(m_full.apply(params, rays, ctx)["rgb"])
+        rgb_comp = np.asarray(m_comp.apply(params, rays, ctx)["rgb"])
+        err = np.abs(rgb_full - rgb_comp)[covered].max()
+        assert err < 1e-5, err
+
+    def test_cf_sort_matches_jnp(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(16, 33).astype(np.float32)
+        got = np.asarray(fused_eval._cf_bitonic_sort(jnp.asarray(x)))
+        want = np.sort(x, axis=0)
+        assert np.allclose(got, want)

@@ -122,6 +122,9 @@ INTERSECT_CFGS = {
                            "end": 2.0},
     "euclidean_distance_unified": {"type": "euclidean_distance_unified",
                                    "initial": 0.1, "end": 2.0},
+    # 'z' is an alias for z_plane (shiny_z_tensorf.yaml's stale type
+    # string — see models/intersect.py registry note)
+    "z": {"type": "z", "sort": True, "initial": -1.0, "end": 1.0},
 }
 
 
