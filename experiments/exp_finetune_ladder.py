@@ -1,13 +1,17 @@
-"""Fine-tuned reduced-sample render modes (VERDICT r2 item 3): train the
-flagship at 32 samples, then for each reduced count k fine-tune ~500
-iters WITH the k-sample slicing active in training (select_points
-always_slice), and measure holdout PSNR + streaming throughput.
+"""Fine-tuned reduced-sample render modes (VERDICT r2 items 2+3): train
+the flagship at 32 samples (invalid_sort_far arrangement), then for each
+reduced count k measure holdout PSNR + streaming throughput for BOTH
+reduction modes, raw and after a ~500-iter fine-tune at the target
+count:
 
-The round-2 ladder (exp_inference_ladder.py) showed the quality collapse
-without fine-tuning (50.6 -> 28.1 dB at k=16); the reference treats
-inference_samples as a usable knob because its models train with
-randomized sample counts (nlf/embedding/point.py:402-449) — fine-tuning
-at the target count is the equivalent calibration here.
+  * compact — with_compact_samples: keep the k NEAREST VALID samples
+    (post-sort first-k; the gather floor is per-ROW so everything
+    downstream scales with k)
+  * stride — with_inference_samples: the reference's every-(S/k)-th
+    sample knob (nlf/embedding/point.py:402-449)
+
+The round-2 ladder (exp_inference_ladder.py) showed the collapse
+without fine-tuning (50.6 -> 28.1 dB at k=16).
 """
 
 import json
@@ -28,7 +32,7 @@ def main():
     from exp_preset_sweep import _training_cfg, _mid_scale
     from hyperreel_tpu.configs.presets import (
         technicolor_z_plane, convert_epochs_to_iters,
-        with_inference_samples)
+        with_inference_samples, with_compact_samples)
     from hyperreel_tpu.data.synthetic import gaussian_blob_scene
     from hyperreel_tpu.models.model import build_model
     from hyperreel_tpu.models.ctx import StepCtx
@@ -49,6 +53,10 @@ def main():
 
     base_cfg = _mid_scale(
         convert_epochs_to_iters(technicolor_z_plane(), iters_per_epoch=200))
+    # far-sorted arrangement from the START of training so the compacted
+    # eval (first-k of the sorted prefix) sees the pairing it trained with
+    base_cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
+        "invalid_sort_far"] = True
     model = build_model(base_cfg, dataset_info=ds.info(),
                         compute_dtype=jnp.bfloat16)
     trainer = Trainer(model, _training_cfg(),
@@ -107,36 +115,62 @@ def main():
         return val, n / dt
 
     val, rps = measure(model, state.params, state.it)
-    log(json.dumps({"inference_samples": 32, "finetune_iters": 0,
-                    "holdout_psnr": round(val, 2),
+    log(json.dumps({"mode": "full", "inference_samples": 32,
+                    "finetune_iters": 0, "holdout_psnr": round(val, 2),
                     "rays_per_sec": round(rps, 1)}))
 
-    for k in (16, 8):
-        cfg_k = with_inference_samples(base_cfg, k)
-        sel = cfg_k["embedding"]["embeddings"]["select_points_inference"]
-        sel["always_slice"] = True
-        m_k = build_model(cfg_k, dataset_info=ds.info(),
-                          compute_dtype=jnp.bfloat16)
-        # params tree is identical (select_points is parameter-free)
-        tr_k = Trainer(m_k, _training_cfg(),
-                       regularizer_cfgs=tv_4000_defaults(),
-                       iters_per_epoch=200)
-        st_k = tr_k.init_state(jax.random.PRNGKey(0), it=state.it)
-        st_k = st_k.__class__(params=jax.tree.map(lambda a: a,
-                                                  state.params),
-                              opt_state=st_k.opt_state, it=state.it)
-        # raw (no fine-tune) quality at k
-        val0, rps0 = measure(m_k, st_k.params, st_k.it)
-        log("fine-tuning 500 iters @ %d samples..." % k)
-        st_k, _ = tr_k.fit(st_k, batches(seed=k), num_iters=500,
-                           rng=jax.random.PRNGKey(2 + k))
-        val1, rps1 = measure(m_k, st_k.params, st_k.it)
-        log(json.dumps({"inference_samples": k, "finetune_iters": 0,
-                        "holdout_psnr": round(val0, 2),
-                        "rays_per_sec": round(rps0, 1)}))
-        log(json.dumps({"inference_samples": k, "finetune_iters": 500,
-                        "holdout_psnr": round(val1, 2),
-                        "rays_per_sec": round(rps1, 1)}))
+    for mode in ("compact", "stride"):
+        for k in (16, 8):
+            if mode == "compact":
+                cfg_k = with_compact_samples(base_cfg, k)
+                sel = cfg_k["embedding"]["embeddings"][
+                    "select_points_compact"]
+            else:
+                cfg_k = with_inference_samples(base_cfg, k)
+                sel = cfg_k["embedding"]["embeddings"][
+                    "select_points_inference"]
+            m_k = build_model(cfg_k, dataset_info=ds.info(),
+                              compute_dtype=jnp.bfloat16)
+            # graft trained params into the k-model's tree (it has an
+            # extra parameter-free select_points stage key)
+            init_p = m_k.init(jax.random.PRNGKey(0))
+            emb = dict(init_p["embedding"])
+            emb.update(state.params["embedding"])
+            params_k = dict(state.params, embedding=emb)
+            # raw (no fine-tune) quality at k
+            val0, rps0 = measure(m_k, params_k, state.it)
+            log(json.dumps({"mode": mode, "inference_samples": k,
+                            "finetune_iters": 0,
+                            "holdout_psnr": round(val0, 2),
+                            "rays_per_sec": round(rps0, 1)}))
+            # fine-tune WITH the reduction active in training.
+            # donate=False: the fine-tune must not consume the shared
+            # base params buffers (later ladder rungs reuse them).
+            # 10x lower LR: at full LR a 500-iter fine-tune PERTURBS a
+            # converged model more than the reduced-count calibration
+            # gains (measured: k=16 compact 50.37 raw -> 46.97 after a
+            # full-LR fine-tune).
+            sel["always_slice"] = True
+            m_ft = build_model(cfg_k, dataset_info=ds.info(),
+                               compute_dtype=jnp.bfloat16)
+            ft_cfg = _training_cfg()
+            for g in ft_cfg["optimizers"].values():
+                g["lr"] = g["lr"] * 0.1
+            tr_k = Trainer(m_ft, ft_cfg,
+                           regularizer_cfgs=tv_4000_defaults(),
+                           iters_per_epoch=200, donate=False)
+            st_k = tr_k.init_state(jax.random.PRNGKey(0), it=state.it)
+            st_k = st_k.__class__(
+                params=jax.tree.map(lambda a: a, params_k),
+                opt_state=st_k.opt_state, it=state.it)
+            log(f"fine-tuning 500 iters @ {mode} k={k}...")
+            st_k, _ = tr_k.fit(st_k, batches(seed=k), num_iters=500,
+                               rng=jax.random.PRNGKey(2 + k))
+            val1, rps1 = measure(m_k, st_k.params, st_k.it)
+            log(json.dumps({"mode": mode, "inference_samples": k,
+                            "finetune_iters": 500,
+                            "holdout_psnr": round(val1, 2),
+                            "rays_per_sec": round(rps1, 1)}))
 
 
 if __name__ == "__main__":

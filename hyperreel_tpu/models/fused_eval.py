@@ -52,7 +52,12 @@ def cf_eligible(model):
         want = ["ray_prediction_0", "ray_intersect_0", "flow_0",
                 "point_offset_0", "add_point_outputs_0", "extract_fields"]
         want_compact = want[:2] + ["select_points_compact"] + want[2:]
-        if names not in (want, want_compact):
+        # the reference's inference_samples stride knob
+        # (with_inference_samples) sits after point_offset; the stride
+        # slice is POSITIONAL, so it commutes past the elementwise
+        # per-sample stages to right after the sort in CF rows
+        want_stride = want[:4] + ["select_points_inference"] + want[4:]
+        if names not in (want, want_compact, want_stride):
             return False
         if names == want_compact:
             sel = stages["select_points_compact"]
@@ -60,6 +65,13 @@ def cf_eligible(model):
             if sel.mode != "first" or not k or (k & (k - 1)):
                 return False
             if not stages["ray_intersect_0"].intersect.invalid_sort_far:
+                return False
+        if names == want_stride:
+            sel = stages["select_points_inference"]
+            k = sel.inference_samples
+            S = stages["ray_prediction_0"].z_channels
+            if sel.mode != "stride" or not k or (k & (k - 1)) \
+                    or k >= S or S % k:
                 return False
         for _, st in model.embedding.stages:
             cfg = getattr(st, "cfg", None)
@@ -84,10 +96,20 @@ def cf_eligible(model):
             return False
         if (isect.use_disparity or isect.normalize or isect.clamp
                 or isect.residual_z or isect.residual_distance
-                or isect.use_local_prediction
-                or isect.contract.name != "identity"
-                or isect.contract.contract_samples):
+                or isect.use_local_prediction):
             return False
+        # contraction: allowed when a channels-first form exists
+        # (identity / mipnerf — ops/contract.py contract_points_cf) and
+        # never scheduled off; the far-sort sentinel is incompatible
+        # (a sentinel point CONTRACTS onto the radius-2 sphere, which
+        # the aabb validity mask would not exclude)
+        if isect.contract.name != "identity":
+            if isect.contract.contract_points_cf is None:
+                return False
+            if isect.invalid_sort_far:
+                return False
+            if isect.contract_stop_iters != float("inf"):
+                return False
         if np.any(isect.origin != 0.0):
             return False
         if not (isect.near == 0.0 and isect.far == float("inf")):
@@ -163,6 +185,10 @@ class FusedCFEval:
         # paired with intersect invalid_sort_far)
         sel = stages.get("select_points_compact")
         self.compact_k = sel.inference_samples if sel is not None else None
+        # positional stride subselection (the reference's
+        # inference_samples knob via with_inference_samples)
+        sel = stages.get("select_points_inference")
+        self.stride_k = sel.inference_samples if sel is not None else None
         p = self.pred
         self.field_offsets = {}
         off = 0
@@ -263,6 +289,10 @@ class FusedCFEval:
             (S,))[:, None] if np.asarray(isect.z_scale).size > 1 \
             else np.asarray(isect.z_scale, np.float32).reshape(1, 1)
         z = z * jnp.asarray(z_scale) + jnp.asarray(samples)
+        if isect.contract.contract_samples:
+            # anchors live in contracted sample space
+            # (process_z_vals, reference nlf/intersect/base.py:128-140)
+            z = isect.contract.inverse_contract_distance(z)
 
         rrows = _rows_of(rays[:, :8] if rays.shape[1] >= 8
                          else rays, min(rays.shape[1], 8))
@@ -286,12 +316,21 @@ class FusedCFEval:
             dists = jnp.where(dists <= 0.0, jnp.zeros_like(dists), dists)
             dists = _cf_bitonic_sort(dists)
             Sr = S
+        sel = slice(0, Sr)
+        if self.stride_k:
+            # positional every-(S/k)-th subselection: both the sorted
+            # dists and the prediction-ordered field rows are sliced by
+            # POSITION, exactly like the general path's select_points
+            # after its values-only sort
+            sel = slice(None, None, S // self.stride_k)
+            dists = dists[sel]
+            Sr = self.stride_k
         if Sr != S:
-            point_sigma = point_sigma[:Sr]
-            flow_rows = [r[:Sr] for r in flow_rows]
-            poff_rows = [r[:Sr] for r in poff_rows]
-            cs_rows = [r[:Sr] for r in cs_rows]
-            csh_rows = [r[:Sr] for r in csh_rows]
+            point_sigma = point_sigma[sel]
+            flow_rows = [r[sel] for r in flow_rows]
+            poff_rows = [r[sel] for r in poff_rows]
+            cs_rows = [r[sel] for r in cs_rows]
+            csh_rows = [r[sel] for r in csh_rows]
         S = Sr
 
         # ---- advect (reference embedding/point.py:741-834, eval: no
@@ -304,14 +343,29 @@ class FusedCFEval:
             self.flow.flow_scale, False, ctx.rng)    # [B]
         dt = (t_row - base_t)[None]                  # [1, B]
 
-        p_rows = []
+        p_rows = [o_rows[c][None] + d_rows[c][None] * dists
+                  for c in range(3)]
+        if self.isect.contract.name != "identity":
+            # scene contraction between intersect and advection
+            # (reference nlf/intersect/base.py:242-246): contract points
+            # AND re-derive distances in contracted space; rows stack on
+            # the LEADING component axis (full-lane norms)
+            mask0 = dists <= 0.0
+            p_stack = jnp.stack(p_rows, 0)                   # [3, S, B]
+            o_stack = jnp.stack([r[None] for r in o_rows], 0)
+            cpf = self.isect.contract.contract_points_cf
+            p_c = cpf(p_stack)
+            o_c = cpf(o_stack)
+            d_c = jnp.sqrt(jnp.maximum(
+                jnp.sum((p_c - o_c) ** 2, 0), 1e-24))
+            dists = jnp.where(mask0, jnp.zeros_like(dists), d_c)
+            p_rows = [p_c[c] for c in range(3)]
         for c in range(3):
-            p = o_rows[c][None] + d_rows[c][None] * dists
-            p = p + self.flow.spatial_flow_activation(
+            p = p_rows[c] + self.flow.spatial_flow_activation(
                 flow_rows[c], ctx) * dt
             off = self.po.activation(poff_rows[c], ctx) \
                 * (1.0 - point_sigma)
-            p_rows.append(p + off)
+            p_rows[c] = p + off
 
         # ---- normalize to grid coords (tensorf.py normalize_coord /
         # normalize_time_coord)

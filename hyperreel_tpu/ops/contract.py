@@ -64,10 +64,16 @@ class Contract:
     contract_distance: Callable
     inverse_contract_distance: Callable
     contract_points_and_distance: Callable
+    # channels-first variant: points as a LEADING [3, ...] component axis
+    # (the fused eval pipeline's row world, models/fused_eval.py) — the
+    # norm reduces over axis 0 with full-lane rows instead of a
+    # lane-padded [..., 3] minor axis. None = no CF form (CF eval
+    # ineligible for this contraction).
+    contract_points_cf: Callable = None
 
 
 def _make(name, cfg, contract_points, contract_distance, inverse_contract_distance,
-          identity_points_and_distance=False):
+          identity_points_and_distance=False, contract_points_cf=None):
     if identity_points_and_distance:
         def cpad(rays_o, points, distance):
             return points, distance
@@ -79,6 +85,8 @@ def _make(name, cfg, contract_points, contract_distance, inverse_contract_distan
             d_c = safe_norm(p_c - o_c[..., None, :])
             return p_c, d_c
 
+    if contract_points_cf is None and identity_points_and_distance:
+        contract_points_cf = lambda p: p
     return Contract(
         name=name,
         contract_samples=bool(cfg.get("contract_samples", False)),
@@ -86,6 +94,7 @@ def _make(name, cfg, contract_points, contract_distance, inverse_contract_distan
         contract_distance=contract_distance,
         inverse_contract_distance=inverse_contract_distance,
         contract_points_and_distance=cpad,
+        contract_points_cf=contract_points_cf,
     )
 
 
@@ -103,11 +112,20 @@ def bbox_contract(cfg, **kwargs):
     def contract_points(points):
         return (points - bbox_min) / (bbox_max - bbox_min)
 
+    def contract_points_cf(points):
+        # leading [3, ...] component axis (fused CF eval)
+        lo = jnp.asarray(bbox_min).reshape(
+            (3,) + (1,) * (points.ndim - 1))
+        hi = jnp.asarray(bbox_max).reshape(
+            (3,) + (1,) * (points.ndim - 1))
+        return (points - lo) / (hi - lo)
+
     return _make(
         "bbox", cfg,
         contract_points,
         lambda d: d / fac,
         lambda d: d * fac,
+        contract_points_cf=contract_points_cf,
     )
 
 
@@ -178,8 +196,22 @@ def mipnerf_contract(cfg, **kwargs):
             (points / jnp.maximum(distance, 1e-12)) * (2.0 - t),
         )
 
+    def contract_points_cf(points):
+        """Same math, components on the LEADING axis ([3, ...])."""
+        points = points / start_r
+        distance = jnp.sqrt(jnp.maximum(
+            jnp.sum(points * points, 0, keepdims=True), 1e-24))
+        inverse_distance = 1.0 / jnp.maximum(distance, 1e-12)
+        t = (inverse_distance - inv_end_r) * r_scale
+        return jnp.where(
+            distance < 1.0,
+            points,
+            (points / jnp.maximum(distance, 1e-12)) * (2.0 - t),
+        )
+
     return _make("mipnerf", cfg, contract_points, contract_distance,
-                 inverse_contract_distance)
+                 inverse_contract_distance,
+                 contract_points_cf=contract_points_cf)
 
 
 def donerf_contract(cfg, **kwargs):

@@ -122,6 +122,15 @@ class SimpleRayDensityRegularizer:
         self.extrap_mod = 0
 
     def _fallback_loss(self, model, params, batch, ctx):
+        if not getattr(self, "_fallback_warned", False):
+            # surface the semantic change ONCE: without dataset poses the
+            # reference's pose-aware random-ray synthesis degrades to
+            # batch-ray jitter (different math than the config implies)
+            print(f"[{type(self).__name__}] dataset exposes no poses/"
+                  "intrinsics: falling back to batch-ray jitter "
+                  "consistency (reference ray_density semantics need "
+                  "train-camera statistics)", flush=True)
+            self._fallback_warned = True
         rays = batch["rays"]
         k1, k2 = jax.random.split(ctx.rng)
         noise_o = jax.random.normal(k1, rays[..., :3].shape) * self.pos_std

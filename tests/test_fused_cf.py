@@ -146,6 +146,86 @@ class TestFusedCFParity:
         err = np.abs(rgb_full - rgb_comp)[covered].max()
         assert err < 1e-5, err
 
+    def test_stride_inference_samples_parity(self):
+        """with_inference_samples (the reference's stride knob): the CF
+        post-sort positional slice must match the general path."""
+        import copy
+        from hyperreel_tpu.configs.presets import with_inference_samples
+        ds = _scene()
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        cfg = with_inference_samples(cfg, 4)
+        m_cf = build_model(cfg, dataset_info=ds.info())
+        assert m_cf._cf_eval is not None
+        assert m_cf._cf_eval.stride_k == 4
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_gen = build_model(cfg2, dataset_info=ds.info())
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        rgb_cf = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        rgb_gen = np.asarray(m_gen.apply(params, rays, ctx)["rgb"])
+        assert np.abs(rgb_cf - rgb_gen).max() < 2e-4, \
+            np.abs(rgb_cf - rgb_gen).max()
+
+    def test_contracted_parity_cf_vs_general(self):
+        """mipnerf-contracted flagship (the *_world / neural_3d family's
+        contraction): CF row contraction must match the general path."""
+        import copy
+        ds = _scene()
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        isect = cfg["embedding"]["embeddings"]["ray_intersect_0"][
+            "intersect"]
+        isect["initial"] = 0.2
+        isect["end"] = 6.0
+        isect["contract"] = {"type": "mipnerf", "contract_samples": True,
+                             "contract_start_radius": 1.0,
+                             "contract_end_radius": 8.0}
+        m_cf = build_model(cfg, dataset_info=ds.info())
+        assert m_cf._cf_eval is not None
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_gen = build_model(cfg2, dataset_info=ds.info())
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        rgb_cf = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        rgb_gen = np.asarray(m_gen.apply(params, rays, ctx)["rgb"])
+        assert np.abs(rgb_cf - rgb_gen).max() < 2e-4, \
+            np.abs(rgb_cf - rgb_gen).max()
+
+    def test_bbox_contracted_parity(self):
+        """bbox-contracted flagship (technicolor_z_plane_world)."""
+        import copy
+        ds = _scene()
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        isect = cfg["embedding"]["embeddings"]["ray_intersect_0"][
+            "intersect"]
+        isect["contract"] = {"type": "bbox",
+                             "bbox_min": [-1.5, -1.5, -1.5],
+                             "bbox_max": [1.5, 1.5, 1.5]}
+        m_cf = build_model(cfg, dataset_info=ds.info())
+        assert m_cf._cf_eval is not None
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_gen = build_model(cfg2, dataset_info=ds.info())
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        rgb_cf = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        rgb_gen = np.asarray(m_gen.apply(params, rays, ctx)["rgb"])
+        assert np.abs(rgb_cf - rgb_gen).max() < 2e-4, \
+            np.abs(rgb_cf - rgb_gen).max()
+
     def test_cf_sort_matches_jnp(self):
         rng = np.random.RandomState(0)
         x = rng.randn(16, 33).astype(np.float32)

@@ -186,6 +186,8 @@ class TestMetrics:
 
     def test_ssim_matches_skimage(self):
         skimage = pytest.importorskip("skimage.metrics")
+        if getattr(skimage, "_is_hyperreel_stub", False):
+            pytest.skip("only the reference_shim skimage stub is present")
         structural_similarity = skimage.structural_similarity
         rng = np.random.default_rng(1)
         a = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
