@@ -680,25 +680,60 @@ class GeometryFeedbackRegularizer:
 
 @dataclass
 class WarpLevelSetRegularizer:
-    """Level-set consistency: embedding outputs should be locally constant
-    along the ray direction (reference nlf/regularizers/warp.py:80-140
-    WarpLevelSetRegularizer)."""
+    """Level-set consistency (reference nlf/regularizers/warp.py:80-186
+    WarpLevelSetRegularizer).
+
+    The reference jitters rays along the NULL-SPACE directions of the
+    learned local transform (the beyond-top-2 right singular vectors —
+    the level-set tangents) and requires outputs to agree; its full form
+    additionally re-renders through the subdivided-lightfield
+    `embed_params` mode, which belongs to the vestigial subdivision
+    family (zero shipped configs — SURVEY.md §2.10). Here: when a
+    LocalAffine stage exposes a transform, jitter along its null-space
+    directions and compare rendered rgb; otherwise fall back to
+    along-the-ray translation consistency of the predicted points."""
 
     cfg: dict
 
     def __post_init__(self):
         self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
         self.step = float(self.cfg.get("step", 0.01))
+        jit = self.cfg.get("jitter", {}) or {}
+        self.jitter_pos = float(jit.get("pos", 0.01))
+        self.bundle = int(jit.get("bundle_size", 1))
 
     def loss(self, model, params, batch, ctx, system=None):
         rays = batch["rays"]
+        base = schedule_weight(self.cfg, ctx.it)
+        for name, stage in model.embedding.stages:
+            if type(stage).__name__ != "LocalAffineEmbedding":
+                continue
+            pred = stage.net.apply(
+                params["embedding"][name]["net"],
+                rays[..., : stage.param_channels], ctx)
+            pc = stage.param_channels
+            M = pred[..., : stage.tform_out_channels * pc].reshape(
+                rays.shape[0], stage.tform_out_channels, pc)
+            # right singular vectors beyond the top-2 span the level set
+            _, _, vt = jnp.linalg.svd(M, full_matrices=False)
+            null = vt[..., 2:, :]                      # [B, pc-2, pc]
+            k = jax.random.normal(
+                jax.random.fold_in(ctx.rng, 311),
+                (rays.shape[0], null.shape[-2], 1)) * self.jitter_pos
+            jit = jnp.sum(k * null, -2)                # [B, pc]
+            pad = rays.shape[-1] - jit.shape[-1]
+            jit_rays = rays + jnp.concatenate(
+                [jit, jnp.zeros((rays.shape[0], pad), jit.dtype)], -1) \
+                if pad > 0 else rays + jit[..., :rays.shape[-1]]
+            a = model.apply(params, rays, ctx)["rgb"]
+            b = model.apply(params, jit_rays, ctx)["rgb"]
+            return base * self.loss_fn(a, b)
         stepped = jnp.concatenate(
             [rays[..., :3] + rays[..., 3:6] * self.step,
              rays[..., 3:6], rays[..., 6:]], -1)
         kw = {"fields": ["points"]}
         a = model.apply(params, rays, ctx, kw)["points"]
         b = model.apply(params, stepped, ctx, kw)["points"]
-        base = schedule_weight(self.cfg, ctx.it)
         return base * self.loss_fn(a, b)
 
 

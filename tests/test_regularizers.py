@@ -354,3 +354,87 @@ def test_blurry_teacher_patch_supervision(setup):
             found = True
             break
     assert found
+
+
+class TestWarpRegularizers:
+    """warp / warp_level (reference nlf/regularizers/warp.py): SVD
+    low-rank penalty on a LocalAffine transform, and null-space-jitter
+    level-set consistency (falling back to along-ray translation
+    consistency when no transform stage exists)."""
+
+    def _affine_model(self):
+        from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+        ds = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        emb = cfg["embedding"]["embeddings"]
+        cfg["embedding"]["embeddings"] = {
+            "local_affine_0": {
+                "type": "local_affine",
+                "param_channels": 6,
+                "tform_out_channels": 6,
+                "net": {"type": "base", "depth": 2,
+                        "hidden_channels": 32, "skips": []},
+            },
+            **emb,
+        }
+        model = build_model(cfg, dataset_info=ds.info())
+        return model, ds
+
+    def test_warp_svd_penalty_with_local_affine(self):
+        from hyperreel_tpu.train.regularizers_extra import WarpRegularizer
+        model, ds = self._affine_model()
+        params = model.init(jax.random.PRNGKey(0))
+        batch = {k: jnp.asarray(v)
+                 for k, v in next(ds.batch_iterator(32, seed=0)).items()}
+        reg = WarpRegularizer(cfg={"weight": 1.0,
+                                   "param": {"n_dims": 6}})
+
+        def loss(p):
+            return reg.loss(model, p, batch,
+                            make_ctx(100, training=True))
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val)) and float(val) > 0.0
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree.leaves(grads))
+
+    def test_warp_zero_without_transform_stage(self):
+        from hyperreel_tpu.train.regularizers_extra import WarpRegularizer
+        from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+        ds = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        model = build_model(cfg, dataset_info=ds.info())
+        params = model.init(jax.random.PRNGKey(0))
+        batch = {k: jnp.asarray(v)
+                 for k, v in next(ds.batch_iterator(16, seed=0)).items()}
+        reg = WarpRegularizer(cfg={"weight": 1.0})
+        assert float(reg.loss(model, params, batch,
+                              make_ctx(0, training=True))) == 0.0
+
+    def test_warp_level_null_space_jitter(self):
+        from hyperreel_tpu.train.regularizers_extra import (
+            WarpLevelSetRegularizer)
+        model, ds = self._affine_model()
+        params = model.init(jax.random.PRNGKey(0))
+        batch = {k: jnp.asarray(v)
+                 for k, v in next(ds.batch_iterator(16, seed=0)).items()}
+        reg = WarpLevelSetRegularizer(
+            cfg={"weight": 1.0, "jitter": {"pos": 0.02}})
+        val = float(reg.loss(model, params, batch,
+                             make_ctx(100, training=True)))
+        assert np.isfinite(val) and val >= 0.0
+
+    def test_warp_level_fallback_ray_step(self):
+        from hyperreel_tpu.train.regularizers_extra import (
+            WarpLevelSetRegularizer)
+        from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+        ds = gaussian_blob_scene(n_views=2, wh=(8, 8))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        model = build_model(cfg, dataset_info=ds.info())
+        params = model.init(jax.random.PRNGKey(0))
+        batch = {k: jnp.asarray(v)
+                 for k, v in next(ds.batch_iterator(16, seed=0)).items()}
+        reg = WarpLevelSetRegularizer(cfg={"weight": 1.0})
+        val = float(reg.loss(model, params, batch,
+                             make_ctx(100, training=True)))
+        assert np.isfinite(val) and val >= 0.0
