@@ -1048,6 +1048,9 @@ def stanford_llff_z_plane(z_channels=32):
                 "n_lamb_sh": [8, 0, 0],
                 "shadingMode": "RGB",
                 "data_dim_color": 3,
+                # single-axis RGB: fused Pallas eval (degenerate-time
+                # static kernel, ops/pallas/shade.py)
+                "fused_render": True,
             },
         },
     }

@@ -448,7 +448,9 @@ class FusedCFEval:
         out = fused_shade_composite(
             rows, pack, ttab_t, wb_t,
             S=S, W=W, H=H, TW=TW, TH=TH, n_density=nd,
-            n_basis=(net._sh_deg + 1) ** 2,
+            n_basis=(net._sh_deg + 1) ** 2
+            if net.shading_mode == "SH" else 1,
+            shading="sh" if net.shading_mode == "SH" else "rgb",
             density_shift=0.0, distance_scale=net.distance_scale,
             tile=tile, s_major=True)
 

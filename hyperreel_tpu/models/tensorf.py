@@ -250,6 +250,21 @@ class TensorVMNoSample:
         self.active_density = [i for i in range(3) if self.density_n_comp[i] > 0]
         self.active_app = [i for i in range(3) if self.app_n_comp[i] > 0]
 
+        # fused Pallas eval (ops/pallas/shade.py): the single-axis static
+        # net maps onto the dynamic kernel with a DEGENERATE time plane —
+        # the z line factor becomes a TH=1 "time" table whose t-bilinear
+        # always selects the one real row (tn arbitrary), and the
+        # predicted per-sample weights ride pack row 14
+        self.fused_render = bool(cfg.get("fused_render", False))
+        self._fused_eligible = (
+            self.shading_mode in ("SH", "RGB")
+            and self.active_density == [0]
+            and self.active_app == [0]
+            and self.table_kind == "bf16"
+            and not self.apply_filter_weights
+            and self.ray_march_weight_thres == 0.0
+            and self.fea2dense == "relu")
+
         if self.shading_mode == "SH":
             deg = int(round(math.sqrt(self.app_dim / 3))) - 1
             self._sh_deg = deg
@@ -483,8 +498,137 @@ class TensorVMNoSample:
 
     # -- forward -----------------------------------------------------------
 
+    # -- fused eval path (static: degenerate-time-plane kernel) --------------
+
+    def _fused_ok(self, x, ctx, render_kwargs):
+        if not (self.fused_render and self._fused_eligible
+                and not ctx.training):
+            return False
+        fields = render_kwargs.get("fields", [])
+        if any(f != "distances" for f in fields):
+            return False
+        if render_kwargs.get("pred_weights_fields") or \
+                render_kwargs.get("no_over_fields"):
+            return False
+        if "weights_shift" in x or "color_transform" in x:
+            return False
+        return True
+
+    def apply_fused(self, params, x, ctx, render_kwargs):
+        """Fused Pallas render for the single-axis static net: the z line
+        factor ships as a TH=1 'time' table (its t-bilinear collapses to
+        selecting the single real row), predicted sample weights ride
+        pack row 14 (reference tensorf_no_sample.py:128-280)."""
+        from hyperreel_tpu.ops.pallas.shade import (
+            fused_shade_composite, build_scalar_pack)
+
+        render_kwargs = render_kwargs or {}
+        B = x["viewdirs"].shape[0]
+        pts = x["points"].reshape(B, -1, 3)
+        S = pts.shape[1]
+        dists = x["distances"].reshape(B, S)
+        viewdirs = x["viewdirs"].reshape(B, S, 3)
+        weights = x["weights"].reshape(B, S) if "weights" in x \
+            else jnp.ones((B, S), dists.dtype)
+
+        xyz = self.normalize_coord(pts)
+        e3 = jnp.eye(3, dtype=xyz.dtype)
+        xn2, yn2, zn2 = (jnp.einsum("bsc,c->bs", xyz, e3[c])
+                         for c in range(3))
+
+        # space quad table from plane_0 (density + app packed)
+        space = jnp.concatenate(
+            [params["density"]["plane_0"], params["app"]["plane_0"]], -1)
+        H, W, C = space.shape
+        p = jnp.pad(space.astype(jnp.bfloat16), ((1, 1), (1, 1), (0, 0)))
+        qpack = jnp.concatenate(
+            [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1)
+        table = qpack.reshape((H + 1) * (W + 1), 4 * C)
+
+        px = (xn2 + 1.0) * 0.5 * (W - 1)
+        py = (yn2 + 1.0) * 0.5 * (H - 1)
+        xi = (jnp.clip(jnp.floor(px), -1, W - 1) + 1).astype(jnp.int32)
+        yi = (jnp.clip(jnp.floor(py), -1, H - 1) + 1).astype(jnp.int32)
+        idx = (yi * (W + 1) + xi).reshape(-1)
+        rows = table[idx]                                # [N, 4C] bf16
+
+        # z line factor as a [1, L, C] degenerate time plane
+        line = jnp.concatenate(
+            [params["density"]["line_0"], params["app"]["line_0"]], -1)
+        L = line.shape[0]
+        tp = jnp.pad(line.astype(jnp.float32)[None],
+                     ((1, 1), (1, 1), (0, 0)))          # [3, L+2, C]
+        twp = ((L + 2 + 127) // 128) * 128
+        ttab_t = jnp.pad(
+            jnp.moveaxis(tp, -1, 1).reshape(3 * C, L + 2),
+            ((0, 0), (0, twp - (L + 2))))
+
+        w = params["basis_mat"]["w"].astype(jnp.float32)
+        nd = self.density_n_comp[0]
+        wb_t = jnp.concatenate(
+            [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+
+        vd_ray = viewdirs[:, 0, :]
+        vd_rows = [jnp.broadcast_to(vd_ray[:, c:c + 1], (B, S)).reshape(-1)
+                   for c in range(3)]
+        if "color_scale" in x:
+            cs3 = x["color_scale"].reshape(B, S, 3)
+            csh3 = x["color_shift"].reshape(B, S, 3)
+            e3c = jnp.eye(3, dtype=cs3.dtype)
+            cs = tuple(jnp.einsum("bsc,c->bs", cs3, e3c[c]).reshape(-1)
+                       for c in range(3))
+            csh = tuple(jnp.einsum("bsc,c->bs", csh3, e3c[c]).reshape(-1)
+                        for c in range(3))
+        else:
+            zero = jnp.zeros((B * S,), jnp.float32)
+            cs = (zero, zero, zero)
+            csh = (zero, zero, zero)
+
+        pack = build_scalar_pack(
+            xn2.reshape(-1), yn2.reshape(-1), zn2.reshape(-1),
+            jnp.zeros((B * S,), jnp.float32), cs, csh, dists.reshape(-1),
+            vd_rows, extra_rows=(weights.reshape(-1),))
+
+        tile = 64
+        scratch = twp * 6 + 3 * C * 4
+        while tile > 1 and (B % tile != 0
+                            or tile * S * scratch > 8 * (1 << 20)):
+            tile //= 2
+
+        out = fused_shade_composite(
+            rows, pack, ttab_t, wb_t,
+            S=S, W=W, H=H, TW=L, TH=1, n_density=nd,
+            n_basis=(self._sh_deg + 1) ** 2
+            if self.shading_mode == "SH" else 1,
+            shading="sh" if self.shading_mode == "SH" else "rgb",
+            density_shift=0.0,  # relu ignores the shift
+            distance_scale=self.distance_scale, tile=tile,
+            use_weights_row=True)
+
+        rgb_map = out[:3].T
+        acc_map = out[3]
+        if not self.black_bg and self.white_bg:
+            rgb_map = rgb_map + (1.0 - acc_map[:, None])
+        if "color_scale_global" in x:
+            rgb_map = scale_shift_color_one(
+                rgb_map,
+                x["color_scale_global"].reshape(B, S, 3)[:, 0],
+                x["color_shift_global"].reshape(B, S, 3)[:, 0])
+        elif "color_transform_global" in x:
+            rgb_map = transform_color_one(
+                rgb_map,
+                x["color_transform_global"].reshape(B, S, 3, 3)[:, 0],
+                x["color_shift_global"].reshape(B, S, 3)[:, 0])
+        rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+        outputs = {"rgb": rgb_map}
+        if "distances" in render_kwargs.get("fields", []):
+            outputs["distances"] = out[4][:, None]
+        return outputs
+
     def apply(self, params, x, ctx, render_kwargs=None):
         render_kwargs = render_kwargs or {}
+        if self._fused_ok(x, ctx, render_kwargs or {}):
+            return self.apply_fused(params, x, ctx, render_kwargs)
         B = x["viewdirs"].shape[0]
         pts = x["points"].reshape(B, -1, 3)
         S = pts.shape[1]
@@ -768,7 +912,7 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         self.fused_render = bool(cfg.get("fused_render", False))
         self._fused_eligible = (
             self.density_mode == "Density"
-            and self.shading_mode == "SH"
+            and self.shading_mode in ("SH", "RGB")
             and self.active_density == [0]
             and self.active_app == [0]
             and self.table_kind == "bf16"
@@ -1084,7 +1228,9 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         out = fused_shade_composite(
             rows, pack, ttab_t, wb_t,
             S=S, W=W, H=H, TW=TW, TH=TH, n_density=nd,
-            n_basis=(self._sh_deg + 1) ** 2,
+            n_basis=(self._sh_deg + 1) ** 2
+            if self.shading_mode == "SH" else 1,
+            shading="sh" if self.shading_mode == "SH" else "rgb",
             density_shift=0.0,  # fea2dense == relu (no shift)
             distance_scale=self.distance_scale, tile=tile)
 

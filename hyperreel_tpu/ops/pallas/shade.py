@@ -102,7 +102,7 @@ def _corner_weights(p, lim):
 def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
                   *, S, blk, W, H, TW, TH, Rt, C, n_density, n_basis,
                   sh_deg, density_shift, distance_scale, acc_dtype,
-                  s_major=False):
+                  s_major=False, use_weights_row=False, shading="sh"):
     pk = pack_ref[:]                                       # [16, blk]
     xn = pk[0:1]
     yn = pk[1:2]
@@ -156,25 +156,38 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
 
     prod = feat_s * feat_t                                 # [C, blk]
 
-    # ---- density (fea2denseAct relu)
-    sigma = jnp.maximum(
-        jnp.sum(prod[:n_density], 0, keepdims=True) + density_shift, 0.0)
+    # ---- density (fea2denseAct relu); the static NoSample net
+    # multiplies the density feature by the predicted per-sample weights
+    # BEFORE the activation (reference tensorf_no_sample.py:184-192) —
+    # those ride in pack row 14 when use_weights_row is set
+    dfeat = jnp.sum(prod[:n_density], 0, keepdims=True)
+    if use_weights_row:
+        dfeat = dfeat * pk[14:15]
+    sigma = jnp.maximum(dfeat + density_shift, 0.0)
     sigma = sigma * valid                                  # [1, blk]
 
     # ---- appearance: basis matmul + SH shading + color scale/shift
     app = jax.lax.dot_general(
         wb_ref[:], prod, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [3K, blk]
-    shb = _sh_basis_rows(sh_deg, pk[11:12], pk[12:13], pk[13:14])
     rgb = []
-    for c in range(3):
-        e = jnp.zeros((1, blk), jnp.float32)
-        for k in range(n_basis):
-            e = e + app[c * n_basis + k:c * n_basis + k + 1] * shb[k]
-        v = jnp.maximum(e + 0.5, 0.0)                      # sh_render
-        # rgb * (scale + 1) + shift (utils/tensorf_utils.py:267-273)
-        v = v * (pk[5 + c:6 + c] + 1.0) + pk[8 + c:9 + c]
-        rgb.append(v)
+    if shading == "rgb":
+        # RGBRender: rgb = sigmoid(app features)
+        # (reference utils/tensorf_utils.py:341-343)
+        for c in range(3):
+            v = 1.0 / (1.0 + jnp.exp(-app[c:c + 1]))
+            v = v * (pk[5 + c:6 + c] + 1.0) + pk[8 + c:9 + c]
+            rgb.append(v)
+    else:
+        shb = _sh_basis_rows(sh_deg, pk[11:12], pk[12:13], pk[13:14])
+        for c in range(3):
+            e = jnp.zeros((1, blk), jnp.float32)
+            for k in range(n_basis):
+                e = e + app[c * n_basis + k:c * n_basis + k + 1] * shb[k]
+            v = jnp.maximum(e + 0.5, 0.0)                  # sh_render
+            # rgb * (scale + 1) + shift (tensorf_utils.py:267-273)
+            v = v * (pk[5 + c:6 + c] + 1.0) + pk[8 + c:9 + c]
+            rgb.append(v)
 
     # ---- composite: segmented (per-ray) scan in lane space. Two lane
     # orders: ray-major (lane = r*S + s — a ray's samples contiguous) and
@@ -241,13 +254,16 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     out_ref[:, :] = dot(hi) + dot(lo)
 
 
-def build_scalar_pack(xn, yn, zn, tn, cs, csh, dist, vd_rows):
+def build_scalar_pack(xn, yn, zn, tn, cs, csh, dist, vd_rows,
+                      extra_rows=()):
     """Assemble the [16, N] channels-first scalar pack from [N] rows —
     pure stacking of elementwise-derived rows, so XLA fuses the writes
     without any [N, k] -> [k, N] transpose. Validity and SH basis are
-    derived in-kernel (from coords/dist and viewdir rows)."""
+    derived in-kernel (from coords/dist and viewdir rows). extra_rows
+    fill slots 14+ (row 14 = per-sample weights for the static net's
+    use_weights_row)."""
     rows = [xn, yn, zn, tn, dist, cs[0], cs[1], cs[2],
-            csh[0], csh[1], csh[2], *vd_rows]
+            csh[0], csh[1], csh[2], *vd_rows, *extra_rows]
     n = rows[0].shape[0]
     while len(rows) < PACK_ROWS:
         rows.append(jnp.zeros((n,), jnp.float32))
@@ -258,7 +274,8 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
                           S, W, H, TW, TH, n_density, n_basis,
                           density_shift, distance_scale, tile=64,
                           acc_dtype=jnp.bfloat16, interpret=None,
-                          s_major=False):
+                          s_major=False, use_weights_row=False,
+                          shading="sh"):
     """Args:
       rows:   [N, 4C] bf16 gathered space quad rows (corner-major).
       pack:   [16, N] f32 scalar pack (build_scalar_pack; dist row 4,
@@ -290,13 +307,14 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         interpret = jax.default_backend() != "tpu"
 
     pt = ((tile + 127) // 128) * 128     # padded output lanes per block
-    sh_deg = {1: 0, 4: 1, 9: 2, 16: 3, 25: 4}[n_basis]
+    sh_deg = {1: 0, 4: 1, 9: 2, 16: 3, 25: 4}[n_basis] \
+        if shading == "sh" else 0
     kern = functools.partial(
         _shade_kernel, S=S, blk=blk, W=W, H=H, TW=TW, TH=TH, Rt=Rt, C=C,
         n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
         density_shift=float(density_shift),
         distance_scale=float(distance_scale), acc_dtype=acc_dtype,
-        s_major=s_major)
+        s_major=s_major, use_weights_row=use_weights_row, shading=shading)
 
     grid = (N // blk,)
     out = pl.pallas_call(

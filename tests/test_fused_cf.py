@@ -232,3 +232,97 @@ class TestFusedCFParity:
         got = np.asarray(fused_eval._cf_bitonic_sort(jnp.asarray(x)))
         want = np.sort(x, axis=0)
         assert np.allclose(got, want)
+
+
+class TestStaticFusedKernel:
+    """Single-axis STATIC NoSample through the fused kernel: the z line
+    factor as a degenerate TH=1 time table + weights pack row
+    (models/tensorf.py TensorVMNoSample.apply_fused)."""
+
+    def _cfg(self, weight_fn=None, z=8):
+        from hyperreel_tpu.configs.presets import tiny_static
+        cfg = convert_epochs_to_iters(tiny_static(z_channels=z),
+                                      iters_per_epoch=50)
+        net = cfg["color"]["net"]
+        net["n_lamb_sigma"] = [4, 0, 0]
+        net["n_lamb_sh"] = [4, 0, 0]
+        net["bf16_tables"] = True
+        net["fused_render"] = True
+        if weight_fn:
+            cfg["embedding"]["embeddings"]["ray_intersect_0"][
+                "intersect"]["weight_fn"] = weight_fn
+        return cfg
+
+    def _parity(self, cfg):
+        import copy
+        ds = gaussian_blob_scene(n_views=2, wh=(12, 12))
+        m_f = build_model(cfg, dataset_info=ds.info())
+        assert m_f.color_net._fused_eligible
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info())
+        params = m_f.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_f.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def test_static_fused_parity(self):
+        self._parity(self._cfg())
+
+    def test_static_fused_parity_with_weight_fn(self):
+        # ease_max weights exercise the pack weights row (the stanford
+        # family's weight_fn, reference nlf/intersect/base.py:32-43)
+        # ease_max tiles per-axis ray weights over z/3 sample groups
+        # (reference base.py:36-42) — z must divide by 3
+        self._parity(self._cfg(weight_fn={"type": "ease_max",
+                                          "weight_start": 1.0,
+                                          "weight_end": 0.9}, z=6))
+
+
+class TestRGBShadingFused:
+    """shadingMode RGB (sigmoid app features, reference
+    tensorf_utils.py:341-343) through the fused kernel — 24 of the
+    shipped yamls use RGB."""
+
+    def test_static_rgb_parity(self):
+        import copy
+        from hyperreel_tpu.configs.presets import tiny_static
+        ds = gaussian_blob_scene(n_views=2, wh=(12, 12))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        net = cfg["color"]["net"]
+        net.update({"n_lamb_sigma": [4, 0, 0], "n_lamb_sh": [4, 0, 0],
+                    "bf16_tables": True, "fused_render": True,
+                    "shadingMode": "RGB", "data_dim_color": 3})
+        m_f = build_model(cfg, dataset_info=ds.info())
+        assert m_f.color_net._fused_eligible
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info())
+        params = m_f.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_f.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def test_dynamic_rgb_parity_cf(self):
+        import copy
+        ds = _scene()
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        net = cfg["color"]["net"]
+        net.update({"bf16_tables": True, "fused_render": True,
+                    "shadingMode": "RGB", "data_dim_color": 3})
+        m_cf = build_model(cfg, dataset_info=ds.info())
+        assert m_cf._cf_eval is not None
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info())
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
