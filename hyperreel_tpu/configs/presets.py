@@ -258,6 +258,8 @@ def llff_z_plane(z_channels=32):
             "type": "base",
             "net": {
                 "type": "tensor_vm_split_no_sample",
+                # fused Pallas eval when eligible (single- or multi-axis static kernel)
+                "fused_render": True,
                 "white_bg": 0,
                 "black_bg": 0,
                 "fea2denseAct": "relu",
@@ -366,6 +368,8 @@ def donerf_sphere(z_channels=32):
             "type": "base",
             "net": {
                 "type": "tensor_vm_split_no_sample",
+                # fused Pallas eval when eligible (single- or multi-axis static kernel)
+                "fused_render": True,
                 "white_bg": 0,
                 "black_bg": 0,
                 "fea2denseAct": "relu",
@@ -475,6 +479,8 @@ def blender_voxel(z_channels=192):
             "type": "base",
             "net": {
                 "type": "tensor_vm_split_no_sample",
+                # fused Pallas eval when eligible (single- or multi-axis static kernel)
+                "fused_render": True,
                 "white_bg": 1,
                 "ndc_ray": 0,
                 "fea2denseAct": "softplus",
@@ -1136,6 +1142,8 @@ def shiny_z_plane(z_channels=32, sample_stages=False):
             "type": "base",
             "net": {
                 "type": "tensor_vm_split_no_sample",
+                # fused Pallas eval when eligible (single- or multi-axis static kernel)
+                "fused_render": True,
                 "white_bg": 0,
                 "black_bg": 0,
                 "fea2denseAct": "relu",

@@ -258,8 +258,8 @@ class TensorVMNoSample:
         self.fused_render = bool(cfg.get("fused_render", False))
         self._fused_eligible = (
             self.shading_mode in ("SH", "RGB")
-            and self.active_density == [0]
-            and self.active_app == [0]
+            and len(self.active_density) >= 1
+            and self.active_density == self.active_app
             and self.table_kind == "bf16"
             and not self.apply_filter_weights
             and self.ray_march_weight_thres == 0.0
@@ -536,6 +536,10 @@ class TensorVMNoSample:
         xn2, yn2, zn2 = (jnp.einsum("bsc,c->bs", xyz, e3[c])
                          for c in range(3))
 
+        if len(self.active_density) > 1:
+            return self._apply_fused_multi(params, x, ctx, render_kwargs,
+                                           (xn2, yn2, zn2))
+
         # space quad table from plane_0 (density + app packed)
         space = jnp.concatenate(
             [params["density"]["plane_0"], params["app"]["plane_0"]], -1)
@@ -605,6 +609,9 @@ class TensorVMNoSample:
             distance_scale=self.distance_scale, tile=tile,
             use_weights_row=True)
 
+        return self._fused_out(out, x, B, S, render_kwargs)
+
+    def _fused_out(self, out, x, B, S, render_kwargs):
         rgb_map = out[:3].T
         acc_map = out[3]
         if not self.black_bg and self.white_bg:
@@ -624,6 +631,93 @@ class TensorVMNoSample:
         if "distances" in render_kwargs.get("fields", []):
             outputs["distances"] = out[4][:, None]
         return outputs
+
+    def _apply_fused_multi(self, params, x, ctx, render_kwargs, comps):
+        """Multi-axis static fused render: per-axis quad gathers + VMEM
+        line tables (ops/pallas/shade.py fused_shade_composite_multi;
+        reference tensorf_base.py:1059-1148 full VM decomposition)."""
+        from hyperreel_tpu.ops.pallas.shade import (
+            fused_shade_composite_multi, build_scalar_pack)
+        xn2, yn2, zn2 = comps
+        B = x["viewdirs"].shape[0]
+        S = x["points"].reshape(B, -1, 3).shape[1]
+        dists = x["distances"].reshape(B, S)
+        viewdirs = x["viewdirs"].reshape(B, S, 3)
+        weights = x["weights"].reshape(B, S) if "weights" in x \
+            else jnp.ones((B, S), dists.dtype)
+        comp = (xn2, yn2, zn2)
+
+        rows_list, line_tabs, grid_dims, line_lens = [], [], [], []
+        dens_c, app_c = [], []
+        for i in self.active_density:
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            plane = jnp.concatenate(
+                [params["density"][f"plane_{i}"],
+                 params["app"][f"plane_{i}"]], -1)
+            H, W, C = plane.shape
+            pq = jnp.pad(plane.astype(jnp.bfloat16),
+                         ((1, 1), (1, 1), (0, 0)))
+            qpack = jnp.concatenate(
+                [pq[:-1, :-1], pq[:-1, 1:], pq[1:, :-1], pq[1:, 1:]], -1)
+            table = qpack.reshape((H + 1) * (W + 1), 4 * C)
+            px = (comp[m0] + 1.0) * 0.5 * (W - 1)
+            py = (comp[m1] + 1.0) * 0.5 * (H - 1)
+            xi = (jnp.clip(jnp.floor(px), -1, W - 1) + 1).astype(jnp.int32)
+            yi = (jnp.clip(jnp.floor(py), -1, H - 1) + 1).astype(jnp.int32)
+            rows_list.append(table[(yi * (W + 1) + xi).reshape(-1)])
+            grid_dims.append((W, H))
+            line = jnp.concatenate(
+                [params["density"][f"line_{i}"],
+                 params["app"][f"line_{i}"]], -1)
+            L = line.shape[0]
+            lp = ((L + 2 + 127) // 128) * 128
+            line_tabs.append(jnp.pad(
+                line.astype(jnp.float32).T, ((0, 0), (1, lp - L - 1))))
+            line_lens.append(L)
+            dens_c.append(self.density_n_comp[i])
+            app_c.append(self.app_n_comp[i])
+
+        w = params["basis_mat"]["w"].astype(jnp.float32)
+        wb_t = w.T                                   # [3K, sum app_c]
+
+        vd_ray = viewdirs[:, 0, :]
+        vd_rows = [jnp.broadcast_to(vd_ray[:, c:c + 1], (B, S)).reshape(-1)
+                   for c in range(3)]
+        if "color_scale" in x:
+            cs3 = x["color_scale"].reshape(B, S, 3)
+            csh3 = x["color_shift"].reshape(B, S, 3)
+            e3c = jnp.eye(3, dtype=cs3.dtype)
+            cs = tuple(jnp.einsum("bsc,c->bs", cs3, e3c[c]).reshape(-1)
+                       for c in range(3))
+            csh = tuple(jnp.einsum("bsc,c->bs", csh3, e3c[c]).reshape(-1)
+                        for c in range(3))
+        else:
+            zero = jnp.zeros((B * S,), jnp.float32)
+            cs = (zero, zero, zero)
+            csh = (zero, zero, zero)
+
+        pack = build_scalar_pack(
+            xn2.reshape(-1), yn2.reshape(-1), zn2.reshape(-1),
+            jnp.zeros((B * S,), jnp.float32), cs, csh, dists.reshape(-1),
+            vd_rows, extra_rows=(weights.reshape(-1),))
+
+        tile = 64
+        scratch = sum(t.shape[1] * 6 + t.shape[0] * 4 for t in line_tabs)
+        while tile > 1 and (B % tile != 0
+                            or tile * S * scratch > 8 * (1 << 20)):
+            tile //= 2
+
+        out = fused_shade_composite_multi(
+            rows_list, pack, line_tabs, wb_t,
+            axes=self.active_density, S=S, grid_dims=grid_dims,
+            line_lens=line_lens, dens_c=dens_c, app_c=app_c,
+            n_basis=(self._sh_deg + 1) ** 2
+            if self.shading_mode == "SH" else 1,
+            shading="sh" if self.shading_mode == "SH" else "rgb",
+            density_shift=0.0, distance_scale=self.distance_scale,
+            tile=tile, use_weights_row=True)
+        return self._fused_out(out, x, B, S, render_kwargs)
 
     def apply(self, params, x, ctx, render_kwargs=None):
         render_kwargs = render_kwargs or {}

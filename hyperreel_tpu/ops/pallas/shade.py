@@ -166,10 +166,20 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     sigma = jnp.maximum(dfeat + density_shift, 0.0)
     sigma = sigma * valid                                  # [1, blk]
 
-    # ---- appearance: basis matmul + SH shading + color scale/shift
+    # ---- appearance: basis matmul + shared shade/composite tail
     app = jax.lax.dot_general(
         wb_ref[:], prod, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [3K, blk]
+    _shade_tail(out_ref, pk, sigma, app, dist, S=S, blk=blk,
+                n_basis=n_basis, sh_deg=sh_deg, shading=shading,
+                distance_scale=distance_scale, s_major=s_major)
+
+
+def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
+                sh_deg, shading, distance_scale, s_major):
+    """Shared kernel tail: per-channel shading (SH or RGB), per-sample
+    color scale/shift, the segmented composite, and the compacted
+    per-ray totals."""
     rgb = []
     if shading == "rgb":
         # RGBRender: rgb = sigmoid(app features)
@@ -335,6 +345,146 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         out_shape=jax.ShapeDtypeStruct((8, (N // blk) * pt), jnp.float32),
         interpret=interpret,
     )(rows, pack, time_table_t, wb_t)
+    if pt != tile:
+        out = out.reshape(8, N // blk, pt)[:, :, :tile].reshape(8, N // S)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-axis STATIC kernel: the full VM decomposition (plane x line per
+# active axis, reference tensorf_base.py:1059-1148) for NoSample nets with
+# 2-3 active axes (llff/donerf/shiny-family [8, 4, 4] grids). Per-axis
+# gathered quad rows + a per-axis VMEM line table; corner weights per axis
+# come from the xn/yn/zn pack rows via MAT_MODE; per-axis products
+# concatenate into the basis matmul. Shares the shade/composite tail.
+# ---------------------------------------------------------------------------
+
+_MAT_MODE = ((0, 1), (0, 2), (1, 2))
+_VEC_MODE = (2, 1, 0)
+
+
+def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
+                        dens_c, app_c, n_basis, sh_deg, density_shift,
+                        distance_scale, acc_dtype, s_major,
+                        use_weights_row, shading):
+    n_ax = len(axes)
+    rows_refs = refs[:n_ax]
+    pack_ref = refs[n_ax]
+    ttab_refs = refs[n_ax + 1:2 * n_ax + 1]
+    wb_ref = refs[2 * n_ax + 1]
+    out_ref = refs[2 * n_ax + 2]
+
+    pk = pack_ref[:]                                       # [16, blk]
+    comp = [pk[0:1], pk[1:2], pk[2:3]]
+    dist = pk[4:5]
+    valid = ((jnp.abs(comp[0]) <= 1.0) & (jnp.abs(comp[1]) <= 1.0)
+             & (jnp.abs(comp[2]) <= 1.0)
+             & (dist > 0.0)).astype(jnp.float32)
+
+    dfeat = jnp.zeros((1, blk), jnp.float32)
+    app_parts = []
+    for a, ax in enumerate(axes):
+        m0, m1 = _MAT_MODE[ax]
+        v = _VEC_MODE[ax]
+        W, H = grid_dims[a]
+        C_a = dens_c[a] + app_c[a]
+
+        px = (comp[m0] + 1.0) * 0.5 * (W - 1)
+        py = (comp[m1] + 1.0) * 0.5 * (H - 1)
+        _, fx, x_lo, x_hi = _corner_weights(px, W)
+        _, fy, y_lo, y_hi = _corner_weights(py, H)
+        w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
+        w01 = (1.0 - fy) * fx * y_lo * x_hi
+        w10 = fy * (1.0 - fx) * y_hi * x_lo
+        w11 = fy * fx * y_hi * x_hi
+
+        q = rows_refs[a][:].astype(jnp.float32).T          # [4C_a, blk]
+        feat_p = (q[0 * C_a:1 * C_a] * w00 + q[1 * C_a:2 * C_a] * w01
+                  + q[2 * C_a:3 * C_a] * w10 + q[3 * C_a:4 * C_a] * w11)
+
+        # line factor: ring-padded [C_a, Lp] table, two-hot MXU lookup
+        L = line_lens[a]
+        pz = (comp[v] + 1.0) * 0.5 * (L - 1)
+        zb, fz, z_lo, z_hi = _corner_weights(pz, L)
+        Rt = ttab_refs[a].shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Rt, blk), 0)
+        a_z = (jnp.where(iota == zb, (1.0 - fz) * z_lo, 0.0)
+               + jnp.where(iota == zb + 1, fz * z_hi, 0.0))
+        feat_l = jax.lax.dot_general(
+            ttab_refs[a][:].astype(acc_dtype), a_z.astype(acc_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [C_a, blk]
+
+        prod = feat_p * feat_l
+        dfeat = dfeat + jnp.sum(prod[:dens_c[a]], 0, keepdims=True)
+        app_parts.append(prod[dens_c[a]:])
+
+    if use_weights_row:
+        dfeat = dfeat * pk[14:15]
+    sigma = jnp.maximum(dfeat + density_shift, 0.0) * valid
+
+    app_cat = jnp.concatenate(app_parts, 0)      # [sum app_c, blk]
+    app = jax.lax.dot_general(
+        wb_ref[:], app_cat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [3K, blk]
+    _shade_tail(out_ref, pk, sigma, app, dist, S=S, blk=blk,
+                n_basis=n_basis, sh_deg=sh_deg, shading=shading,
+                distance_scale=distance_scale, s_major=s_major)
+
+
+def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
+                                axes, S, grid_dims, line_lens, dens_c,
+                                app_c, n_basis, density_shift,
+                                distance_scale, tile=64,
+                                acc_dtype=jnp.bfloat16, interpret=None,
+                                s_major=False, use_weights_row=False,
+                                shading="sh"):
+    """Multi-axis static fused render.
+
+    rows_list: per-axis [N, 4*C_a] bf16 gathered quad rows.
+    line_tabs: per-axis [C_a, Lp] f32 ring-padded line tables (z width
+               padded to a 128 multiple; Lp = L + 2 + pad).
+    wb_t:      [3K, sum(app_c)] transposed basis matrix (app rows only).
+    grid_dims: per-axis (W, H) plane dims.
+    """
+    N = rows_list[0].shape[0]
+    blk = tile * S
+    assert N % blk == 0, (N, blk)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    pt = ((tile + 127) // 128) * 128
+    sh_deg = {1: 0, 4: 1, 9: 2, 16: 3, 25: 4}[n_basis] \
+        if shading == "sh" else 0
+    kern = functools.partial(
+        _shade_kernel_multi, axes=tuple(axes), S=S, blk=blk,
+        grid_dims=tuple(tuple(g) for g in grid_dims),
+        line_lens=tuple(int(L) for L in line_lens),
+        dens_c=tuple(dens_c), app_c=tuple(app_c), n_basis=n_basis,
+        sh_deg=sh_deg, density_shift=float(density_shift),
+        distance_scale=float(distance_scale), acc_dtype=acc_dtype,
+        s_major=s_major, use_weights_row=use_weights_row,
+        shading=shading)
+
+    in_specs = [pl.BlockSpec((blk, r.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for r in rows_list]
+    in_specs.append(pl.BlockSpec((PACK_ROWS, blk), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM))
+    in_specs += [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+                 for t in line_tabs]
+    in_specs.append(pl.BlockSpec(wb_t.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        kern,
+        grid=(N // blk,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, pt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, (N // blk) * pt), jnp.float32),
+        interpret=interpret,
+    )(*rows_list, pack, *line_tabs, wb_t)
     if pt != tile:
         out = out.reshape(8, N // blk, pt)[:, :, :tile].reshape(8, N // S)
     return out

@@ -326,3 +326,40 @@ class TestRGBShadingFused:
         a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
         b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
         assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+
+class TestMultiAxisStaticFused:
+    """FULL VM decomposition (2-3 active axes) through the multi-axis
+    fused kernel (fused_shade_composite_multi) — the llff/donerf/shiny
+    [8, 4, 4] family."""
+
+    def _parity(self, n_lamb, shading="SH", ddc=27):
+        import copy
+        from hyperreel_tpu.configs.presets import tiny_static
+        ds = gaussian_blob_scene(n_views=2, wh=(12, 12))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        net = cfg["color"]["net"]
+        net.update({"n_lamb_sigma": list(n_lamb),
+                    "n_lamb_sh": list(n_lamb),
+                    "bf16_tables": True, "fused_render": True,
+                    "shadingMode": shading, "data_dim_color": ddc})
+        m_f = build_model(cfg, dataset_info=ds.info())
+        assert m_f.color_net._fused_eligible
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info())
+        params = m_f.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_f.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def test_three_axis_sh(self):
+        self._parity([4, 2, 2])
+
+    def test_three_axis_rgb(self):
+        self._parity([4, 2, 2], shading="RGB", ddc=3)
+
+    def test_two_axis(self):
+        self._parity([4, 2, 0])
