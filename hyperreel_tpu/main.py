@@ -28,6 +28,19 @@ def main(argv=None):
                         help="with --resume: extract the density-field "
                              "isosurface mesh to a PLY file "
                              "(reference utils/tensorf_utils.py:170-229)")
+    parser.add_argument("--interact", action="store_true",
+                        help="serve the interactive browser viewer from a "
+                             "checkpoint (the reference's interact_only "
+                             "NeRFGUI mode, utils/gui_utils.py:74)")
+    parser.add_argument("--fast-samples", type=int, default=0,
+                        metavar="K",
+                        help="viewer fast mode: render with K samples/ray "
+                             "— post-sort first-K compaction when the "
+                             "model trained with intersect "
+                             "invalid_sort_far, else the reference's "
+                             "every-(S/K)-th stride knob (fine-tune at K "
+                             "recommended for stride; PERFORMANCE.md "
+                             "Pareto ladder)")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
@@ -58,6 +71,41 @@ def main(argv=None):
             return
         metrics = system.validate(state)
         print("imported-weights validation:", metrics)
+        return
+
+    if args.interact:
+        import jax
+        from hyperreel_tpu.train.checkpoint import restore_checkpoint
+        from hyperreel_tpu.viewer import serve
+        if args.resume:
+            state = restore_checkpoint(args.resume, system.trainer)
+        else:
+            state = system.trainer.init_state(
+                jax.random.PRNGKey(cfg["params"].get("seed", 0)))
+        model, params = system.model, state.params
+        if args.fast_samples:
+            from hyperreel_tpu.config import resolve_model_cfg
+            from hyperreel_tpu.configs.presets import (
+                with_compact_samples, with_inference_samples)
+            from hyperreel_tpu.models.model import build_model
+            mcfg = resolve_model_cfg(cfg, system.iters_per_epoch)
+            far = any(
+                st.get("type") == "ray_intersect"
+                and st.get("intersect", {}).get("invalid_sort_far")
+                for st in mcfg["embedding"]["embeddings"].values())
+            helper = with_compact_samples if far else \
+                with_inference_samples
+            mcfg = helper(mcfg, args.fast_samples)
+            model = build_model(mcfg,
+                                dataset_info=system.train_dataset.info())
+            init_p = model.init(jax.random.PRNGKey(0))
+            emb = dict(init_p["embedding"])
+            emb.update(params["embedding"])
+            params = dict(params, embedding=emb)
+            print(f"viewer fast mode: {args.fast_samples} samples/ray "
+                  f"({'compact' if far else 'stride'})")
+        ray_width = system.train_dataset.all_coords.shape[-1]
+        serve(model, params, ray_width=ray_width)
         return
 
     if args.render_only or args.eval_only or args.export_mesh:
