@@ -666,6 +666,8 @@ def immersive_sphere_new(z_channels=32):
             "type": "base",
             "net": {
                 "type": "tensor_vm_split_time",
+                # fused Pallas eval when eligible
+                "fused_render": True,
                 "white_bg": 0,
                 "black_bg": 0,
                 "fea2denseAct": "relu",
@@ -935,6 +937,8 @@ def neural_3d_z_plane(z_channels=64):
             "type": "base",
             "net": {
                 "type": "tensor_vm_split_time",
+                # fused Pallas eval when eligible
+                "fused_render": True,
                 "white_bg": 0,
                 "black_bg": 0,
                 "fea2denseAct": "relu",

@@ -49,24 +49,43 @@ def cf_eligible(model):
     try:
         stages = _stage_cfgs(model)
         names = [n for n, _ in model.embedding.stages]
-        want = ["ray_prediction_0", "ray_intersect_0", "flow_0",
-                "point_offset_0", "add_point_outputs_0", "extract_fields"]
-        want_compact = want[:2] + ["select_points_compact"] + want[2:]
-        # the reference's inference_samples stride knob
-        # (with_inference_samples) sits after point_offset; the stride
-        # slice is POSITIONAL, so it commutes past the elementwise
-        # per-sample stages to right after the sort in CF rows
-        want_stride = want[:4] + ["select_points_inference"] + want[4:]
-        if names not in (want, want_compact, want_stride):
+        dyn = ["ray_prediction_0", "ray_intersect_0", "flow_0",
+               "point_offset_0", "add_point_outputs_0", "extract_fields"]
+        sta = [n for n in dyn if n != "flow_0"]
+        accepted = []
+        for want in (dyn, sta):
+            # the reference's inference_samples stride knob
+            # (with_inference_samples) sits after point_offset; the
+            # stride slice is POSITIONAL, so it commutes past the
+            # elementwise per-sample stages to just after the sort
+            i_po = want.index("point_offset_0") + 1
+            accepted += [want,
+                         want[:2] + ["select_points_compact"] + want[2:],
+                         want[:i_po] + ["select_points_inference"]
+                         + want[i_po:]]
+        if names not in accepted:
             return False
-        if names == want_compact:
+        is_dynamic = "flow_0" in names
+        from hyperreel_tpu.models.tensorf import (
+            TensorVMKeyframeTime, TensorVMNoSample)
+        if is_dynamic and not isinstance(model.color_net,
+                                         TensorVMKeyframeTime):
+            return False
+        if not is_dynamic:
+            if not isinstance(model.color_net, TensorVMNoSample) or \
+                    isinstance(model.color_net, TensorVMKeyframeTime):
+                return False
+            # static weights come from weight_fn (none here -> ones)
+            # and density features multiply by them pre-relu; with no
+            # weight_fn the multiply is identity
+        if "select_points_compact" in names:
             sel = stages["select_points_compact"]
             k = sel.inference_samples
             if sel.mode != "first" or not k or (k & (k - 1)):
                 return False
             if not stages["ray_intersect_0"].intersect.invalid_sort_far:
                 return False
-        if names == want_stride:
+        if "select_points_inference" in names:
             sel = stages["select_points_inference"]
             k = sel.inference_samples
             S = stages["ray_prediction_0"].z_channels
@@ -116,11 +135,16 @@ def cf_eligible(model):
             return False
         if isect.mask_stop_iters != float("inf"):
             return False
-        flow = stages["flow_0"]
-        if flow.use_angular_flow or not flow.use_spatial_flow:
-            return False
+        if is_dynamic:
+            flow = stages["flow_0"]
+            if flow.use_angular_flow or not flow.use_spatial_flow:
+                return False
+            if "spatial_flow" not in pred.output_names:
+                return False
         po = stages["point_offset_0"]
-        if not po.use_sigma or po.in_density_field != "point_sigma":
+        if po.use_sigma and po.in_density_field not in pred.output_names:
+            return False
+        if "point_offset" not in pred.output_names:
             return False
         net = model.color_net
         if not getattr(net, "_fused_eligible", False) or \
@@ -177,7 +201,7 @@ class FusedCFEval:
         stages = _stage_cfgs(self.model)
         self.pred = stages["ray_prediction_0"]
         self.isect = stages["ray_intersect_0"].intersect
-        self.flow = stages["flow_0"]
+        self.flow = stages.get("flow_0")      # None for static chains
         self.po = stages["point_offset_0"]
         self.net = self.model.color_net
         self.S = self.pred.z_channels
@@ -270,12 +294,21 @@ class FusedCFEval:
             return rows                              # list of [S, B]
 
         z = field_rows("z_vals")[0]
-        sigma = field_rows("sigma")[0]
-        point_sigma = field_rows("point_sigma")[0]
-        flow_rows = field_rows("spatial_flow")
+        sigma = field_rows("sigma")[0] \
+            if "sigma" in self.field_offsets else jnp.zeros((S, B))
+        if self.po.use_sigma and \
+                self.po.in_density_field in self.field_offsets:
+            point_sigma = field_rows(self.po.in_density_field)[0]
+        else:
+            point_sigma = jnp.zeros((S, B))
+        flow_rows = field_rows("spatial_flow") \
+            if self.flow is not None else None
         poff_rows = field_rows("point_offset")
-        cs_rows = field_rows("color_scale")
-        csh_rows = field_rows("color_shift")
+        zero_rows = [jnp.zeros((S, B), jnp.float32)] * 3
+        cs_rows = field_rows("color_scale") \
+            if "color_scale" in self.field_offsets else list(zero_rows)
+        csh_rows = field_rows("color_shift") \
+            if "color_shift" in self.field_offsets else list(zero_rows)
 
         # ---- intersect (z_plane rows; reference nlf/intersect/z.py:77-97
         # + base.py:142-259 driver, values-only sort)
@@ -327,7 +360,8 @@ class FusedCFEval:
             Sr = self.stride_k
         if Sr != S:
             point_sigma = point_sigma[sel]
-            flow_rows = [r[sel] for r in flow_rows]
+            if flow_rows is not None:
+                flow_rows = [r[sel] for r in flow_rows]
             poff_rows = [r[sel] for r in poff_rows]
             cs_rows = [r[sel] for r in cs_rows]
             csh_rows = [r[sel] for r in csh_rows]
@@ -335,13 +369,18 @@ class FusedCFEval:
 
         # ---- advect (reference embedding/point.py:741-834, eval: no
         # jitter) — flow/point fields stay in prediction-index order,
-        # matching the general path's values-only sort
+        # matching the general path's values-only sort. Static chains
+        # have no flow stage and no time.
         from hyperreel_tpu.models.embeddings import get_base_time
         t_row = rrows[7] if len(rrows) > 7 else jnp.zeros_like(o_rows[0])
-        base_t = get_base_time(
-            t_row, self.flow.num_keyframes, self.flow.num_frames,
-            self.flow.flow_scale, False, ctx.rng)    # [B]
-        dt = (t_row - base_t)[None]                  # [1, B]
+        if self.flow is not None:
+            base_t = get_base_time(
+                t_row, self.flow.num_keyframes, self.flow.num_frames,
+                self.flow.flow_scale, False, ctx.rng)    # [B]
+            dt = (t_row - base_t)[None]                  # [1, B]
+        else:
+            base_t = jnp.zeros_like(t_row)
+            dt = None
 
         p_rows = [o_rows[c][None] + d_rows[c][None] * dists
                   for c in range(3)]
@@ -361,8 +400,10 @@ class FusedCFEval:
             dists = jnp.where(mask0, jnp.zeros_like(dists), d_c)
             p_rows = [p_c[c] for c in range(3)]
         for c in range(3):
-            p = p_rows[c] + self.flow.spatial_flow_activation(
-                flow_rows[c], ctx) * dt
+            p = p_rows[c]
+            if self.flow is not None:
+                p = p + self.flow.spatial_flow_activation(
+                    flow_rows[c], ctx) * dt
             off = self.po.activation(poff_rows[c], ctx) \
                 * (1.0 - point_sigma)
             p_rows[c] = p + off
@@ -375,84 +416,172 @@ class FusedCFEval:
         xn = (p_rows[0] - aabb[0][0]) * inv[0] - 1.0
         yn = (p_rows[1] - aabb[0][1]) * inv[1] - 1.0
         zn = (p_rows[2] - aabb[0][2]) * inv[2] - 1.0
-        tn = (base_t * net.time_scale_factor
-              + net.time_pixel_offset) * 2.0 - 1.0   # [B]
-        tn = jnp.broadcast_to(tn[None], (S, B))
-
-        # ---- space quad table + gather (same table build as
-        # TensorVMKeyframeTime.apply_fused; index computed in CF rows,
-        # flattened RAY-MAJOR so gather rows land in kernel block order)
-        space = jnp.concatenate(
-            [cparams["density"]["space_0"], cparams["app"]["space_0"]], -1)
-        H, W, C = space.shape
-        tbl = jnp.pad(space.astype(jnp.bfloat16), ((1, 1), (1, 1), (0, 0)))
-        qpack = jnp.concatenate(
-            [tbl[:-1, :-1], tbl[:-1, 1:], tbl[1:, :-1], tbl[1:, 1:]], -1)
-        table = qpack.reshape((H + 1) * (W + 1), 4 * C)
+        if self.flow is not None:
+            tn = (base_t * net.time_scale_factor
+                  + net.time_pixel_offset) * 2.0 - 1.0   # [B]
+            tn = jnp.broadcast_to(tn[None], (S, B))
+        else:
+            tn = jnp.zeros((S, B), jnp.float32)
 
         # kernel lane order: S-major blocks (lane = s*tile + r) — the
         # [S, nb, tile] -> [nb, S, tile] reorder keeps the 128-lane minor
         # dim intact (a plain tiled copy); a ray-major [S, B] -> [B, S]
         # transpose instead lowers to a ~15 ms while-loop (the
         # small-minor-dim transpose class, PERFORMANCE.md)
-        TH_t = cparams["density"]["time_0"].shape[0]
-        TW_t = cparams["density"]["time_0"].shape[1]
-        twp_t = ((TW_t + 2 + 127) // 128) * 128
-        scratch = twp_t * 6 + (TH_t + 2) * C * 4
-        tile = 128
-        while tile > 1 and (B % tile != 0
-                            or tile * S * scratch > 8 * (1 << 20)):
-            tile //= 2
-        nb = B // tile
+        n_basis = (net._sh_deg + 1) ** 2 \
+            if net.shading_mode == "SH" else 1
+        shading = "sh" if net.shading_mode == "SH" else "rgb"
+        comp_rows = (xn, yn, zn)
 
-        def to_block_order(a):
-            """[..., S, B] -> [..., N] in kernel block order."""
-            lead = a.shape[:-2]
-            a = a.reshape(lead + (S, nb, tile))
-            perm = tuple(range(len(lead))) + (
-                len(lead) + 1, len(lead), len(lead) + 2)
-            return a.transpose(perm).reshape(lead + (S * B,))
+        def quad_table(plane):
+            Hh, Ww, Cc = plane.shape
+            tbl = jnp.pad(plane.astype(jnp.bfloat16),
+                          ((1, 1), (1, 1), (0, 0)))
+            qp = jnp.concatenate(
+                [tbl[:-1, :-1], tbl[:-1, 1:], tbl[1:, :-1], tbl[1:, 1:]],
+                -1)
+            return qp.reshape((Hh + 1) * (Ww + 1), 4 * Cc), Ww, Hh
 
-        px = (xn + 1.0) * 0.5 * (W - 1)
-        py = (yn + 1.0) * 0.5 * (H - 1)
-        xi = (jnp.clip(jnp.floor(px), -1, W - 1) + 1).astype(jnp.int32)
-        yi = (jnp.clip(jnp.floor(py), -1, H - 1) + 1).astype(jnp.int32)
-        idx_cf = yi * (W + 1) + xi                   # [S, B] int32
-        idx = to_block_order(idx_cf)                 # kernel block order
-        rows = table[idx]                            # [N, 4C] bf16
+        def gather_idx(px, py, Ww, Hh, tbo):
+            xi = (jnp.clip(jnp.floor(px), -1, Ww - 1) + 1).astype(
+                jnp.int32)
+            yi = (jnp.clip(jnp.floor(py), -1, Hh - 1) + 1).astype(
+                jnp.int32)
+            return tbo(yi * (Ww + 1) + xi)
 
-        # ---- time plane + basis (identical to apply_fused)
-        timep = jnp.concatenate(
-            [cparams["density"]["time_0"], cparams["app"]["time_0"]], -1)
-        TH, TW, _ = timep.shape
-        tp = jnp.pad(timep.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
-        twp = ((TW + 2 + 127) // 128) * 128
-        ttab_t = jnp.pad(
-            jnp.moveaxis(tp, -1, 1).reshape((TH + 2) * C, TW + 2),
-            ((0, 0), (0, twp - (TW + 2))))
-        w = cparams["basis_mat"]["w"].astype(jnp.float32)
-        nd = net.density_n_comp[0]
-        wb_t = jnp.concatenate(
-            [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+        def make_tbo(tile):
+            nb = B // tile
 
-        # ---- scalar pack: ONE batched CF -> ray-major relayout
-        vd_rows_cf = [jnp.broadcast_to(d_rows[c][None], (S, B))
-                      for c in range(3)]
-        pack_cf = jnp.stack(
-            [xn, yn, zn, tn, dists, cs_rows[0], cs_rows[1], cs_rows[2],
-             csh_rows[0], csh_rows[1], csh_rows[2], *vd_rows_cf,
-             jnp.zeros((S, B), jnp.float32),
-             jnp.zeros((S, B), jnp.float32)], 0)     # [16, S, B]
-        pack = to_block_order(pack_cf)               # [16, N]
+            def to_block_order(a):
+                """[..., S, B] -> [..., N] in kernel block order."""
+                lead = a.shape[:-2]
+                a = a.reshape(lead + (S, nb, tile))
+                perm = tuple(range(len(lead))) + (
+                    len(lead) + 1, len(lead), len(lead) + 2)
+                return a.transpose(perm).reshape(lead + (S * B,))
+            return to_block_order
 
-        out = fused_shade_composite(
-            rows, pack, ttab_t, wb_t,
-            S=S, W=W, H=H, TW=TW, TH=TH, n_density=nd,
-            n_basis=(net._sh_deg + 1) ** 2
-            if net.shading_mode == "SH" else 1,
-            shading="sh" if net.shading_mode == "SH" else "rgb",
-            density_shift=0.0, distance_scale=net.distance_scale,
-            tile=tile, s_major=True)
+        def pick_tile(scratch):
+            tile = 128
+            while tile > 1 and (B % tile != 0
+                                or tile * S * scratch > 8 * (1 << 20)):
+                tile //= 2
+            return tile
+
+        def scalar_pack(tbo, extra=None):
+            # ONE batched CF -> kernel-block-order relayout
+            vd_rows_cf = [jnp.broadcast_to(d_rows[c][None], (S, B))
+                          for c in range(3)]
+            rows16 = [xn, yn, zn, tn, dists,
+                      cs_rows[0], cs_rows[1], cs_rows[2],
+                      csh_rows[0], csh_rows[1], csh_rows[2], *vd_rows_cf,
+                      extra if extra is not None
+                      else jnp.zeros((S, B), jnp.float32),
+                      jnp.zeros((S, B), jnp.float32)]
+            return tbo(jnp.stack(rows16, 0))         # [16, N]
+
+        if self.flow is not None and len(net.active_density) == 1:
+            # ---- dynamic single-axis: space plane x time plane
+            # (the flagship's measured-optimal path)
+            space = jnp.concatenate(
+                [cparams["density"]["space_0"], cparams["app"]["space_0"]],
+                -1)
+            C = space.shape[-1]
+            table, W, H = quad_table(space)
+            timep = jnp.concatenate(
+                [cparams["density"]["time_0"], cparams["app"]["time_0"]],
+                -1)
+            TH, TW, _ = timep.shape
+            tp = jnp.pad(timep.astype(jnp.float32),
+                         ((1, 1), (1, 1), (0, 0)))
+            twp = ((TW + 2 + 127) // 128) * 128
+            ttab_t = jnp.pad(
+                jnp.moveaxis(tp, -1, 1).reshape((TH + 2) * C, TW + 2),
+                ((0, 0), (0, twp - (TW + 2))))
+            w = cparams["basis_mat"]["w"].astype(jnp.float32)
+            nd = net.density_n_comp[0]
+            wb_t = jnp.concatenate(
+                [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+
+            tile = pick_tile(twp * 6 + (TH + 2) * C * 4)
+            tbo = make_tbo(tile)
+            px = (xn + 1.0) * 0.5 * (W - 1)
+            py = (yn + 1.0) * 0.5 * (H - 1)
+            rows = table[gather_idx(px, py, W, H, tbo)]
+            pack = scalar_pack(tbo)
+            out = fused_shade_composite(
+                rows, pack, ttab_t, wb_t,
+                S=S, W=W, H=H, TW=TW, TH=TH, n_density=nd,
+                n_basis=n_basis, shading=shading,
+                density_shift=0.0, distance_scale=net.distance_scale,
+                tile=tile, s_major=True)
+        else:
+            # ---- per-axis multi kernel: static plane x line, or
+            # dynamic-multi space plane x time plane (time_hs > 0).
+            # Static weight_fn is rejected by eligibility so weights == 1
+            # and the pre-relu multiply is identity.
+            from hyperreel_tpu.models.tensorf import MAT_MODE, VEC_MODE
+            from hyperreel_tpu.ops.pallas.shade import (
+                fused_shade_composite_multi)
+            dynamic = self.flow is not None
+            rows_list, line_tabs, grid_dims, line_lens = [], [], [], []
+            time_hs, dens_c, app_c = [], [], []
+            tabs = []
+            for i in net.active_density:
+                fam = "space" if dynamic else "plane"
+                plane = jnp.concatenate(
+                    [cparams["density"][f"{fam}_{i}"],
+                     cparams["app"][f"{fam}_{i}"]], -1)
+                table, W, H = quad_table(plane)
+                tabs.append((table, W, H))
+                grid_dims.append((W, H))
+                C_a = plane.shape[-1]
+                if dynamic:
+                    timep = jnp.concatenate(
+                        [cparams["density"][f"time_{i}"],
+                         cparams["app"][f"time_{i}"]], -1)
+                    TH, TW, _ = timep.shape
+                    tp2 = jnp.pad(timep.astype(jnp.float32),
+                                  ((1, 1), (1, 1), (0, 0)))
+                    twp = ((TW + 2 + 127) // 128) * 128
+                    line_tabs.append(jnp.pad(
+                        jnp.moveaxis(tp2, -1, 1).reshape(
+                            (TH + 2) * C_a, TW + 2),
+                        ((0, 0), (0, twp - (TW + 2)))))
+                    line_lens.append(TW)
+                    time_hs.append(TH)
+                else:
+                    line = jnp.concatenate(
+                        [cparams["density"][f"line_{i}"],
+                         cparams["app"][f"line_{i}"]], -1)
+                    L = line.shape[0]
+                    lp = ((L + 2 + 127) // 128) * 128
+                    line_tabs.append(jnp.pad(
+                        line.astype(jnp.float32).T,
+                        ((0, 0), (1, lp - L - 1))))
+                    line_lens.append(L)
+                    time_hs.append(0)
+                dens_c.append(net.density_n_comp[i])
+                app_c.append(net.app_n_comp[i])
+            tile = pick_tile(sum(
+                t.shape[1] * 6 + t.shape[0] * 4 for t in line_tabs))
+            tbo = make_tbo(tile)
+            for a, i in enumerate(net.active_density):
+                table, W, H = tabs[a]
+                from hyperreel_tpu.models.tensorf import MAT_MODE_SPACE
+                m0, m1 = (MAT_MODE_SPACE if dynamic else MAT_MODE)[i]
+                px = (comp_rows[m0] + 1.0) * 0.5 * (W - 1)
+                py = (comp_rows[m1] + 1.0) * 0.5 * (H - 1)
+                rows_list.append(table[gather_idx(px, py, W, H, tbo)])
+            wb_t = cparams["basis_mat"]["w"].astype(jnp.float32).T
+            pack = scalar_pack(tbo)
+            out = fused_shade_composite_multi(
+                rows_list, pack, line_tabs, wb_t,
+                axes=net.active_density, S=S, grid_dims=grid_dims,
+                line_lens=line_lens, time_hs=time_hs, dens_c=dens_c,
+                app_c=app_c, n_basis=n_basis, shading=shading,
+                density_shift=0.0, distance_scale=net.distance_scale,
+                tile=tile, s_major=True)
 
         rgb_map = out[:3].T
         acc_map = out[3]

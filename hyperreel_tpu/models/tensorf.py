@@ -1007,8 +1007,8 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         self._fused_eligible = (
             self.density_mode == "Density"
             and self.shading_mode in ("SH", "RGB")
-            and self.active_density == [0]
-            and self.active_app == [0]
+            and len(self.active_density) >= 1
+            and self.active_density == self.active_app
             and self.table_kind == "bf16"
             and not self.apply_filter_weights
             and self.ray_march_weight_thres == 0.0
@@ -1213,6 +1213,100 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         # per-sample 3x3 color transforms aren't wired into the kernel
         return "color_transform" not in x
 
+    def _apply_fused_multi_time(self, params, x, ctx, render_kwargs,
+                                comps, tn2):
+        """Multi-axis DYNAMIC fused render (the immersive/neural_3d
+        [8, 4, 4] family): per-axis space quad gathers + per-axis time
+        planes as VMEM tables with the separable z-two-hot + tn mix
+        (ops/pallas/shade.py fused_shade_composite_multi time_hs;
+        reference tensorf_dynamic.py:287-371)."""
+        from hyperreel_tpu.ops.pallas.shade import (
+            fused_shade_composite_multi, build_scalar_pack)
+        xn2, yn2, zn2 = comps
+        B = x["viewdirs"].shape[0]
+        S = x["points"].reshape(B, -1, 3).shape[1]
+        dists = x["distances"].reshape(B, S)
+        viewdirs = x["viewdirs"].reshape(B, S, 3)
+        comp = (xn2, yn2, zn2)
+
+        rows_list, ttabs, grid_dims, line_lens, time_hs = \
+            [], [], [], [], []
+        dens_c, app_c = [], []
+        for i in self.active_density:
+            ms0, ms1 = MAT_MODE_SPACE[i]
+            mt0, _ = MAT_MODE_TIME[i]
+            plane = jnp.concatenate(
+                [params["density"][f"space_{i}"],
+                 params["app"][f"space_{i}"]], -1)
+            H, W, C = plane.shape
+            pq = jnp.pad(plane.astype(jnp.bfloat16),
+                         ((1, 1), (1, 1), (0, 0)))
+            qpack = jnp.concatenate(
+                [pq[:-1, :-1], pq[:-1, 1:], pq[1:, :-1], pq[1:, 1:]], -1)
+            table = qpack.reshape((H + 1) * (W + 1), 4 * C)
+            px = (comp[ms0] + 1.0) * 0.5 * (W - 1)
+            py = (comp[ms1] + 1.0) * 0.5 * (H - 1)
+            xi = (jnp.clip(jnp.floor(px), -1, W - 1) + 1).astype(jnp.int32)
+            yi = (jnp.clip(jnp.floor(py), -1, H - 1) + 1).astype(jnp.int32)
+            rows_list.append(table[(yi * (W + 1) + xi).reshape(-1)])
+            grid_dims.append((W, H))
+
+            timep = jnp.concatenate(
+                [params["density"][f"time_{i}"],
+                 params["app"][f"time_{i}"]], -1)
+            TH, TW, _ = timep.shape
+            tp = jnp.pad(timep.astype(jnp.float32),
+                         ((1, 1), (1, 1), (0, 0)))
+            twp = ((TW + 2 + 127) // 128) * 128
+            ttabs.append(jnp.pad(
+                jnp.moveaxis(tp, -1, 1).reshape((TH + 2) * C, TW + 2),
+                ((0, 0), (0, twp - (TW + 2)))))
+            line_lens.append(TW)
+            time_hs.append(TH)
+            dens_c.append(self.density_n_comp[i])
+            app_c.append(self.app_n_comp[i])
+
+        w = params["basis_mat"]["w"].astype(jnp.float32)
+        wb_t = w.T                                     # [3K, sum app_c]
+
+        vd_ray = viewdirs[:, 0, :]
+        vd_rows = [jnp.broadcast_to(vd_ray[:, c:c + 1], (B, S)).reshape(-1)
+                   for c in range(3)]
+        if "color_scale" in x:
+            cs3 = x["color_scale"].reshape(B, S, 3)
+            csh3 = x["color_shift"].reshape(B, S, 3)
+            e3c = jnp.eye(3, dtype=cs3.dtype)
+            cs = tuple(jnp.einsum("bsc,c->bs", cs3, e3c[c]).reshape(-1)
+                       for c in range(3))
+            csh = tuple(jnp.einsum("bsc,c->bs", csh3, e3c[c]).reshape(-1)
+                        for c in range(3))
+        else:
+            zero = jnp.zeros((B * S,), jnp.float32)
+            cs = (zero, zero, zero)
+            csh = (zero, zero, zero)
+
+        pack = build_scalar_pack(
+            xn2.reshape(-1), yn2.reshape(-1), zn2.reshape(-1),
+            tn2.reshape(-1), cs, csh, dists.reshape(-1), vd_rows)
+
+        tile = 64
+        scratch = sum(t.shape[1] * 6 + t.shape[0] * 4 for t in ttabs)
+        while tile > 1 and (B % tile != 0
+                            or tile * S * scratch > 8 * (1 << 20)):
+            tile //= 2
+
+        out = fused_shade_composite_multi(
+            rows_list, pack, ttabs, wb_t,
+            axes=self.active_density, S=S, grid_dims=grid_dims,
+            line_lens=line_lens, time_hs=time_hs, dens_c=dens_c,
+            app_c=app_c,
+            n_basis=(self._sh_deg + 1) ** 2
+            if self.shading_mode == "SH" else 1,
+            shading="sh" if self.shading_mode == "SH" else "rgb",
+            density_shift=0.0, distance_scale=self.distance_scale,
+            tile=tile)
+        return self._fused_out(out, x, B, S, render_kwargs)
+
     def apply_fused(self, params, x, ctx, render_kwargs):
         """Fused Pallas render (eval): XLA keeps the embedding outputs and
         the space-plane quad-row gather; the kernel does the time-plane
@@ -1236,6 +1330,12 @@ class TensorVMKeyframeTime(TensorVMNoSample):
 
         xyz = self.normalize_coord(pts)                      # [B, S, 3]
         tn2 = self.normalize_time_coord(base_times)          # [B, S]
+        if len(self.active_density) > 1:
+            e3m = jnp.eye(3, dtype=xyz.dtype)
+            comps = tuple(jnp.einsum("bsc,c->bs", xyz, e3m[c])
+                          for c in range(3))
+            return self._apply_fused_multi_time(
+                params, x, ctx, render_kwargs, comps, tn2)
         if coord_dot:
             # component extraction as a minor-axis reduce (dot with a
             # one-hot) instead of a stride-3 slice: the slice form makes

@@ -364,9 +364,9 @@ _VEC_MODE = (2, 1, 0)
 
 
 def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
-                        dens_c, app_c, n_basis, sh_deg, density_shift,
-                        distance_scale, acc_dtype, s_major,
-                        use_weights_row, shading):
+                        time_hs, dens_c, app_c, n_basis, sh_deg,
+                        density_shift, distance_scale, acc_dtype,
+                        s_major, use_weights_row, shading):
     n_ax = len(axes)
     rows_refs = refs[:n_ax]
     pack_ref = refs[n_ax]
@@ -376,6 +376,7 @@ def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
 
     pk = pack_ref[:]                                       # [16, blk]
     comp = [pk[0:1], pk[1:2], pk[2:3]]
+    tn = pk[3:4]
     dist = pk[4:5]
     valid = ((jnp.abs(comp[0]) <= 1.0) & (jnp.abs(comp[1]) <= 1.0)
              & (jnp.abs(comp[2]) <= 1.0)
@@ -402,7 +403,11 @@ def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
         feat_p = (q[0 * C_a:1 * C_a] * w00 + q[1 * C_a:2 * C_a] * w01
                   + q[2 * C_a:3 * C_a] * w10 + q[3 * C_a:4 * C_a] * w11)
 
-        # line factor: ring-padded [C_a, Lp] table, two-hot MXU lookup
+        # second factor: ring-padded table, two-hot MXU lookup.
+        # time_hs[a] == 0: a pure 1D line [C_a, Lp] (static VM).
+        # time_hs[a] == TH > 0: a TIME PLANE [(TH+2)*C_a, Lp] — the
+        # z-two-hot fetches every keyframe row, then the tn bilinear
+        # mixes them (the dynamic kernel's separable lookup, per axis)
         L = line_lens[a]
         pz = (comp[v] + 1.0) * 0.5 * (L - 1)
         zb, fz, z_lo, z_hi = _corner_weights(pz, L)
@@ -410,10 +415,23 @@ def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
         iota = jax.lax.broadcasted_iota(jnp.int32, (Rt, blk), 0)
         a_z = (jnp.where(iota == zb, (1.0 - fz) * z_lo, 0.0)
                + jnp.where(iota == zb + 1, fz * z_hi, 0.0))
-        feat_l = jax.lax.dot_general(
+        zfeat = jax.lax.dot_general(
             ttab_refs[a][:].astype(acc_dtype), a_z.astype(acc_dtype),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [C_a, blk]
+            preferred_element_type=jnp.float32)
+        TH = time_hs[a]
+        if TH == 0:
+            feat_l = zfeat                                 # [C_a, blk]
+        else:
+            ptt = (tn + 1.0) * 0.5 * (TH - 1)
+            tb, ft, t_lo, t_hi = _corner_weights(ptt, TH)
+            t0w = (1.0 - ft) * t_lo
+            t1w = ft * t_hi
+            feat_l = jnp.zeros((C_a, blk), jnp.float32)
+            for k in range(TH + 2):
+                mk = (jnp.where(tb == k, t0w, 0.0)
+                      + jnp.where(tb == k - 1, t1w, 0.0))
+                feat_l = feat_l + zfeat[k * C_a:(k + 1) * C_a] * mk
 
         prod = feat_p * feat_l
         dfeat = dfeat + jnp.sum(prod[:dens_c[a]], 0, keepdims=True)
@@ -435,7 +453,7 @@ def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
 def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
                                 axes, S, grid_dims, line_lens, dens_c,
                                 app_c, n_basis, density_shift,
-                                distance_scale, tile=64,
+                                distance_scale, time_hs=None, tile=64,
                                 acc_dtype=jnp.bfloat16, interpret=None,
                                 s_major=False, use_weights_row=False,
                                 shading="sh"):
@@ -455,10 +473,13 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
     pt = ((tile + 127) // 128) * 128
     sh_deg = {1: 0, 4: 1, 9: 2, 16: 3, 25: 4}[n_basis] \
         if shading == "sh" else 0
+    if time_hs is None:
+        time_hs = (0,) * len(axes)
     kern = functools.partial(
         _shade_kernel_multi, axes=tuple(axes), S=S, blk=blk,
         grid_dims=tuple(tuple(g) for g in grid_dims),
         line_lens=tuple(int(L) for L in line_lens),
+        time_hs=tuple(int(t) for t in time_hs),
         dens_c=tuple(dens_c), app_c=tuple(app_c), n_basis=n_basis,
         sh_deg=sh_deg, density_shift=float(density_shift),
         distance_scale=float(distance_scale), acc_dtype=acc_dtype,

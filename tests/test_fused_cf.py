@@ -363,3 +363,72 @@ class TestMultiAxisStaticFused:
 
     def test_two_axis(self):
         self._parity([4, 2, 0])
+
+
+class TestStaticCFChain:
+    """Channels-first pipeline on the STATIC (no-flow) llff-style chain
+    feeding the multi-axis static kernel."""
+
+    def _models(self, n_lamb):
+        import copy
+        from hyperreel_tpu.configs.presets import tiny_static
+        ds = gaussian_blob_scene(n_views=2, wh=(12, 12))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        net = cfg["color"]["net"]
+        net.update({"n_lamb_sigma": list(n_lamb),
+                    "n_lamb_sh": list(n_lamb),
+                    "bf16_tables": True, "fused_render": True})
+        m_cf = build_model(cfg, dataset_info=ds.info())
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info())
+        return ds, m_cf, m_g
+
+    def test_static_cf_selected_and_parity(self):
+        ds, m_cf, m_g = self._models([4, 2, 2])
+        assert m_cf._cf_eval is not None
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def test_static_cf_single_axis(self):
+        ds, m_cf, m_g = self._models([4, 0, 0])
+        assert m_cf._cf_eval is not None
+        params = m_cf.init(jax.random.PRNGKey(1))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+
+class TestDynamicMultiAxisFused:
+    """Multi-axis DYNAMIC fused render (the immersive/neural_3d
+    [8, 4, 4] keyframe family): per-axis space planes x time planes
+    through fused_shade_composite_multi time_hs."""
+
+    def test_dynamic_multi_parity(self):
+        import copy
+        ds = _scene()
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        net = cfg["color"]["net"]
+        net.update({"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+                    "bf16_tables": True, "fused_render": True})
+        m_f = build_model(cfg, dataset_info=ds.info())
+        assert m_f.color_net._fused_eligible
+        # multi-axis dynamic goes through the ray-major fused path (the
+        # CF chain currently routes single-axis dynamic only)
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info())
+        params = m_f.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:192])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_f.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
