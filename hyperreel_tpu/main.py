@@ -32,7 +32,7 @@ def main(argv=None):
                         help="serve the interactive browser viewer from a "
                              "checkpoint (the reference's interact_only "
                              "NeRFGUI mode, utils/gui_utils.py:74)")
-    parser.add_argument("--fast-samples", type=int, default=0,
+    parser.add_argument("--fast-samples", type=int, default=-1,
                         metavar="K",
                         help="viewer fast mode: render with K samples/ray "
                              "— post-sort first-K compaction when the "
@@ -40,7 +40,10 @@ def main(argv=None):
                              "invalid_sort_far, else the reference's "
                              "every-(S/K)-th stride knob (fine-tune at K "
                              "recommended for stride; PERFORMANCE.md "
-                             "Pareto ladder)")
+                             "Pareto ladder). Default -1 = auto: compact "
+                             "K=16 when the model is compact-eligible "
+                             "(measured -0.18 dB for 1.6x throughput), "
+                             "full samples otherwise; 0 = always full")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
@@ -83,7 +86,8 @@ def main(argv=None):
             state = system.trainer.init_state(
                 jax.random.PRNGKey(cfg["params"].get("seed", 0)))
         model, params = system.model, state.params
-        if args.fast_samples:
+        k = args.fast_samples
+        if k:
             from hyperreel_tpu.config import resolve_model_cfg
             from hyperreel_tpu.configs.presets import (
                 with_compact_samples, with_inference_samples)
@@ -93,16 +97,23 @@ def main(argv=None):
                 st.get("type") == "ray_intersect"
                 and st.get("intersect", {}).get("invalid_sort_far")
                 for st in mcfg["embedding"]["embeddings"].values())
+            if k == -1:
+                # auto: compact K=16 is quality-calibrated (-0.18 dB,
+                # PERFORMANCE.md Pareto ladder) so it is safe as a
+                # default; stride needs a fine-tune, so auto keeps
+                # full samples on non-compactable models
+                k = 16 if far else 0
+        if k > 0:
             helper = with_compact_samples if far else \
                 with_inference_samples
-            mcfg = helper(mcfg, args.fast_samples)
+            mcfg = helper(mcfg, k)
             model = build_model(mcfg,
                                 dataset_info=system.train_dataset.info())
             init_p = model.init(jax.random.PRNGKey(0))
             emb = dict(init_p["embedding"])
             emb.update(params["embedding"])
             params = dict(params, embedding=emb)
-            print(f"viewer fast mode: {args.fast_samples} samples/ray "
+            print(f"viewer fast mode: {k} samples/ray "
                   f"({'compact' if far else 'stride'})")
         ray_width = system.train_dataset.all_coords.shape[-1]
         serve(model, params, ray_width=ray_width)

@@ -220,28 +220,60 @@ class FusedCFEval:
             self.field_offsets[name] = (off, width)
             off += width
         self.preds = p.preds_per_z
+        # pack-build kernel eligibility (ops/pallas/pack_build.py): the
+        # embedding tail runs in ONE Pallas kernel when every activation
+        # in the chain lowers in Mosaic, there is no stride subselection
+        # (strided sublane slices don't lower — exp_pallas_probe5.py),
+        # and no scene contraction (no CF contraction in-kernel yet)
+        from hyperreel_tpu.ops.pallas.pack_build import act_cfg_supported
+        outs = p.cfg["outputs"]
+        acts_ok = all(act_cfg_supported(o.get("activation"))
+                      for o in outs.values())
+        acts_ok = acts_ok and act_cfg_supported(
+            self.isect.cfg.get("activation"))
+        acts_ok = acts_ok and act_cfg_supported(
+            self.po.cfg.get("activation", "identity"))
+        if self.flow is not None:
+            acts_ok = acts_ok and act_cfg_supported(
+                self.flow.cfg.get("spatial_flow_activation", "identity"))
+        self._pack_ok = (acts_ok and self.stride_k is None
+                         and self.isect.contract.name == "identity")
 
     # -- channels-first MLP -------------------------------------------------
 
-    def _mlp_cf(self, params, net_in_cf, ctx):
+    def _mlp_cf(self, params, net_in_cf, ctx, field_major=False):
         """BaseMLP.apply with [C, B] activations (same math, transposed
-        weights; mirrors models/mlp.py BaseMLP.apply)."""
+        weights; mirrors models/mlp.py BaseMLP.apply).
+
+        field_major: permute the LAST layer's output channels from the
+        z-major order (row = s*preds + c) to field-major (row =
+        c*S + s) — a trace-time weight/bias column permutation, so the
+        pack-build kernel (ops/pallas/pack_build.py) can extract field
+        rows as contiguous sublane slices (strided sublane slices do
+        not lower in Mosaic — exp_pallas_probe5.py)."""
         net = self.pred.net
         cd = net.compute_dtype
         x = net_in_cf
         input_x = x
         act_until = net.depth if net.linear_last else net.depth + 1
+        last = net.depth + 1
+        perm = np.arange(self.S * self.preds).reshape(
+            self.S, self.preds).T.reshape(-1) if field_major else None
         for i in range(net.depth + 2):
             if i in net.skips:
                 x = jnp.concatenate([input_x.astype(x.dtype), x], 0)
             p = params[f"layer_{i}"]
             w = p["w"]
+            b = p.get("b")
+            if i == last and perm is not None:
+                w = w[:, perm]
+                b = None if b is None else b[perm]
             if cd is not None:
                 x = x.astype(cd)
                 w = w.astype(cd)
             x = w.T @ x
-            if "b" in p:
-                x = x + p["b"].astype(x.dtype)[:, None]
+            if b is not None:
+                x = x + b.astype(x.dtype)[:, None]
             if i < act_until:
                 x = net.layer_act(x, ctx)
         return x.astype(jnp.float32)
@@ -273,165 +305,15 @@ class FusedCFEval:
         eparams = params["embedding"]
         cparams = params["color"]
 
-        # ---- per-ray inputs: existing param/PE code on the tiny [B, c]
-        # blocks, then rows via one-hot reduces
-        pred = self.pred
-        feats = []
-        for (start, end), rp, pe in zip(pred.param_ranges, pred.params_fns,
-                                        pred.pes):
-            feats.append(pe.apply(rp.apply(rays[:, start:end]), ctx))
-        net_in = jnp.concatenate(feats, -1)          # [B, in_ch], tiny C
-        net_in_cf = jnp.stack(_rows_of(net_in, net_in.shape[1]))
-
-        out_cf = self._mlp_cf(eparams["ray_prediction_0"]["net"],
-                              net_in_cf, ctx)        # [S*preds, B]
-
-        def field_rows(name):
-            off, width = self.field_offsets[name]
-            act = pred.activations[pred.output_names.index(name)]
-            rows = [act(out_cf[off + c::self.preds], ctx)
-                    for c in range(width)]
-            return rows                              # list of [S, B]
-
-        z = field_rows("z_vals")[0]
-        sigma = field_rows("sigma")[0] \
-            if "sigma" in self.field_offsets else jnp.zeros((S, B))
-        if self.po.use_sigma and \
-                self.po.in_density_field in self.field_offsets:
-            point_sigma = field_rows(self.po.in_density_field)[0]
-        else:
-            point_sigma = jnp.zeros((S, B))
-        flow_rows = field_rows("spatial_flow") \
-            if self.flow is not None else None
-        poff_rows = field_rows("point_offset")
-        zero_rows = [jnp.zeros((S, B), jnp.float32)] * 3
-        cs_rows = field_rows("color_scale") \
-            if "color_scale" in self.field_offsets else list(zero_rows)
-        csh_rows = field_rows("color_shift") \
-            if "color_shift" in self.field_offsets else list(zero_rows)
-
-        # ---- intersect (z_plane rows; reference nlf/intersect/z.py:77-97
-        # + base.py:142-259 driver, values-only sort)
-        isect = self.isect
-        z = isect.activation(z, ctx) * (1.0 - sigma)
-        samples = np.broadcast_to(
-            np.asarray(isect.samples, np.float32).reshape(-1),
-            (S,))[:, None]                           # [S, 1]
-        z_scale = np.broadcast_to(
-            np.asarray(isect.z_scale, np.float32).reshape(-1),
-            (S,))[:, None] if np.asarray(isect.z_scale).size > 1 \
-            else np.asarray(isect.z_scale, np.float32).reshape(1, 1)
-        z = z * jnp.asarray(z_scale) + jnp.asarray(samples)
-        if isect.contract.contract_samples:
-            # anchors live in contracted sample space
-            # (process_z_vals, reference nlf/intersect/base.py:128-140)
-            z = isect.contract.inverse_contract_distance(z)
-
-        rrows = _rows_of(rays[:, :8] if rays.shape[1] >= 8
-                         else rays, min(rays.shape[1], 8))
-        o_rows, d_rows = rrows[0:3], rrows[3:6]
-        eps_dir, big = 1e-5, 1e12   # ops/intersect_math.py _safe_dirs
-        dz = jnp.where(jnp.abs(d_rows[2]) < eps_dir,
-                       jnp.full_like(d_rows[2], big), d_rows[2])
-        dists = (z - o_rows[2][None]) / dz[None]     # [S, B]
-        if self.isect.invalid_sort_far:
-            # sentinel distances ride through: the sample point lands far
-            # outside the aabb (kernel validity excludes it) and the
-            # boundary valid sample's delta saturates, matching the
-            # general path (see intersect.py invalid_sort_far note)
-            from hyperreel_tpu.models.intersect import _FAR_SENTINEL
-            dists = jnp.where(dists <= 0.0,
-                              jnp.full_like(dists, _FAR_SENTINEL), dists)
-            dists = _cf_bitonic_sort(dists)
-            Sr = self.compact_k or S
-            dists = dists[:Sr]                       # first-k compaction
-        else:
-            dists = jnp.where(dists <= 0.0, jnp.zeros_like(dists), dists)
-            dists = _cf_bitonic_sort(dists)
-            Sr = S
-        sel = slice(0, Sr)
-        if self.stride_k:
-            # positional every-(S/k)-th subselection: both the sorted
-            # dists and the prediction-ordered field rows are sliced by
-            # POSITION, exactly like the general path's select_points
-            # after its values-only sort
-            sel = slice(None, None, S // self.stride_k)
-            dists = dists[sel]
-            Sr = self.stride_k
-        if Sr != S:
-            point_sigma = point_sigma[sel]
-            if flow_rows is not None:
-                flow_rows = [r[sel] for r in flow_rows]
-            poff_rows = [r[sel] for r in poff_rows]
-            cs_rows = [r[sel] for r in cs_rows]
-            csh_rows = [r[sel] for r in csh_rows]
-        S = Sr
-
-        # ---- advect (reference embedding/point.py:741-834, eval: no
-        # jitter) — flow/point fields stay in prediction-index order,
-        # matching the general path's values-only sort. Static chains
-        # have no flow stage and no time.
-        from hyperreel_tpu.models.embeddings import get_base_time
-        t_row = rrows[7] if len(rrows) > 7 else jnp.zeros_like(o_rows[0])
-        if self.flow is not None:
-            base_t = get_base_time(
-                t_row, self.flow.num_keyframes, self.flow.num_frames,
-                self.flow.flow_scale, False, ctx.rng)    # [B]
-            dt = (t_row - base_t)[None]                  # [1, B]
-        else:
-            base_t = jnp.zeros_like(t_row)
-            dt = None
-
-        p_rows = [o_rows[c][None] + d_rows[c][None] * dists
-                  for c in range(3)]
-        if self.isect.contract.name != "identity":
-            # scene contraction between intersect and advection
-            # (reference nlf/intersect/base.py:242-246): contract points
-            # AND re-derive distances in contracted space; rows stack on
-            # the LEADING component axis (full-lane norms)
-            mask0 = dists <= 0.0
-            p_stack = jnp.stack(p_rows, 0)                   # [3, S, B]
-            o_stack = jnp.stack([r[None] for r in o_rows], 0)
-            cpf = self.isect.contract.contract_points_cf
-            p_c = cpf(p_stack)
-            o_c = cpf(o_stack)
-            d_c = jnp.sqrt(jnp.maximum(
-                jnp.sum((p_c - o_c) ** 2, 0), 1e-24))
-            dists = jnp.where(mask0, jnp.zeros_like(dists), d_c)
-            p_rows = [p_c[c] for c in range(3)]
-        for c in range(3):
-            p = p_rows[c]
-            if self.flow is not None:
-                p = p + self.flow.spatial_flow_activation(
-                    flow_rows[c], ctx) * dt
-            off = self.po.activation(poff_rows[c], ctx) \
-                * (1.0 - point_sigma)
-            p_rows[c] = p + off
-
-        # ---- normalize to grid coords (tensorf.py normalize_coord /
-        # normalize_time_coord)
+        # ---- trace-time plan: quad/line tables, per-axis specs, tile.
+        # Built BEFORE the embedding so the pack-kernel decision (which
+        # changes the MLP output ordering) can depend on the tile.
         net = self.net
-        aabb = np.asarray(net.aabb, np.float32)
-        inv = 2.0 / (aabb[1] - aabb[0])
-        xn = (p_rows[0] - aabb[0][0]) * inv[0] - 1.0
-        yn = (p_rows[1] - aabb[0][1]) * inv[1] - 1.0
-        zn = (p_rows[2] - aabb[0][2]) * inv[2] - 1.0
-        if self.flow is not None:
-            tn = (base_t * net.time_scale_factor
-                  + net.time_pixel_offset) * 2.0 - 1.0   # [B]
-            tn = jnp.broadcast_to(tn[None], (S, B))
-        else:
-            tn = jnp.zeros((S, B), jnp.float32)
-
-        # kernel lane order: S-major blocks (lane = s*tile + r) — the
-        # [S, nb, tile] -> [nb, S, tile] reorder keeps the 128-lane minor
-        # dim intact (a plain tiled copy); a ray-major [S, B] -> [B, S]
-        # transpose instead lowers to a ~15 ms while-loop (the
-        # small-minor-dim transpose class, PERFORMANCE.md)
+        S_shade = self.stride_k or self.compact_k or S
         n_basis = (net._sh_deg + 1) ** 2 \
             if net.shading_mode == "SH" else 1
         shading = "sh" if net.shading_mode == "SH" else "rgb"
-        comp_rows = (xn, yn, zn)
+        dyn1 = self.flow is not None and len(net.active_density) == 1
 
         def quad_table(plane):
             Hh, Ww, Cc = plane.shape
@@ -442,47 +324,17 @@ class FusedCFEval:
                 -1)
             return qp.reshape((Hh + 1) * (Ww + 1), 4 * Cc), Ww, Hh
 
-        def gather_idx(px, py, Ww, Hh, tbo):
-            xi = (jnp.clip(jnp.floor(px), -1, Ww - 1) + 1).astype(
-                jnp.int32)
-            yi = (jnp.clip(jnp.floor(py), -1, Hh - 1) + 1).astype(
-                jnp.int32)
-            return tbo(yi * (Ww + 1) + xi)
-
-        def make_tbo(tile):
-            nb = B // tile
-
-            def to_block_order(a):
-                """[..., S, B] -> [..., N] in kernel block order."""
-                lead = a.shape[:-2]
-                a = a.reshape(lead + (S, nb, tile))
-                perm = tuple(range(len(lead))) + (
-                    len(lead) + 1, len(lead), len(lead) + 2)
-                return a.transpose(perm).reshape(lead + (S * B,))
-            return to_block_order
-
         def pick_tile(scratch):
             tile = 128
             while tile > 1 and (B % tile != 0
-                                or tile * S * scratch > 8 * (1 << 20)):
+                                or tile * S_shade * scratch
+                                > 8 * (1 << 20)):
                 tile //= 2
             return tile
 
-        def scalar_pack(tbo, extra=None):
-            # ONE batched CF -> kernel-block-order relayout
-            vd_rows_cf = [jnp.broadcast_to(d_rows[c][None], (S, B))
-                          for c in range(3)]
-            rows16 = [xn, yn, zn, tn, dists,
-                      cs_rows[0], cs_rows[1], cs_rows[2],
-                      csh_rows[0], csh_rows[1], csh_rows[2], *vd_rows_cf,
-                      extra if extra is not None
-                      else jnp.zeros((S, B), jnp.float32),
-                      jnp.zeros((S, B), jnp.float32)]
-            return tbo(jnp.stack(rows16, 0))         # [16, N]
-
-        if self.flow is not None and len(net.active_density) == 1:
-            # ---- dynamic single-axis: space plane x time plane
-            # (the flagship's measured-optimal path)
+        if dyn1:
+            # dynamic single-axis: space plane x time plane (the
+            # flagship's measured-optimal path)
             space = jnp.concatenate(
                 [cparams["density"]["space_0"], cparams["app"]["space_0"]],
                 -1)
@@ -502,38 +354,29 @@ class FusedCFEval:
             nd = net.density_n_comp[0]
             wb_t = jnp.concatenate(
                 [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
-
             tile = pick_tile(twp * 6 + (TH + 2) * C * 4)
-            tbo = make_tbo(tile)
-            px = (xn + 1.0) * 0.5 * (W - 1)
-            py = (yn + 1.0) * 0.5 * (H - 1)
-            rows = table[gather_idx(px, py, W, H, tbo)]
-            pack = scalar_pack(tbo)
-            out = fused_shade_composite(
-                rows, pack, ttab_t, wb_t,
-                S=S, W=W, H=H, TW=TW, TH=TH, n_density=nd,
-                n_basis=n_basis, shading=shading,
-                density_shift=0.0, distance_scale=net.distance_scale,
-                tile=tile, s_major=True)
+            tabs = [(table, W, H)]
+            axis_specs = [(W, H, 0, 1)]
         else:
-            # ---- per-axis multi kernel: static plane x line, or
-            # dynamic-multi space plane x time plane (time_hs > 0).
-            # Static weight_fn is rejected by eligibility so weights == 1
-            # and the pre-relu multiply is identity.
-            from hyperreel_tpu.models.tensorf import MAT_MODE, VEC_MODE
-            from hyperreel_tpu.ops.pallas.shade import (
-                fused_shade_composite_multi)
+            # per-axis multi: static plane x line, or dynamic-multi
+            # space plane x time plane (time_hs > 0). Static weight_fn
+            # is rejected by eligibility so weights == 1 and the
+            # pre-relu multiply is identity.
+            from hyperreel_tpu.models.tensorf import (
+                MAT_MODE, MAT_MODE_SPACE)
             dynamic = self.flow is not None
-            rows_list, line_tabs, grid_dims, line_lens = [], [], [], []
+            line_tabs, grid_dims, line_lens = [], [], []
             time_hs, dens_c, app_c = [], [], []
-            tabs = []
+            tabs, axis_specs = [], []
             for i in net.active_density:
                 fam = "space" if dynamic else "plane"
                 plane = jnp.concatenate(
                     [cparams["density"][f"{fam}_{i}"],
                      cparams["app"][f"{fam}_{i}"]], -1)
                 table, W, H = quad_table(plane)
+                m0, m1 = (MAT_MODE_SPACE if dynamic else MAT_MODE)[i]
                 tabs.append((table, W, H))
+                axis_specs.append((W, H, m0, m1))
                 grid_dims.append((W, H))
                 C_a = plane.shape[-1]
                 if dynamic:
@@ -563,18 +406,263 @@ class FusedCFEval:
                     time_hs.append(0)
                 dens_c.append(net.density_n_comp[i])
                 app_c.append(net.app_n_comp[i])
+            wb_t = cparams["basis_mat"]["w"].astype(jnp.float32).T
             tile = pick_tile(sum(
                 t.shape[1] * 6 + t.shape[0] * 4 for t in line_tabs))
-            tbo = make_tbo(tile)
-            for a, i in enumerate(net.active_density):
-                table, W, H = tabs[a]
-                from hyperreel_tpu.models.tensorf import MAT_MODE_SPACE
-                m0, m1 = (MAT_MODE_SPACE if dynamic else MAT_MODE)[i]
+
+        # the pack-build kernel's [S, T] -> [1, S*T] reshape only lowers
+        # at 128 lanes (exp_pallas_probe6.py)
+        use_pk = self._pack_ok and tile == 128
+
+        # ---- per-ray inputs: existing param/PE code on the tiny [B, c]
+        # blocks, then rows via one-hot reduces
+        pred = self.pred
+        feats = []
+        for (start, end), rp, pe in zip(pred.param_ranges, pred.params_fns,
+                                        pred.pes):
+            feats.append(pe.apply(rp.apply(rays[:, start:end]), ctx))
+        net_in = jnp.concatenate(feats, -1)          # [B, in_ch], tiny C
+        net_in_cf = jnp.stack(_rows_of(net_in, net_in.shape[1]))
+
+        out_cf = self._mlp_cf(eparams["ray_prediction_0"]["net"],
+                              net_in_cf, ctx,
+                              field_major=use_pk)    # [S*preds, B]
+
+        def field_rows(name):
+            off, width = self.field_offsets[name]
+            act = pred.activations[pred.output_names.index(name)]
+            rows = [act(out_cf[off + c::self.preds], ctx)
+                    for c in range(width)]
+            return rows                              # list of [S, B]
+
+        # ---- per-ray rows shared by both embedding paths
+        from hyperreel_tpu.models.embeddings import get_base_time
+        rrows = _rows_of(rays[:, :8] if rays.shape[1] >= 8
+                         else rays, min(rays.shape[1], 8))
+        o_rows, d_rows = rrows[0:3], rrows[3:6]
+        t_row = rrows[7] if len(rrows) > 7 else jnp.zeros_like(o_rows[0])
+        if self.flow is not None:
+            base_t = get_base_time(
+                t_row, self.flow.num_keyframes, self.flow.num_frames,
+                self.flow.flow_scale, False, ctx.rng)    # [B]
+            dt_row = t_row - base_t                      # [B]
+            tn_ray = (base_t * net.time_scale_factor
+                      + net.time_pixel_offset) * 2.0 - 1.0
+        else:
+            base_t = jnp.zeros_like(t_row)
+            dt_row = jnp.zeros_like(t_row)
+            tn_ray = jnp.zeros_like(t_row)
+        isect = self.isect
+        samples = np.broadcast_to(
+            np.asarray(isect.samples, np.float32).reshape(-1),
+            (S,))[:, None]                           # [S, 1]
+        z_scale = np.broadcast_to(
+            np.asarray(isect.z_scale, np.float32).reshape(-1),
+            (S,))[:, None] if np.asarray(isect.z_scale).size > 1 \
+            else np.asarray(isect.z_scale, np.float32).reshape(1, 1)
+
+        if use_pk:
+            # ---- ONE Pallas kernel for the whole embedding tail
+            # (ops/pallas/pack_build.py): per-field activations, z
+            # processing, ray distances, the bitonic z-sort, first-k
+            # compaction, advection, point offsets, aabb normalization,
+            # and the pack + gather-index build — emitted directly in
+            # the shade kernel's S-major block order
+            from hyperreel_tpu.ops.pallas.pack_build import pack_build
+            from hyperreel_tpu.models.intersect import _FAR_SENTINEL
+            field_acts = {
+                name: pred.activations[pred.output_names.index(name)]
+                for name in self.field_offsets}
+            ray_pack = jnp.stack(
+                [o_rows[0], o_rows[1], o_rows[2],
+                 d_rows[0], d_rows[1], d_rows[2], dt_row, tn_ray], 0)
+            Sr = self.compact_k or S
+            pack, idx8 = pack_build(
+                out_cf, ray_pack, ctx.it, S=S, k=Sr, tile=tile,
+                samples=samples[:, 0], z_scale=z_scale.reshape(-1),
+                field_offsets=self.field_offsets, field_acts=field_acts,
+                isect_act=isect.activation,
+                flow_act=self.flow.spatial_flow_activation
+                if self.flow is not None else None,
+                po_act=self.po.activation,
+                has_sigma="sigma" in self.field_offsets,
+                has_flow=self.flow is not None,
+                po_use_sigma=self.po.use_sigma
+                and self.po.in_density_field in self.field_offsets,
+                po_sigma_field=self.po.in_density_field,
+                far_sentinel=_FAR_SENTINEL
+                if isect.invalid_sort_far else None,
+                aabb=np.asarray(net.aabb, np.float32),
+                axis_specs=axis_specs)
+            rows_list = [tabs[a][0][idx8[a]]
+                         for a in range(len(axis_specs))]
+            S = Sr
+        else:
+            # ---- legacy channels-first XLA embedding tail
+            z = field_rows("z_vals")[0]
+            sigma = field_rows("sigma")[0] \
+                if "sigma" in self.field_offsets else jnp.zeros((S, B))
+            if self.po.use_sigma and \
+                    self.po.in_density_field in self.field_offsets:
+                point_sigma = field_rows(self.po.in_density_field)[0]
+            else:
+                point_sigma = jnp.zeros((S, B))
+            flow_rows = field_rows("spatial_flow") \
+                if self.flow is not None else None
+            poff_rows = field_rows("point_offset")
+            zero_rows = [jnp.zeros((S, B), jnp.float32)] * 3
+            cs_rows = field_rows("color_scale") \
+                if "color_scale" in self.field_offsets else list(zero_rows)
+            csh_rows = field_rows("color_shift") \
+                if "color_shift" in self.field_offsets \
+                else list(zero_rows)
+
+            # ---- intersect (z_plane rows; reference
+            # nlf/intersect/z.py:77-97 + base.py:142-259 driver,
+            # values-only sort)
+            z = isect.activation(z, ctx) * (1.0 - sigma)
+            z = z * jnp.asarray(z_scale) + jnp.asarray(samples)
+            if isect.contract.contract_samples:
+                # anchors live in contracted sample space
+                # (process_z_vals, reference nlf/intersect/base.py:128-140)
+                z = isect.contract.inverse_contract_distance(z)
+
+            eps_dir, big = 1e-5, 1e12  # ops/intersect_math.py _safe_dirs
+            dz = jnp.where(jnp.abs(d_rows[2]) < eps_dir,
+                           jnp.full_like(d_rows[2], big), d_rows[2])
+            dists = (z - o_rows[2][None]) / dz[None]     # [S, B]
+            if self.isect.invalid_sort_far:
+                # sentinel distances ride through: the sample point
+                # lands far outside the aabb (kernel validity excludes
+                # it) and the boundary valid sample's delta saturates,
+                # matching the general path (see intersect.py
+                # invalid_sort_far note)
+                from hyperreel_tpu.models.intersect import _FAR_SENTINEL
+                dists = jnp.where(
+                    dists <= 0.0,
+                    jnp.full_like(dists, _FAR_SENTINEL), dists)
+                dists = _cf_bitonic_sort(dists)
+                Sr = self.compact_k or S
+                dists = dists[:Sr]                   # first-k compaction
+            else:
+                dists = jnp.where(dists <= 0.0, jnp.zeros_like(dists),
+                                  dists)
+                dists = _cf_bitonic_sort(dists)
+                Sr = S
+            sel = slice(0, Sr)
+            if self.stride_k:
+                # positional every-(S/k)-th subselection: both the
+                # sorted dists and the prediction-ordered field rows are
+                # sliced by POSITION, exactly like the general path's
+                # select_points after its values-only sort
+                sel = slice(None, None, S // self.stride_k)
+                dists = dists[sel]
+                Sr = self.stride_k
+            if Sr != S:
+                point_sigma = point_sigma[sel]
+                if flow_rows is not None:
+                    flow_rows = [r[sel] for r in flow_rows]
+                poff_rows = [r[sel] for r in poff_rows]
+                cs_rows = [r[sel] for r in cs_rows]
+                csh_rows = [r[sel] for r in csh_rows]
+            S = Sr
+
+            # ---- advect (reference embedding/point.py:741-834, eval:
+            # no jitter) — flow/point fields stay in prediction-index
+            # order, matching the general path's values-only sort.
+            # Static chains have no flow stage and no time.
+            dt = dt_row[None] if self.flow is not None else None
+
+            p_rows = [o_rows[c][None] + d_rows[c][None] * dists
+                      for c in range(3)]
+            if self.isect.contract.name != "identity":
+                # scene contraction between intersect and advection
+                # (reference nlf/intersect/base.py:242-246): contract
+                # points AND re-derive distances in contracted space;
+                # rows stack on the LEADING component axis (full-lane
+                # norms)
+                mask0 = dists <= 0.0
+                p_stack = jnp.stack(p_rows, 0)               # [3, S, B]
+                o_stack = jnp.stack([r[None] for r in o_rows], 0)
+                cpf = self.isect.contract.contract_points_cf
+                p_c = cpf(p_stack)
+                o_c = cpf(o_stack)
+                d_c = jnp.sqrt(jnp.maximum(
+                    jnp.sum((p_c - o_c) ** 2, 0), 1e-24))
+                dists = jnp.where(mask0, jnp.zeros_like(dists), d_c)
+                p_rows = [p_c[c] for c in range(3)]
+            for c in range(3):
+                p = p_rows[c]
+                if self.flow is not None:
+                    p = p + self.flow.spatial_flow_activation(
+                        flow_rows[c], ctx) * dt
+                off = self.po.activation(poff_rows[c], ctx) \
+                    * (1.0 - point_sigma)
+                p_rows[c] = p + off
+
+            # ---- normalize to grid coords (tensorf.py normalize_coord
+            # / normalize_time_coord)
+            aabb = np.asarray(net.aabb, np.float32)
+            inv = 2.0 / (aabb[1] - aabb[0])
+            xn = (p_rows[0] - aabb[0][0]) * inv[0] - 1.0
+            yn = (p_rows[1] - aabb[0][1]) * inv[1] - 1.0
+            zn = (p_rows[2] - aabb[0][2]) * inv[2] - 1.0
+            if self.flow is not None:
+                tn = jnp.broadcast_to(tn_ray[None], (S, B))
+            else:
+                tn = jnp.zeros((S, B), jnp.float32)
+            comp_rows = (xn, yn, zn)
+
+            # kernel lane order: S-major blocks (lane = s*tile + r) —
+            # the [S, nb, tile] -> [nb, S, tile] reorder keeps the
+            # 128-lane minor dim intact (a plain tiled copy); a
+            # ray-major [S, B] -> [B, S] transpose instead lowers to a
+            # ~15 ms while-loop (the small-minor-dim transpose class,
+            # PERFORMANCE.md)
+            def gather_idx(px, py, Ww, Hh, tbo):
+                xi = (jnp.clip(jnp.floor(px), -1, Ww - 1) + 1).astype(
+                    jnp.int32)
+                yi = (jnp.clip(jnp.floor(py), -1, Hh - 1) + 1).astype(
+                    jnp.int32)
+                return tbo(yi * (Ww + 1) + xi)
+
+            nb = B // tile
+
+            def tbo(a):
+                """[..., S, B] -> [..., N] in kernel block order."""
+                lead = a.shape[:-2]
+                a = a.reshape(lead + (S, nb, tile))
+                perm = tuple(range(len(lead))) + (
+                    len(lead) + 1, len(lead), len(lead) + 2)
+                return a.transpose(perm).reshape(lead + (S * B,))
+
+            rows_list = []
+            for (table, W, H), (_, _, m0, m1) in zip(tabs, axis_specs):
                 px = (comp_rows[m0] + 1.0) * 0.5 * (W - 1)
                 py = (comp_rows[m1] + 1.0) * 0.5 * (H - 1)
                 rows_list.append(table[gather_idx(px, py, W, H, tbo)])
-            wb_t = cparams["basis_mat"]["w"].astype(jnp.float32).T
-            pack = scalar_pack(tbo)
+
+            # ONE batched CF -> kernel-block-order relayout
+            vd_rows_cf = [jnp.broadcast_to(d_rows[c][None], (S, B))
+                          for c in range(3)]
+            rows16 = [xn, yn, zn, tn, dists,
+                      cs_rows[0], cs_rows[1], cs_rows[2],
+                      csh_rows[0], csh_rows[1], csh_rows[2],
+                      *vd_rows_cf,
+                      jnp.zeros((S, B), jnp.float32),
+                      jnp.zeros((S, B), jnp.float32)]
+            pack = tbo(jnp.stack(rows16, 0))         # [16, N]
+
+        if dyn1:
+            out = fused_shade_composite(
+                rows_list[0], pack, ttab_t, wb_t,
+                S=S, W=tabs[0][1], H=tabs[0][2], TW=TW, TH=TH,
+                n_density=nd, n_basis=n_basis, shading=shading,
+                density_shift=0.0, distance_scale=net.distance_scale,
+                tile=tile, s_major=True)
+        else:
+            from hyperreel_tpu.ops.pallas.shade import (
+                fused_shade_composite_multi)
             out = fused_shade_composite_multi(
                 rows_list, pack, line_tabs, wb_t,
                 axes=net.active_density, S=S, grid_dims=grid_dims,

@@ -1,0 +1,246 @@
+"""Pack-build Pallas kernel: the channels-first eval embedding tail in
+ONE kernel (round-3b; reference behavior held fixed:
+nlf/embedding/ray.py:300-363 field split/activations + nlf/intersect/
+z.py:77-97 + nlf/intersect/base.py:142-259 sort/mask driver +
+nlf/embedding/point.py:741-834 advect + point_offset, and the
+normalize_coord step of nlf/nets/tensorf_dynamic.py:645-700).
+
+Consumes the prediction MLP's channels-first output in FIELD-MAJOR row
+order (row = channel*S + s — the MLP's last layer columns are permuted
+at trace time, models/fused_eval.py _mlp_cf) plus an [8, B] per-ray row
+pack, and emits, directly in the shade kernel's S-major block order:
+
+  * the [16, N] scalar pack (ops/pallas/shade.py layout), and
+  * up to three [N] int32 quad-table gather indices (one per active
+    plane axis) packed as the rows of an [8, N] int32 output.
+
+Everything in between happens on-chip: per-field activations (the
+registry closures from models/activations.py are pure jnp and lower in
+Mosaic; scheduled ones read a traced `it` shipped via SMEM), z
+processing, ray distances, the values-only bitonic z-sort as sublane
+rolls, first-k compaction, flow advection, point offsets, aabb
+normalization, and the floor/clip index math of the packed quad-table
+gather (ops/grid_sample.py:269-283).
+
+This replaces ~10 ms/262144-ray chunk of XLA glue (field-extraction
+reduces, [S,nb,tile] block-reorder copies, pack concat, the XLA sort
+ladder — PERFORMANCE.md round-3 trace). Measured constructs:
+experiments/exp_pallas_probe5.py / probe6 (strided sublane slices do
+NOT lower — hence the field-major permutation; [S,T]->[1,S*T] reshapes,
+sublane rolls, int32 outputs, SMEM scalars, 16-row concats all do).
+
+Eval-only (no VJP).
+"""
+
+import functools
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hyperreel_tpu.ops.pallas.shade import PACK_ROWS
+
+# activation cfg types whose registry closures are Mosaic-lowerable
+# (elementwise exp/tanh/abs/min/max/select only); ease/interp recurse
+_SAFE_ACTS = {"identity", "sigmoid", "tanh", "softplus", "relu",
+              "leaky_relu", "abs", "zero", "identity_tanh", "row_l2_norm"}
+
+
+def act_cfg_supported(cfg):
+    """True when get_activation(cfg) lowers inside a Mosaic kernel."""
+    if cfg is None:
+        return True
+    if isinstance(cfg, str):
+        return cfg in _SAFE_ACTS
+    t = cfg.get("type", "identity")
+    if t in ("ease_value", "interp_value"):
+        inner = [cfg.get("activation")] if t == "ease_value" else \
+            [cfg.get("activation"), cfg.get("activation2")]
+        return all(act_cfg_supported(c) for c in inner)
+    return t in _SAFE_ACTS
+
+
+def _bitonic_sublane(v, n):
+    """Values-only ascending bitonic sort along sublanes of [n, T]
+    (n a power of two) via circular rolls + iota masks — the CF sort of
+    models/fused_eval.py _cf_bitonic_sort, in-kernel."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            up = pltpu.roll(v, n - j, 0)      # partner for the low half
+            dn = pltpu.roll(v, j, 0)          # partner for the high half
+            lo_half = (idx & j) == 0
+            partner = jnp.where(lo_half, up, dn)
+            take_min = ((idx & k) == 0) == lo_half
+            v = jnp.where(take_min, jnp.minimum(v, partner),
+                          jnp.maximum(v, partner))
+            j //= 2
+        k *= 2
+    return v
+
+
+def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
+                       pack_ref, idx_ref, *, spec):
+    s = spec
+    S, k, T = s.S, s.k, s.tile
+    ctx = SimpleNamespace(it=it_ref[0], training=False)
+
+    def field(name, c, n_rows):
+        off, width = s.field_offsets[name]
+        assert c < width, (name, c, width)
+        r0 = (off + c) * S
+        return s.field_acts[name](cf_ref[r0:r0 + n_rows], ctx)
+
+    o2 = ray_ref[2:3]
+    d_rows = [ray_ref[3:4], ray_ref[4:5], ray_ref[5:6]]
+    dt = ray_ref[6:7]
+    tn_ray = ray_ref[7:8]
+
+    # ---- z processing (intersect.py z_plane rows)
+    z = field("z_vals", 0, S)
+    if s.has_sigma:
+        z = s.isect_act(z, ctx) * (1.0 - field("sigma", 0, S))
+    else:
+        z = s.isect_act(z, ctx)
+    z = z * const_ref[:][:, 1:2] + const_ref[:][:, 0:1]
+
+    dz = jnp.where(jnp.abs(d_rows[2]) < 1e-5, 1e12, d_rows[2])
+    dists = (z - o2) / dz
+    if s.far_sentinel is not None:
+        dists = jnp.where(dists <= 0.0, s.far_sentinel, dists)
+    else:
+        dists = jnp.where(dists <= 0.0, 0.0, dists)
+    dists = _bitonic_sublane(dists, S)[:k]                   # [k, T]
+
+    # ---- advect + point offset (prediction-index order, positional
+    # first-k — exactly the CF path's post-sort slicing)
+    if s.po_use_sigma:
+        psig = field(s.po_sigma_field, 0, k)
+        po_fac = 1.0 - psig
+    else:
+        po_fac = 1.0
+    p_rows = []
+    for c in range(3):
+        p = ray_ref[c:c + 1] + d_rows[c] * dists
+        if s.has_flow:
+            p = p + s.flow_act(field("spatial_flow", c, k), ctx) * dt
+        p_rows.append(p + s.po_act(field("point_offset", c, k), ctx)
+                      * po_fac)
+
+    xn = (p_rows[0] - s.aabb_lo[0]) * s.aabb_inv[0] - 1.0
+    yn = (p_rows[1] - s.aabb_lo[1]) * s.aabb_inv[1] - 1.0
+    zn = (p_rows[2] - s.aabb_lo[2]) * s.aabb_inv[2] - 1.0
+    comp = (xn, yn, zn)
+    zero = jnp.zeros((k, T), jnp.float32)
+    tn = tn_ray + zero if s.has_flow else zero
+
+    def crow(name, c):
+        if name in s.field_offsets:
+            return field(name, c, k)
+        return zero
+
+    rows16 = [xn, yn, zn, tn, dists,
+              crow("color_scale", 0), crow("color_scale", 1),
+              crow("color_scale", 2),
+              crow("color_shift", 0), crow("color_shift", 1),
+              crow("color_shift", 2),
+              d_rows[0] + zero, d_rows[1] + zero, d_rows[2] + zero,
+              zero, zero]
+    pack_ref[:] = jnp.concatenate(
+        [r.reshape(1, k * T) for r in rows16], 0)
+
+    # ---- quad-table gather indices per active axis
+    # (matches fused_eval.gather_idx / ops/grid_sample.py quad layout)
+    idx_rows = []
+    for (W, H, m0, m1) in s.axis_specs:
+        px = (comp[m0] + 1.0) * 0.5 * (W - 1)
+        py = (comp[m1] + 1.0) * 0.5 * (H - 1)
+        xi = (jnp.clip(jnp.floor(px), -1.0, W - 1.0) + 1.0).astype(
+            jnp.int32)
+        yi = (jnp.clip(jnp.floor(py), -1.0, H - 1.0) + 1.0).astype(
+            jnp.int32)
+        idx_rows.append((yi * (W + 1) + xi).reshape(1, k * T))
+    izero = jnp.zeros((1, k * T), jnp.int32)
+    idx_ref[:] = jnp.concatenate(
+        idx_rows + [izero] * (8 - len(idx_rows)), 0)
+
+
+def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
+               field_offsets, field_acts, isect_act, flow_act, po_act,
+               has_sigma, has_flow, po_use_sigma, po_sigma_field,
+               far_sentinel, aabb, axis_specs, interpret=None):
+    """Run the pack-build kernel.
+
+    Args:
+      out_cf_fm: [P*S, B] f32 field-major channels-first MLP output
+                 (row = global_channel*S + s).
+      ray_pack:  [8, B] f32 rows: o.xyz, d.xyz, dt, tn (per-ray time
+                 coord in [-1, 1]; zeros for static chains).
+      it:        traced int32 iteration scalar (scheduled activations).
+      S, k:      predicted samples / kept samples (k == S when no
+                 first-k compaction; both powers of two).
+      tile:      rays per block — MUST equal the shade kernel's tile so
+                 the S-major block orders agree.
+      field_offsets: {name: (offset, width)} in prediction channels.
+      field_acts: {name: act(x, ctx)} registry closures.
+      axis_specs: per active axis (W, H, m0, m1) — plane dims + the
+                 MAT_MODE component indices feeding px/py.
+      far_sentinel: _FAR_SENTINEL for invalid_sort_far chains, else None.
+
+    Returns (pack [16, N], idx8 [8, N] int32), N = k * B, in S-major
+    block order (lane = s*tile + r within each tile*k block).
+    """
+    PS, B = out_cf_fm.shape
+    assert B % tile == 0, (B, tile)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    aabb = np.asarray(aabb, np.float32)
+    spec = SimpleNamespace(
+        S=S, k=k, tile=tile, field_offsets=dict(field_offsets),
+        field_acts=dict(field_acts), isect_act=isect_act,
+        flow_act=flow_act, po_act=po_act, has_sigma=has_sigma,
+        has_flow=has_flow, po_use_sigma=po_use_sigma,
+        po_sigma_field=po_sigma_field, far_sentinel=far_sentinel,
+        aabb_lo=tuple(float(v) for v in aabb[0]),
+        aabb_inv=tuple(float(v) for v in 2.0 / (aabb[1] - aabb[0])),
+        axis_specs=tuple(tuple(a) for a in axis_specs))
+    # [S, 128] per-sample consts: col 0 = samples anchor, col 1 = z_scale
+    # ([S, 1] lane-slice broadcast inside the kernel — probe5 #7)
+    consts = np.zeros((S, 128), np.float32)
+    consts[:, 0] = np.broadcast_to(
+        np.asarray(samples, np.float32).reshape(-1), (S,))
+    consts[:, 1] = np.broadcast_to(
+        np.asarray(z_scale, np.float32).reshape(-1), (S,))
+    kern = functools.partial(_pack_build_kernel, spec=spec)
+    blk = k * tile
+    grid = (B // tile,)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((PS, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((PACK_ROWS, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((PACK_ROWS, k * B), jnp.float32),
+            jax.ShapeDtypeStruct((8, k * B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(out_cf_fm, ray_pack, jnp.asarray(consts),
+      jnp.asarray(it, jnp.int32).reshape(1))

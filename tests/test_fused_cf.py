@@ -406,6 +406,94 @@ class TestStaticCFChain:
         assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
 
 
+class TestPackBuildKernel:
+    """The pack-build Pallas kernel (ops/pallas/pack_build.py): the
+    whole CF embedding tail in one kernel, triggered when tile == 128
+    (B % 128 == 0) and every activation lowers in Mosaic. Parity vs the
+    general path AND vs the legacy CF-XLA tail, with a spy asserting
+    the kernel branch actually runs (B=192 tests never reach it)."""
+
+    def _spy(self, monkeypatch):
+        import hyperreel_tpu.ops.pallas.pack_build as PB
+        calls = []
+        orig = PB.pack_build
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(PB, "pack_build", spy)
+        return calls
+
+    def _parity(self, cfg, ds, monkeypatch, expect_kernel=True):
+        import copy
+        calls = self._spy(monkeypatch)
+        m_cf = build_model(cfg, dataset_info=ds.info())
+        assert m_cf._cf_eval is not None
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info())
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:256])     # 256 % 128 == 0
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+        assert bool(calls) == expect_kernel, (len(calls), expect_kernel)
+
+    def _dyn_cfg(self):
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        return cfg
+
+    def test_dynamic_flagship_kernel_parity(self, monkeypatch):
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        self._parity(self._dyn_cfg(), ds, monkeypatch)
+
+    def test_dynamic_compact_kernel_parity(self, monkeypatch):
+        from hyperreel_tpu.configs.presets import with_compact_samples
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = with_compact_samples(self._dyn_cfg(), 4)
+        self._parity(cfg, ds, monkeypatch)
+
+    def test_static_multi_axis_kernel_parity(self, monkeypatch):
+        from hyperreel_tpu.configs.presets import tiny_static
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"].update(
+            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+             "bf16_tables": True, "fused_render": True})
+        # the kernel requires identity contraction (tiny_static defaults
+        # to mipnerf, which keeps the legacy CF-XLA tail)
+        cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
+            "contract"] = {"type": "identity"}
+        self._parity(cfg, ds, monkeypatch)
+
+    def test_contracted_keeps_legacy_tail(self, monkeypatch):
+        # scene contraction has no in-kernel CF form: legacy tail
+        from hyperreel_tpu.configs.presets import tiny_static
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"].update(
+            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+             "bf16_tables": True, "fused_render": True})
+        self._parity(cfg, ds, monkeypatch, expect_kernel=False)
+
+    def test_stride_keeps_legacy_tail(self, monkeypatch):
+        # stride subselection can't run in-kernel (strided sublane
+        # slices don't lower — exp_pallas_probe5.py): falls back to the
+        # legacy CF-XLA tail, still at full parity
+        from hyperreel_tpu.configs.presets import with_inference_samples
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = with_inference_samples(self._dyn_cfg(), 4)
+        self._parity(cfg, ds, monkeypatch, expect_kernel=False)
+
+
 class TestDynamicMultiAxisFused:
     """Multi-axis DYNAMIC fused render (the immersive/neural_3d
     [8, 4, 4] keyframe family): per-axis space planes x time planes
