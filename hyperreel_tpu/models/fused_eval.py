@@ -30,6 +30,7 @@ TensorVMKeyframeTime._fused_ok). Parity vs the general path is enforced
 by tests/test_fused_cf.py at ~1e-4.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -224,7 +225,8 @@ class FusedCFEval:
         # embedding tail runs in ONE Pallas kernel when every activation
         # in the chain lowers in Mosaic, there is no stride subselection
         # (strided sublane slices don't lower — exp_pallas_probe5.py),
-        # and no scene contraction (no CF contraction in-kernel yet)
+        # and any scene contraction has a rows form (bbox/mipnerf
+        # Contract.contract_rows — elementwise, lowers in-kernel)
         from hyperreel_tpu.ops.pallas.pack_build import act_cfg_supported
         outs = p.cfg["outputs"]
         acts_ok = all(act_cfg_supported(o.get("activation"))
@@ -236,8 +238,10 @@ class FusedCFEval:
         if self.flow is not None:
             acts_ok = acts_ok and act_cfg_supported(
                 self.flow.cfg.get("spatial_flow_activation", "identity"))
+        contract_ok = (self.isect.contract.name == "identity"
+                       or self.isect.contract.contract_rows is not None)
         self._pack_ok = (acts_ok and self.stride_k is None
-                         and self.isect.contract.name == "identity")
+                         and contract_ok)
 
     # -- channels-first MLP -------------------------------------------------
 
@@ -278,6 +282,145 @@ class FusedCFEval:
                 x = net.layer_act(x, ctx)
         return x.astype(jnp.float32)
 
+    # -- render plan --------------------------------------------------------
+
+    def _plan_meta(self, cparams):
+        """Static (shape-derived) render plan: per-axis plane dims +
+        MAT_MODE components, second-factor dims, the pick_tile scratch
+        estimate. No array math — safe to call per trace."""
+        net = self.net
+        dyn1 = self.flow is not None and len(net.active_density) == 1
+        if dyn1:
+            sd = cparams["density"]["space_0"]
+            C = sd.shape[-1] + cparams["app"]["space_0"].shape[-1]
+            H, W = sd.shape[0], sd.shape[1]
+            TH, TW = cparams["density"]["time_0"].shape[:2]
+            twp = ((TW + 2 + 127) // 128) * 128
+            return {"dyn1": True, "C": C, "nd": net.density_n_comp[0],
+                    "TW": TW, "TH": TH, "twp": twp,
+                    "axis_specs": [(W, H, 0, 1)],
+                    "scratch": twp * 6 + (TH + 2) * C * 4}
+        from hyperreel_tpu.models.tensorf import MAT_MODE, MAT_MODE_SPACE
+        dynamic = self.flow is not None
+        axis_specs, line_lens, time_hs = [], [], []
+        dens_c, app_c = [], []
+        scratch = 0
+        for i in net.active_density:
+            fam = "space" if dynamic else "plane"
+            pd = cparams["density"][f"{fam}_{i}"]
+            C_a = pd.shape[-1] + cparams["app"][f"{fam}_{i}"].shape[-1]
+            H, W = pd.shape[0], pd.shape[1]
+            m0, m1 = (MAT_MODE_SPACE if dynamic else MAT_MODE)[i]
+            axis_specs.append((W, H, m0, m1))
+            if dynamic:
+                TH, TW = cparams["density"][f"time_{i}"].shape[:2]
+                twp = ((TW + 2 + 127) // 128) * 128
+                line_lens.append(TW)
+                time_hs.append(TH)
+                scratch += twp * 6 + (TH + 2) * C_a * 4
+            else:
+                L = cparams["density"][f"line_{i}"].shape[0]
+                lp = ((L + 2 + 127) // 128) * 128
+                line_lens.append(L)
+                time_hs.append(0)
+                scratch += lp * 6 + C_a * 4
+            dens_c.append(net.density_n_comp[i])
+            app_c.append(net.app_n_comp[i])
+        return {"dyn1": False, "axis_specs": axis_specs,
+                "line_lens": line_lens, "time_hs": time_hs,
+                "dens_c": dens_c, "app_c": app_c, "scratch": scratch}
+
+    def _plan_arrays(self, cparams):
+        """The per-CHECKPOINT table arrays of the render plan:
+
+          * per-axis quad-corner packed space/plane tables (bf16; all
+            4 bilinear corners of a texel in one gatherable row),
+          * per-axis second factors (ring-padded time planes for
+            dynamic nets, ring-padded lines for static VM),
+          * the transposed basis matrix.
+
+        apply() rebuilds these inside the traced frame by default (XLA
+        hoists them out of lax.map chunk loops); serving paths call
+        prepare() once per checkpoint and ship the result via
+        render_kwargs["cf_prepared"] so compiled frames skip the
+        rebuild entirely."""
+        net = self.net
+        meta = self._plan_meta(cparams)
+
+        def quad_table(plane):
+            Hh, Ww, Cc = plane.shape
+            tbl = jnp.pad(plane.astype(jnp.bfloat16),
+                          ((1, 1), (1, 1), (0, 0)))
+            qp = jnp.concatenate(
+                [tbl[:-1, :-1], tbl[:-1, 1:], tbl[1:, :-1], tbl[1:, 1:]],
+                -1)
+            return qp.reshape((Hh + 1) * (Ww + 1), 4 * Cc)
+
+        if meta["dyn1"]:
+            # dynamic single-axis: space plane x time plane (the
+            # flagship's measured-optimal path)
+            space = jnp.concatenate(
+                [cparams["density"]["space_0"], cparams["app"]["space_0"]],
+                -1)
+            C, nd = meta["C"], meta["nd"]
+            TH, TW, twp = meta["TH"], meta["TW"], meta["twp"]
+            timep = jnp.concatenate(
+                [cparams["density"]["time_0"], cparams["app"]["time_0"]],
+                -1)
+            tp = jnp.pad(timep.astype(jnp.float32),
+                         ((1, 1), (1, 1), (0, 0)))
+            ttab_t = jnp.pad(
+                jnp.moveaxis(tp, -1, 1).reshape((TH + 2) * C, TW + 2),
+                ((0, 0), (0, twp - (TW + 2))))
+            w = cparams["basis_mat"]["w"].astype(jnp.float32)
+            wb_t = jnp.concatenate(
+                [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+            return [quad_table(space)], [ttab_t], wb_t
+
+        # per-axis multi: static plane x line, or dynamic-multi space
+        # plane x time plane (time_hs > 0). Static weight_fn is
+        # rejected by eligibility so weights == 1 and the pre-relu
+        # multiply is identity.
+        dynamic = self.flow is not None
+        tables, second = [], []
+        for a, i in enumerate(net.active_density):
+            fam = "space" if dynamic else "plane"
+            plane = jnp.concatenate(
+                [cparams["density"][f"{fam}_{i}"],
+                 cparams["app"][f"{fam}_{i}"]], -1)
+            tables.append(quad_table(plane))
+            C_a = plane.shape[-1]
+            if dynamic:
+                timep = jnp.concatenate(
+                    [cparams["density"][f"time_{i}"],
+                     cparams["app"][f"time_{i}"]], -1)
+                TH, TW = meta["time_hs"][a], meta["line_lens"][a]
+                twp = ((TW + 2 + 127) // 128) * 128
+                tp2 = jnp.pad(timep.astype(jnp.float32),
+                              ((1, 1), (1, 1), (0, 0)))
+                second.append(jnp.pad(
+                    jnp.moveaxis(tp2, -1, 1).reshape(
+                        (TH + 2) * C_a, TW + 2),
+                    ((0, 0), (0, twp - (TW + 2)))))
+            else:
+                line = jnp.concatenate(
+                    [cparams["density"][f"line_{i}"],
+                     cparams["app"][f"line_{i}"]], -1)
+                L = line.shape[0]
+                lp = ((L + 2 + 127) // 128) * 128
+                second.append(jnp.pad(
+                    line.astype(jnp.float32).T,
+                    ((0, 0), (1, lp - L - 1))))
+        wb_t = cparams["basis_mat"]["w"].astype(jnp.float32).T
+        return tables, second, wb_t
+
+    def prepare(self, params):
+        """Prebuild the per-checkpoint table arrays for serving. Pass
+        the result to apply via render_kwargs["cf_prepared"] (as jit
+        ARGUMENTS, not closure constants) so each compiled frame skips
+        the table rebuild."""
+        return jax.jit(self._plan_arrays)(params["color"])
+
     # -- forward ------------------------------------------------------------
 
     def ok(self, ctx, render_kwargs):
@@ -308,23 +451,25 @@ class FusedCFEval:
         # ---- trace-time plan: quad/line tables, per-axis specs, tile.
         # Built BEFORE the embedding so the pack-kernel decision (which
         # changes the MLP output ordering) can depend on the tile.
+        # Split into static meta (_plan_meta, shape-derived) + table
+        # arrays (_plan_arrays) so a serving path can prebuild the
+        # arrays ONCE per checkpoint (prepare(); the viewer ships them
+        # via render_kwargs["cf_prepared"]) instead of rebuilding them
+        # inside every compiled frame.
         net = self.net
         S_shade = self.stride_k or self.compact_k or S
         n_basis = (net._sh_deg + 1) ** 2 \
             if net.shading_mode == "SH" else 1
         shading = "sh" if net.shading_mode == "SH" else "rgb"
-        dyn1 = self.flow is not None and len(net.active_density) == 1
-
-        def quad_table(plane):
-            Hh, Ww, Cc = plane.shape
-            tbl = jnp.pad(plane.astype(jnp.bfloat16),
-                          ((1, 1), (1, 1), (0, 0)))
-            qp = jnp.concatenate(
-                [tbl[:-1, :-1], tbl[:-1, 1:], tbl[1:, :-1], tbl[1:, 1:]],
-                -1)
-            return qp.reshape((Hh + 1) * (Ww + 1), 4 * Cc), Ww, Hh
 
         def pick_tile(scratch):
+            # HYPERREEL_EVAL_TILE overrides the VMEM heuristic (perf
+            # experiments; the 8 MB cap is empirical from Mosaic VMEM
+            # exhaustion on the pre-kernel path and is conservative for
+            # multi-axis families — see exp_multiaxis_tile.py)
+            force = os.environ.get("HYPERREEL_EVAL_TILE")
+            if force and B % int(force) == 0:
+                return int(force)
             tile = 128
             while tile > 1 and (B % tile != 0
                                 or tile * S_shade * scratch
@@ -332,83 +477,26 @@ class FusedCFEval:
                 tile //= 2
             return tile
 
+        meta = self._plan_meta(cparams)
+        dyn1 = meta["dyn1"]
+        prepared = render_kwargs.get("cf_prepared")
+        if prepared is None:
+            prepared = self._plan_arrays(cparams)
+        tables, second, wb_t = prepared
+        axis_specs = meta["axis_specs"]
+        tabs = [(tables[i], w, h)
+                for i, (w, h, _, _) in enumerate(axis_specs)]
         if dyn1:
-            # dynamic single-axis: space plane x time plane (the
-            # flagship's measured-optimal path)
-            space = jnp.concatenate(
-                [cparams["density"]["space_0"], cparams["app"]["space_0"]],
-                -1)
-            C = space.shape[-1]
-            table, W, H = quad_table(space)
-            timep = jnp.concatenate(
-                [cparams["density"]["time_0"], cparams["app"]["time_0"]],
-                -1)
-            TH, TW, _ = timep.shape
-            tp = jnp.pad(timep.astype(jnp.float32),
-                         ((1, 1), (1, 1), (0, 0)))
-            twp = ((TW + 2 + 127) // 128) * 128
-            ttab_t = jnp.pad(
-                jnp.moveaxis(tp, -1, 1).reshape((TH + 2) * C, TW + 2),
-                ((0, 0), (0, twp - (TW + 2))))
-            w = cparams["basis_mat"]["w"].astype(jnp.float32)
-            nd = net.density_n_comp[0]
-            wb_t = jnp.concatenate(
-                [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
-            tile = pick_tile(twp * 6 + (TH + 2) * C * 4)
-            tabs = [(table, W, H)]
-            axis_specs = [(W, H, 0, 1)]
+            C, nd = meta["C"], meta["nd"]
+            TW, TH = meta["TW"], meta["TH"]
+            ttab_t = second[0]
         else:
-            # per-axis multi: static plane x line, or dynamic-multi
-            # space plane x time plane (time_hs > 0). Static weight_fn
-            # is rejected by eligibility so weights == 1 and the
-            # pre-relu multiply is identity.
-            from hyperreel_tpu.models.tensorf import (
-                MAT_MODE, MAT_MODE_SPACE)
-            dynamic = self.flow is not None
-            line_tabs, grid_dims, line_lens = [], [], []
-            time_hs, dens_c, app_c = [], [], []
-            tabs, axis_specs = [], []
-            for i in net.active_density:
-                fam = "space" if dynamic else "plane"
-                plane = jnp.concatenate(
-                    [cparams["density"][f"{fam}_{i}"],
-                     cparams["app"][f"{fam}_{i}"]], -1)
-                table, W, H = quad_table(plane)
-                m0, m1 = (MAT_MODE_SPACE if dynamic else MAT_MODE)[i]
-                tabs.append((table, W, H))
-                axis_specs.append((W, H, m0, m1))
-                grid_dims.append((W, H))
-                C_a = plane.shape[-1]
-                if dynamic:
-                    timep = jnp.concatenate(
-                        [cparams["density"][f"time_{i}"],
-                         cparams["app"][f"time_{i}"]], -1)
-                    TH, TW, _ = timep.shape
-                    tp2 = jnp.pad(timep.astype(jnp.float32),
-                                  ((1, 1), (1, 1), (0, 0)))
-                    twp = ((TW + 2 + 127) // 128) * 128
-                    line_tabs.append(jnp.pad(
-                        jnp.moveaxis(tp2, -1, 1).reshape(
-                            (TH + 2) * C_a, TW + 2),
-                        ((0, 0), (0, twp - (TW + 2)))))
-                    line_lens.append(TW)
-                    time_hs.append(TH)
-                else:
-                    line = jnp.concatenate(
-                        [cparams["density"][f"line_{i}"],
-                         cparams["app"][f"line_{i}"]], -1)
-                    L = line.shape[0]
-                    lp = ((L + 2 + 127) // 128) * 128
-                    line_tabs.append(jnp.pad(
-                        line.astype(jnp.float32).T,
-                        ((0, 0), (1, lp - L - 1))))
-                    line_lens.append(L)
-                    time_hs.append(0)
-                dens_c.append(net.density_n_comp[i])
-                app_c.append(net.app_n_comp[i])
-            wb_t = cparams["basis_mat"]["w"].astype(jnp.float32).T
-            tile = pick_tile(sum(
-                t.shape[1] * 6 + t.shape[0] * 4 for t in line_tabs))
+            line_tabs = second
+            grid_dims = [(w, h) for (w, h, _, _) in axis_specs]
+            line_lens = meta["line_lens"]
+            time_hs = meta["time_hs"]
+            dens_c, app_c = meta["dens_c"], meta["app_c"]
+        tile = pick_tile(meta["scratch"])
 
         # the pack-build kernel's [S, T] -> [1, S*T] reshape only lowers
         # at 128 lanes (exp_pallas_probe6.py)
@@ -493,7 +581,11 @@ class FusedCFEval:
                 far_sentinel=_FAR_SENTINEL
                 if isect.invalid_sort_far else None,
                 aabb=np.asarray(net.aabb, np.float32),
-                axis_specs=axis_specs)
+                axis_specs=axis_specs,
+                contract_rows=isect.contract.contract_rows
+                if isect.contract.name != "identity" else None,
+                inv_cdist=isect.contract.inverse_contract_distance
+                if isect.contract.contract_samples else None)
             rows_list = [tabs[a][0][idx8[a]]
                          for a in range(len(axis_specs))]
             S = Sr

@@ -55,6 +55,14 @@ class LightfieldModel:
         x = self.embedding.apply(params["embedding"], rays, ctx, render_kwargs)
         return self.color_net.apply(params["color"], x, ctx, render_kwargs)
 
+    def prepare_eval(self, params):
+        """Per-checkpoint serving prep: prebuilt fused-eval table arrays
+        (FusedCFEval.prepare), or None when the fast path is absent.
+        Ship the result to apply via render_kwargs["cf_prepared"]."""
+        if self._cf_eval is None:
+            return None
+        return self._cf_eval.prepare(params)
+
     def embed(self, params, rays, ctx, render_kwargs=None):
         """Run only the embedding chain — used by visualizers and the
         geometry regularizers (reference render_fn.embed paths)."""

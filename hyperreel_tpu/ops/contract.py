@@ -70,10 +70,16 @@ class Contract:
     # lane-padded [..., 3] minor axis. None = no CF form (CF eval
     # ineligible for this contraction).
     contract_points_cf: Callable = None
+    # rows variant: (px, py, pz) -> (cx, cy, cz) on three same-shape 2D
+    # arrays — strictly elementwise + cross-row sums, so it lowers inside
+    # a Mosaic kernel (ops/pallas/pack_build.py). None = contraction
+    # keeps the legacy CF-XLA embedding tail.
+    contract_rows: Callable = None
 
 
 def _make(name, cfg, contract_points, contract_distance, inverse_contract_distance,
-          identity_points_and_distance=False, contract_points_cf=None):
+          identity_points_and_distance=False, contract_points_cf=None,
+          contract_rows=None):
     if identity_points_and_distance:
         def cpad(rays_o, points, distance):
             return points, distance
@@ -95,6 +101,7 @@ def _make(name, cfg, contract_points, contract_distance, inverse_contract_distan
         inverse_contract_distance=inverse_contract_distance,
         contract_points_and_distance=cpad,
         contract_points_cf=contract_points_cf,
+        contract_rows=contract_rows,
     )
 
 
@@ -120,12 +127,18 @@ def bbox_contract(cfg, **kwargs):
             (3,) + (1,) * (points.ndim - 1))
         return (points - lo) / (hi - lo)
 
+    def contract_rows(px, py, pz):
+        return ((px - float(bbox_min[0])) / float(bbox_max[0] - bbox_min[0]),
+                (py - float(bbox_min[1])) / float(bbox_max[1] - bbox_min[1]),
+                (pz - float(bbox_min[2])) / float(bbox_max[2] - bbox_min[2]))
+
     return _make(
         "bbox", cfg,
         contract_points,
         lambda d: d / fac,
         lambda d: d * fac,
         contract_points_cf=contract_points_cf,
+        contract_rows=contract_rows,
     )
 
 
@@ -209,9 +222,23 @@ def mipnerf_contract(cfg, **kwargs):
             (points / jnp.maximum(distance, 1e-12)) * (2.0 - t),
         )
 
+    def contract_rows(px, py, pz):
+        """contract_points on three 2D rows (elementwise + row sums —
+        Mosaic-lowerable; exact same math as contract_points_cf)."""
+        px, py, pz = px / start_r, py / start_r, pz / start_r
+        distance = jnp.sqrt(jnp.maximum(
+            px * px + py * py + pz * pz, 1e-24))
+        inverse_distance = 1.0 / jnp.maximum(distance, 1e-12)
+        t = (inverse_distance - inv_end_r) * r_scale
+        inside = distance < 1.0
+        scale = jnp.where(
+            inside, 1.0, (2.0 - t) / jnp.maximum(distance, 1e-12))
+        return px * scale, py * scale, pz * scale
+
     return _make("mipnerf", cfg, contract_points, contract_distance,
                  inverse_contract_distance,
-                 contract_points_cf=contract_points_cf)
+                 contract_points_cf=contract_points_cf,
+                 contract_rows=contract_rows)
 
 
 def donerf_contract(cfg, **kwargs):

@@ -18,7 +18,9 @@ Everything in between happens on-chip: per-field activations (the
 registry closures from models/activations.py are pure jnp and lower in
 Mosaic; scheduled ones read a traced `it` shipped via SMEM), z
 processing, ray distances, the values-only bitonic z-sort as sublane
-rolls, first-k compaction, flow advection, point offsets, aabb
+rolls, first-k compaction, scene contraction (bbox/mipnerf via
+Contract.contract_rows — elementwise + cross-row sums, reference
+nlf/intersect/base.py:242-246), flow advection, point offsets, aabb
 normalization, and the floor/clip index math of the packed quad-table
 gather (ops/grid_sample.py:269-283).
 
@@ -108,6 +110,10 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
     else:
         z = s.isect_act(z, ctx)
     z = z * const_ref[:][:, 1:2] + const_ref[:][:, 0:1]
+    if s.inv_cdist is not None:
+        # anchors live in contracted sample space (process_z_vals,
+        # reference nlf/intersect/base.py:128-140)
+        z = s.inv_cdist(z)
 
     dz = jnp.where(jnp.abs(d_rows[2]) < 1e-5, 1e12, d_rows[2])
     dists = (z - o2) / dz
@@ -117,6 +123,20 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
         dists = jnp.where(dists <= 0.0, 0.0, dists)
     dists = _bitonic_sublane(dists, S)[:k]                   # [k, T]
 
+    # ---- base points, then scene contraction (between intersect and
+    # advection — reference nlf/intersect/base.py:242-246): contract
+    # points AND re-derive distances in contracted space
+    p_rows = [ray_ref[c:c + 1] + d_rows[c] * dists for c in range(3)]
+    if s.contract_rows is not None:
+        mask0 = dists <= 0.0
+        pc = s.contract_rows(*p_rows)
+        oc = s.contract_rows(ray_ref[0:1], ray_ref[1:2], ray_ref[2:3])
+        d_c = jnp.sqrt(jnp.maximum(
+            (pc[0] - oc[0]) ** 2 + (pc[1] - oc[1]) ** 2
+            + (pc[2] - oc[2]) ** 2, 1e-24))
+        dists = jnp.where(mask0, jnp.zeros_like(dists), d_c)
+        p_rows = list(pc)
+
     # ---- advect + point offset (prediction-index order, positional
     # first-k — exactly the CF path's post-sort slicing)
     if s.po_use_sigma:
@@ -124,13 +144,12 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
         po_fac = 1.0 - psig
     else:
         po_fac = 1.0
-    p_rows = []
     for c in range(3):
-        p = ray_ref[c:c + 1] + d_rows[c] * dists
+        p = p_rows[c]
         if s.has_flow:
             p = p + s.flow_act(field("spatial_flow", c, k), ctx) * dt
-        p_rows.append(p + s.po_act(field("point_offset", c, k), ctx)
-                      * po_fac)
+        p_rows[c] = p + s.po_act(field("point_offset", c, k), ctx) \
+            * po_fac
 
     xn = (p_rows[0] - s.aabb_lo[0]) * s.aabb_inv[0] - 1.0
     yn = (p_rows[1] - s.aabb_lo[1]) * s.aabb_inv[1] - 1.0
@@ -173,7 +192,8 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
 def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
                field_offsets, field_acts, isect_act, flow_act, po_act,
                has_sigma, has_flow, po_use_sigma, po_sigma_field,
-               far_sentinel, aabb, axis_specs, interpret=None):
+               far_sentinel, aabb, axis_specs, contract_rows=None,
+               inv_cdist=None, interpret=None):
     """Run the pack-build kernel.
 
     Args:
@@ -191,6 +211,10 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
       axis_specs: per active axis (W, H, m0, m1) — plane dims + the
                  MAT_MODE component indices feeding px/py.
       far_sentinel: _FAR_SENTINEL for invalid_sort_far chains, else None.
+      contract_rows: Contract.contract_rows closure for non-identity
+                 scene contractions (ops/contract.py), else None.
+      inv_cdist: Contract.inverse_contract_distance closure when
+                 contract_samples is set, else None.
 
     Returns (pack [16, N], idx8 [8, N] int32), N = k * B, in S-major
     block order (lane = s*tile + r within each tile*k block).
@@ -206,6 +230,7 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
         flow_act=flow_act, po_act=po_act, has_sigma=has_sigma,
         has_flow=has_flow, po_use_sigma=po_use_sigma,
         po_sigma_field=po_sigma_field, far_sentinel=far_sentinel,
+        contract_rows=contract_rows, inv_cdist=inv_cdist,
         aabb_lo=tuple(float(v) for v in aabb[0]),
         aabb_inv=tuple(float(v) for v in 2.0 / (aabb[1] - aabb[0])),
         axis_specs=tuple(tuple(a) for a in axis_specs))

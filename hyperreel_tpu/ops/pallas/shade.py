@@ -87,6 +87,26 @@ def _sh_basis_rows(deg, x, y, z):
     return out
 
 
+def _twohot_matmul(ttab_ref, zb, w0, w1, Rt, blk, acc_dtype, out_rows):
+    """zfeat = ttab @ two_hot(zb), built in 128-ROW STRIPS: the full
+    [Rt, blk] f32 two-hot was the largest in-kernel temporary and drove
+    Mosaic VMEM exhaustion at tile=128 multi-axis blocks
+    (exp_multiaxis_tile.py); per-strip peak is [128, blk]. Masks stay
+    in the 32-bit domain — bf16 `where` operands force an i1 mask
+    relayout "(8,128) -> (16,128)" that this Mosaic version rejects."""
+    zfeat = jnp.zeros((out_rows, blk), jnp.float32)
+    for r0 in range(0, Rt, 128):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (128, blk), 0) + r0
+        strip = (jnp.where(iota == zb, w0, 0.0)
+                 + jnp.where(iota == zb + 1, w1, 0.0))
+        zfeat = zfeat + jax.lax.dot_general(
+            ttab_ref[:, r0:r0 + 128].astype(acc_dtype),
+            strip.astype(acc_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return zfeat
+
+
 def _corner_weights(p, lim):
     """Pixel coord [1, blk] -> (base index, frac, lo/hi in-bounds masks);
     matches the quad-table indexing (ops/grid_sample.py:269-283)."""
@@ -102,7 +122,8 @@ def _corner_weights(p, lim):
 def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
                   *, S, blk, W, H, TW, TH, Rt, C, n_density, n_basis,
                   sh_deg, density_shift, distance_scale, acc_dtype,
-                  s_major=False, use_weights_row=False, shading="sh"):
+                  s_major=False, use_weights_row=False, shading="sh",
+                  ablate=()):
     pk = pack_ref[:]                                       # [16, blk]
     xn = pk[0:1]
     yn = pk[1:2]
@@ -125,36 +146,48 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     w10 = fy * (1.0 - fx) * y_hi * x_lo
     w11 = fy * fx * y_hi * x_hi
 
-    q = rows_ref[:].astype(jnp.float32).T                  # [4C, blk]
-    feat_s = (q[0 * C:1 * C] * w00 + q[1 * C:2 * C] * w01
-              + q[2 * C:3 * C] * w10 + q[3 * C:4 * C] * w11)
+    if "gatherread" in ablate:
+        feat_s = jnp.full((C, blk), 0.5, jnp.float32) + xn * 0.01
+    elif "blend" in ablate:
+        q = rows_ref[:].astype(jnp.float32).T              # [4C, blk]
+        feat_s = q[0 * C:1 * C] + w00
+    else:
+        q = rows_ref[:].astype(jnp.float32).T              # [4C, blk]
+        feat_s = (q[0 * C:1 * C] * w00 + q[1 * C:2 * C] * w01
+                  + q[2 * C:3 * C] * w10 + q[3 * C:4 * C] * w11)
 
     # ---- time-plane bilinear, SEPARABLE: a z-axis two-hot MXU matmul
     # fetches the z-interpolated features of EVERY keyframe row at once,
     # then the (few) keyframe rows mix with per-sample t weights. The
     # earlier joint four-hot built a [Rt=(TH+2)(TW+2), blk] one-hot —
     # ~12 VPU ops over 4x more rows dominated the kernel.
-    pz = (zn + 1.0) * 0.5 * (TW - 1)
-    pt = (tn + 1.0) * 0.5 * (TH - 1)
-    zb, fz, z_lo, z_hi = _corner_weights(pz, TW)
-    tb, ft, t_lo, t_hi = _corner_weights(pt, TH)
+    if "time" in ablate:
+        prod = feat_s
+    else:
+        pz = (zn + 1.0) * 0.5 * (TW - 1)
+        pt = (tn + 1.0) * 0.5 * (TH - 1)
+        zb, fz, z_lo, z_hi = _corner_weights(pz, TW)
+        tb, ft, t_lo, t_hi = _corner_weights(pt, TH)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (Rt, blk), 0)
-    a_z = (jnp.where(iota == zb, (1.0 - fz) * z_lo, 0.0)
-           + jnp.where(iota == zb + 1, fz * z_hi, 0.0))    # [TWp, blk]
-    zfeat = jax.lax.dot_general(
-        ttab_ref[:].astype(acc_dtype), a_z.astype(acc_dtype),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [(TH+2)C, blk]
-    t0w = (1.0 - ft) * t_lo
-    t1w = ft * t_hi
-    feat_t = jnp.zeros_like(feat_s)
-    for k in range(TH + 2):
-        mk = (jnp.where(tb == k, t0w, 0.0)
-              + jnp.where(tb == k - 1, t1w, 0.0))          # [1, blk]
-        feat_t = feat_t + zfeat[k * C:(k + 1) * C] * mk
+        if "amm" in ablate:
+            zfeat = jnp.broadcast_to(fz * 0.5,
+                                     ((TH + 2) * C, blk)) + 0.25
+        else:
+            zfeat = _twohot_matmul(ttab_ref, zb, (1.0 - fz) * z_lo,
+                                   fz * z_hi, Rt, blk, acc_dtype,
+                                   (TH + 2) * C)
+        t0w = (1.0 - ft) * t_lo
+        t1w = ft * t_hi
+        if "tmix" in ablate:
+            feat_t = zfeat[:C]
+        else:
+            feat_t = jnp.zeros_like(feat_s)
+            for k in range(TH + 2):
+                mk = (jnp.where(tb == k, t0w, 0.0)
+                      + jnp.where(tb == k - 1, t1w, 0.0))   # [1, blk]
+                feat_t = feat_t + zfeat[k * C:(k + 1) * C] * mk
 
-    prod = feat_s * feat_t                                 # [C, blk]
+        prod = feat_s * feat_t                             # [C, blk]
 
     # ---- density (fea2denseAct relu); the static NoSample net
     # multiplies the density feature by the predicted per-sample weights
@@ -172,16 +205,19 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
         preferred_element_type=jnp.float32)                # [3K, blk]
     _shade_tail(out_ref, pk, sigma, app, dist, S=S, blk=blk,
                 n_basis=n_basis, sh_deg=sh_deg, shading=shading,
-                distance_scale=distance_scale, s_major=s_major)
+                distance_scale=distance_scale, s_major=s_major,
+                ablate=ablate)
 
 
 def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
-                sh_deg, shading, distance_scale, s_major):
+                sh_deg, shading, distance_scale, s_major, ablate=()):
     """Shared kernel tail: per-channel shading (SH or RGB), per-sample
     color scale/shift, the segmented composite, and the compacted
     per-ray totals."""
     rgb = []
-    if shading == "rgb":
+    if "sh" in ablate:
+        rgb = [app[c:c + 1] for c in range(3)]
+    elif shading == "rgb":
         # RGBRender: rgb = sigmoid(app features)
         # (reference utils/tensorf_utils.py:341-343)
         for c in range(3):
@@ -221,17 +257,21 @@ def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
     x = jnp.clip(sigma * (deltas * distance_scale), -_EXP_CLAMP,
                  _EXP_CLAMP)
     alpha = 1.0 - jnp.exp(-x)
-    log_trans = jnp.maximum(-x, _LOG_EPS)
-    acc = log_trans
-    shift = 1
-    while shift < S:
-        sh = pltpu.roll(acc, shift * step, 1)
-        acc = acc + jnp.where(seg >= shift, sh, 0.0)
-        shift *= 2
-    # exclusive transmittance: shift the inclusive scan by one in-segment
-    prev = pltpu.roll(acc, step, 1)
-    t_excl = jnp.exp(jnp.where(seg == 0, 0.0, prev))
-    w = alpha * t_excl                                     # [1, blk]
+    if "comp" in ablate:
+        w = alpha
+    else:
+        log_trans = jnp.maximum(-x, _LOG_EPS)
+        acc = log_trans
+        shift = 1
+        while shift < S:
+            sh = pltpu.roll(acc, shift * step, 1)
+            acc = acc + jnp.where(seg >= shift, sh, 0.0)
+            shift *= 2
+        # exclusive transmittance: shift the inclusive scan by one
+        # in-segment
+        prev = pltpu.roll(acc, step, 1)
+        t_excl = jnp.exp(jnp.where(seg == 0, 0.0, prev))
+        w = alpha * t_excl                                 # [1, blk]
 
     # per-ray totals as a segment-indicator matmul, compacting the output
     # to [8, rays] (the old [8, N] write was ~268 MB/call + a 3.3 ms
@@ -253,6 +293,9 @@ def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
     vs = jnp.concatenate(
         [w * rgb[0], w * rgb[1], w * rgb[2], w, w * dist,
          jnp.zeros((3, blk), jnp.float32)], 0)             # [8, blk]
+    if "outmm" in ablate:
+        out_ref[:, :] = vs[:, :pt]
+        return
     hi = vs.astype(jnp.bfloat16).astype(jnp.float32)
     lo = vs - hi
 
@@ -261,6 +304,9 @@ def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
             a, mseg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [8, pt]
 
+    if "outmm1" in ablate:
+        out_ref[:, :] = dot(hi)
+        return
     out_ref[:, :] = dot(hi) + dot(lo)
 
 
@@ -285,7 +331,7 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
                           density_shift, distance_scale, tile=64,
                           acc_dtype=jnp.bfloat16, interpret=None,
                           s_major=False, use_weights_row=False,
-                          shading="sh"):
+                          shading="sh", ablate=()):
     """Args:
       rows:   [N, 4C] bf16 gathered space quad rows (corner-major).
       pack:   [16, N] f32 scalar pack (build_scalar_pack; dist row 4,
@@ -324,7 +370,8 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
         density_shift=float(density_shift),
         distance_scale=float(distance_scale), acc_dtype=acc_dtype,
-        s_major=s_major, use_weights_row=use_weights_row, shading=shading)
+        s_major=s_major, use_weights_row=use_weights_row, shading=shading,
+        ablate=tuple(ablate))
 
     grid = (N // blk,)
     out = pl.pallas_call(
@@ -412,14 +459,10 @@ def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
         pz = (comp[v] + 1.0) * 0.5 * (L - 1)
         zb, fz, z_lo, z_hi = _corner_weights(pz, L)
         Rt = ttab_refs[a].shape[1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (Rt, blk), 0)
-        a_z = (jnp.where(iota == zb, (1.0 - fz) * z_lo, 0.0)
-               + jnp.where(iota == zb + 1, fz * z_hi, 0.0))
-        zfeat = jax.lax.dot_general(
-            ttab_refs[a][:].astype(acc_dtype), a_z.astype(acc_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
         TH = time_hs[a]
+        zfeat = _twohot_matmul(ttab_refs[a], zb, (1.0 - fz) * z_lo,
+                               fz * z_hi, Rt, blk, acc_dtype,
+                               (TH + 2) * C_a if TH else C_a)
         if TH == 0:
             feat_l = zfeat                                 # [C_a, blk]
         else:

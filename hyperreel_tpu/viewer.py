@@ -91,11 +91,20 @@ class InteractiveRenderer:
         self._fns = {}
         self._level = len(self.ladder) - 1  # start conservative
         self._jax = jax
+        # per-checkpoint serving prep: prebuilt fused-eval tables (ships
+        # into every compiled frame as jit args, so frames skip the
+        # table rebuild; None falls back to in-trace building)
+        prep = getattr(self.model, "prepare_eval", lambda p: None)(
+            self.params)
 
-        def fwd(params, rays):
+        def fwd(params, prepared, rays):
             ctx = make_ctx(it=self.it, training=False)
-            return self.model.apply(params, rays, ctx)["rgb"]
+            rk = {"cf_prepared": prepared} if prepared is not None \
+                else None
+            return self.model.apply(params, rays, ctx,
+                                    render_kwargs=rk)["rgb"]
 
+        self._prepared = prep
         self._fwd = jax.jit(fwd)
 
     def _wh_for(self, level):
@@ -139,7 +148,7 @@ class InteractiveRenderer:
                 [rays, np.full((rays.shape[0], 1), t, np.float32)], -1)
 
         t0 = time.perf_counter()
-        rgb = self._fwd(self.params, jnp.asarray(rays))
+        rgb = self._fwd(self.params, self._prepared, jnp.asarray(rays))
         rgb.block_until_ready()
         dt = time.perf_counter() - t0
 

@@ -473,15 +473,30 @@ class TestPackBuildKernel:
             "contract"] = {"type": "identity"}
         self._parity(cfg, ds, monkeypatch)
 
-    def test_contracted_keeps_legacy_tail(self, monkeypatch):
-        # scene contraction has no in-kernel CF form: legacy tail
+    def test_contracted_kernel_parity(self, monkeypatch):
+        # scene contraction runs IN-kernel via Contract.contract_rows
+        # (tiny_static defaults to mipnerf contraction)
         from hyperreel_tpu.configs.presets import tiny_static
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
         cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
         cfg["color"]["net"].update(
             {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
              "bf16_tables": True, "fused_render": True})
-        self._parity(cfg, ds, monkeypatch, expect_kernel=False)
+        self._parity(cfg, ds, monkeypatch, expect_kernel=True)
+
+    def test_contracted_bbox_kernel_parity(self, monkeypatch):
+        # bbox contraction (contract_samples path) also runs in-kernel
+        from hyperreel_tpu.configs.presets import tiny_static
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"].update(
+            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+             "bf16_tables": True, "fused_render": True})
+        cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
+            "contract"] = {"type": "bbox", "contract_samples": True,
+                           "bbox_min": [-1.5, -1.5, -1.5],
+                           "bbox_max": [1.5, 1.5, 1.5]}
+        self._parity(cfg, ds, monkeypatch, expect_kernel=True)
 
     def test_stride_keeps_legacy_tail(self, monkeypatch):
         # stride subselection can't run in-kernel (strided sublane
@@ -492,6 +507,50 @@ class TestPackBuildKernel:
                                  num_frames=4, num_keyframes=2)
         cfg = with_inference_samples(self._dyn_cfg(), 4)
         self._parity(cfg, ds, monkeypatch, expect_kernel=False)
+
+
+class TestPreparedEval:
+    """prepare_eval: per-checkpoint prebuilt table arrays shipped into
+    apply via render_kwargs["cf_prepared"] (the serving/viewer path)
+    must match the default in-trace table build exactly."""
+
+    def test_prepared_matches_in_trace_dynamic(self):
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        m = build_model(cfg, dataset_info=ds.info())
+        assert m._cf_eval is not None
+        params = m.init(jax.random.PRNGKey(0))
+        prep = m.prepare_eval(params)
+        assert prep is not None
+        rays = jnp.asarray(ds.all_coords[:256])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m.apply(
+            params, rays, ctx,
+            render_kwargs={"cf_prepared": prep})["rgb"])
+        assert np.abs(a - b).max() < 1e-6, np.abs(a - b).max()
+
+    def test_prepared_matches_in_trace_static_multi(self):
+        from hyperreel_tpu.configs.presets import tiny_static
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"].update(
+            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+             "bf16_tables": True, "fused_render": True})
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+        m = build_model(cfg, dataset_info=ds.info())
+        assert m._cf_eval is not None
+        params = m.init(jax.random.PRNGKey(0))
+        prep = m.prepare_eval(params)
+        rays = jnp.asarray(ds.all_coords[:256])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m.apply(
+            params, rays, ctx,
+            render_kwargs={"cf_prepared": prep})["rgb"])
+        assert np.abs(a - b).max() < 1e-6, np.abs(a - b).max()
 
 
 class TestDynamicMultiAxisFused:

@@ -54,6 +54,31 @@ class TestOrbitCamera:
         assert cam.radius < 2.0
 
 
+class TestInteractiveRenderer:
+    def test_render_frame_smoke(self):
+        """End-to-end viewer frame on CPU: tiny dynamic model with the
+        fused CF path + prepared tables (the serving default)."""
+        from hyperreel_tpu.configs.presets import (
+            tiny_dynamic, convert_epochs_to_iters)
+        from hyperreel_tpu.models.model import build_model
+        from hyperreel_tpu.viewer import InteractiveRenderer
+
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        m = build_model(cfg, dataset_info=ds.info())
+        params = m.init(jax.random.PRNGKey(0))
+        r = InteractiveRenderer(m, params, base_wh=(64, 64), ray_width=8)
+        if m._cf_eval is not None:
+            assert r._prepared is not None
+        pose = np.eye(4, dtype=np.float32)[:3]
+        pose[2, 3] = 2.0
+        img, dt = r.render_frame(pose, t=0.3)
+        assert img.dtype == np.uint8 and img.shape[-1] == 3
+        assert np.isfinite(dt)
+
+
 class TestAuxDatasets:
     def test_fourier(self):
         base = gaussian_blob_scene(n_views=2, wh=(8, 8))
