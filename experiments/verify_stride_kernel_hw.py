@@ -1,0 +1,144 @@
+"""Verify drive: stride subselection INSIDE the pack-build kernel on
+the REAL TPU (the reference's inference_samples knob,
+/root/reference/nlf/embedding/point.py:402-449, as an in-kernel
+sublane->lane merge + contiguous lane slice — exp_pallas_probe8.py).
+
+Checks, for stride k=16 (stride 2) and k=8 (stride 4) on the flagship
+dynamic config:
+  * pack_build is invoked WITH stride set (spy),
+  * finiteness incl. degenerate rays (d_z == 0) and it in {0, 5000},
+  * rgb parity vs the general (non-fused) path at 2e-4,
+  * streaming throughput at 2^20 rays / 2^18-ray chunks vs the legacy
+    CF-XLA tail (same process, _pack_ok forced off).
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def make_rays(n):
+    side = int(np.sqrt(n))
+    fov_px = side * 1.2
+    u = (np.arange(side, dtype=np.float32) - (side - 1) / 2) / fov_px
+    uu, vv = np.meshgrid(u, u)
+    d = np.stack([uu, vv, np.ones_like(uu)], -1).reshape(-1, 3)
+    o = np.zeros_like(d)
+    o[:, 2] = -1.5
+    return np.concatenate(
+        [o, d, np.full((n, 1), 3.0, np.float32),
+         np.full((n, 1), 0.3, np.float32)], -1)
+
+
+def throughput(m, params, frame_np, chunk=1 << 18):
+    from hyperreel_tpu.models.ctx import StepCtx
+    n = len(frame_np)
+    frame = jnp.asarray(frame_np).reshape(n // chunk, chunk, -1)
+
+    def fn(p, rays, itv, rng):
+        return m.apply(p, rays,
+                       StepCtx(it=itv, rng=rng, training=False))["rgb"]
+
+    jitted = jax.jit(lambda p, c, i, r: jax.lax.map(
+        lambda rr: fn(p, rr, i, r), c))
+    it_dev = jnp.asarray(5000, jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    out = jitted(params, frame, it_dev, rng)
+    out.block_until_ready()
+    n_timed = 6
+    variants = [frame.at[0, 0, 0].add(1e-6 * (i + 1))
+                for i in range(n_timed)]
+    for v in variants:
+        float(v[0, 0, 0])
+    t0 = time.perf_counter()
+    outs = [jitted(params, v, it_dev, rng) for v in variants]
+    float(outs[-1][0, 0, 0])
+    return n / ((time.perf_counter() - t0) / n_timed)
+
+
+def main():
+    import copy
+
+    from hyperreel_tpu.configs.presets import (
+        technicolor_z_plane, convert_epochs_to_iters,
+        with_inference_samples)
+    from hyperreel_tpu.models.model import build_model
+    from hyperreel_tpu.models.ctx import StepCtx
+    import hyperreel_tpu.ops.pallas.pack_build as PB
+
+    strides_seen = []
+    orig = PB.pack_build
+
+    def spy(*a, **k):
+        strides_seen.append(k.get("stride"))
+        return orig(*a, **k)
+    PB.pack_build = spy
+
+    log("devices:", jax.devices())
+    base = convert_epochs_to_iters(technicolor_z_plane(), 4000)
+    base["color"]["net"]["fused_render"] = True
+    info = {"num_keyframes": 4, "num_frames": 50, "num_views": 16}
+
+    rays_small = make_rays(4096)
+    rays_small[-8:, 5] = 0.0          # degenerate d_z
+    rays_small = jnp.asarray(rays_small)
+    frame_np = make_rays(1 << 20)
+
+    for k_inf in (16, 8):
+        cfg = with_inference_samples(copy.deepcopy(base), k_inf)
+        m = build_model(cfg, dataset_info=info,
+                        compute_dtype=jnp.bfloat16)
+        assert m._cf_eval is not None, "CF eval path not selected"
+        assert m._cf_eval.stride_k == k_inf
+        assert m._cf_eval._pack_ok, "pack kernel not eligible"
+
+        cfg_g = copy.deepcopy(cfg)
+        cfg_g["color"]["net"]["fused_render"] = False
+        cfg_g["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg_g, dataset_info=info,
+                          compute_dtype=jnp.bfloat16)
+
+        params = m.init(jax.random.PRNGKey(0))
+
+        @jax.jit
+        def f(params, rays, it, m=m):
+            return m.apply(params, rays,
+                           StepCtx(it=it, rng=jax.random.PRNGKey(1),
+                                   training=False))["rgb"]
+
+        @jax.jit
+        def f_g(params, rays, it, m=m_g):
+            return m_g.apply(params, rays,
+                             StepCtx(it=it, rng=jax.random.PRNGKey(1),
+                                     training=False))["rgb"]
+
+        strides_seen.clear()
+        for it in (0, 5000):
+            a = np.asarray(f(params, rays_small, jnp.int32(it)))
+            b = np.asarray(f_g(params, rays_small, jnp.int32(it)))
+            assert np.isfinite(a).all(), f"kernel non-finite it={it}"
+            assert np.isfinite(b).all(), f"general non-finite it={it}"
+            err = np.abs(a - b).max()
+            log(f"k={k_inf} it={it}: max |kernel - general| = {err:.3e}")
+            assert err < 2e-4, err
+        assert any(s == 32 // k_inf for s in strides_seen), strides_seen
+
+        rps = throughput(m, params, frame_np)
+        log(f"k={k_inf} stride-in-kernel: {rps / 1e6:.2f} Mrays/s")
+
+        m._cf_eval._pack_ok = False    # legacy CF-XLA tail, same process
+        rps_legacy = throughput(m, params, frame_np)
+        log(f"k={k_inf} legacy CF tail:   {rps_legacy / 1e6:.2f} Mrays/s")
+
+    log("ALL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -223,10 +223,12 @@ class FusedCFEval:
         self.preds = p.preds_per_z
         # pack-build kernel eligibility (ops/pallas/pack_build.py): the
         # embedding tail runs in ONE Pallas kernel when every activation
-        # in the chain lowers in Mosaic, there is no stride subselection
-        # (strided sublane slices don't lower — exp_pallas_probe5.py),
-        # and any scene contraction has a rows form (bbox/mipnerf
-        # Contract.contract_rows — elementwise, lowers in-kernel)
+        # in the chain lowers in Mosaic and any scene contraction has a
+        # rows form (bbox/mipnerf Contract.contract_rows — elementwise,
+        # lowers in-kernel). Stride subselection rides the kernel via a
+        # sublane->lane merge + contiguous lane slice when the stride is
+        # a power of two (exp_pallas_probe8.py) — checked per-apply
+        # where S is known.
         from hyperreel_tpu.ops.pallas.pack_build import act_cfg_supported
         outs = p.cfg["outputs"]
         acts_ok = all(act_cfg_supported(o.get("activation"))
@@ -240,8 +242,7 @@ class FusedCFEval:
                 self.flow.cfg.get("spatial_flow_activation", "identity"))
         contract_ok = (self.isect.contract.name == "identity"
                        or self.isect.contract.contract_rows is not None)
-        self._pack_ok = (acts_ok and self.stride_k is None
-                         and contract_ok)
+        self._pack_ok = acts_ok and contract_ok
 
     # -- channels-first MLP -------------------------------------------------
 
@@ -501,6 +502,15 @@ class FusedCFEval:
         # the pack-build kernel's [S, T] -> [1, S*T] reshape only lowers
         # at 128 lanes (exp_pallas_probe6.py)
         use_pk = self._pack_ok and tile == 128
+        stride_pk = None
+        if use_pk and self.stride_k:
+            st = S // self.stride_k if S % self.stride_k == 0 else 0
+            if self.compact_k or st < 2 or (st & (st - 1)):
+                # compact+stride combos and non-power-of-two strides
+                # keep the legacy CF-XLA tail
+                use_pk = False
+            else:
+                stride_pk = st
 
         # ---- per-ray inputs: existing param/PE code on the tiny [B, c]
         # blocks, then rows via one-hot reduces
@@ -564,7 +574,7 @@ class FusedCFEval:
             ray_pack = jnp.stack(
                 [o_rows[0], o_rows[1], o_rows[2],
                  d_rows[0], d_rows[1], d_rows[2], dt_row, tn_ray], 0)
-            Sr = self.compact_k or S
+            Sr = self.compact_k or self.stride_k or S
             pack, idx8 = pack_build(
                 out_cf, ray_pack, ctx.it, S=S, k=Sr, tile=tile,
                 samples=samples[:, 0], z_scale=z_scale.reshape(-1),
@@ -585,7 +595,8 @@ class FusedCFEval:
                 contract_rows=isect.contract.contract_rows
                 if isect.contract.name != "identity" else None,
                 inv_cdist=isect.contract.inverse_contract_distance
-                if isect.contract.contract_samples else None)
+                if isect.contract.contract_samples else None,
+                stride=stride_pk)
             rows_list = [tabs[a][0][idx8[a]]
                          for a in range(len(axis_specs))]
             S = Sr

@@ -92,10 +92,20 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
     S, k, T = s.S, s.k, s.tile
     ctx = SimpleNamespace(it=it_ref[0], training=False)
 
+    def substride(rows):
+        """Positional rows[::stride] of [S, T] via a sublane->lane merge
+        + CONTIGUOUS lane slice (strided sublane slices don't lower in
+        Mosaic; the reshape/slice pair does — exp_pallas_probe8.py)."""
+        return rows.reshape(k, s.stride * T)[:, :T]
+
     def field(name, c, n_rows):
         off, width = s.field_offsets[name]
         assert c < width, (name, c, width)
         r0 = (off + c) * S
+        if s.stride is not None and n_rows == k:
+            # stride mode: every-stride-th prediction-order row (the
+            # reference's inference_samples positional subselection)
+            return substride(s.field_acts[name](cf_ref[r0:r0 + S], ctx))
         return s.field_acts[name](cf_ref[r0:r0 + n_rows], ctx)
 
     o2 = ray_ref[2:3]
@@ -121,7 +131,12 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
         dists = jnp.where(dists <= 0.0, s.far_sentinel, dists)
     else:
         dists = jnp.where(dists <= 0.0, 0.0, dists)
-    dists = _bitonic_sublane(dists, S)[:k]                   # [k, T]
+    if s.stride is not None:
+        # positional every-stride-th of the SORTED dists (the legacy CF
+        # tail's sel = slice(None, None, S // stride_k))
+        dists = substride(_bitonic_sublane(dists, S))         # [k, T]
+    else:
+        dists = _bitonic_sublane(dists, S)[:k]                # [k, T]
 
     # ---- base points, then scene contraction (between intersect and
     # advection — reference nlf/intersect/base.py:242-246): contract
@@ -193,7 +208,7 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
                field_offsets, field_acts, isect_act, flow_act, po_act,
                has_sigma, has_flow, po_use_sigma, po_sigma_field,
                far_sentinel, aabb, axis_specs, contract_rows=None,
-               inv_cdist=None, interpret=None):
+               inv_cdist=None, stride=None, interpret=None):
     """Run the pack-build kernel.
 
     Args:
@@ -215,12 +230,16 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
                  scene contractions (ops/contract.py), else None.
       inv_cdist: Contract.inverse_contract_distance closure when
                  contract_samples is set, else None.
+      stride: positional subselection stride (k * stride == S, the
+                 reference's inference_samples knob); None = first-k.
 
     Returns (pack [16, N], idx8 [8, N] int32), N = k * B, in S-major
     block order (lane = s*tile + r within each tile*k block).
     """
     PS, B = out_cf_fm.shape
     assert B % tile == 0, (B, tile)
+    assert stride is None or (k * stride == S and stride >= 2), \
+        (S, k, stride)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     aabb = np.asarray(aabb, np.float32)
@@ -230,7 +249,7 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
         flow_act=flow_act, po_act=po_act, has_sigma=has_sigma,
         has_flow=has_flow, po_use_sigma=po_use_sigma,
         po_sigma_field=po_sigma_field, far_sentinel=far_sentinel,
-        contract_rows=contract_rows, inv_cdist=inv_cdist,
+        contract_rows=contract_rows, inv_cdist=inv_cdist, stride=stride,
         aabb_lo=tuple(float(v) for v in aabb[0]),
         aabb_inv=tuple(float(v) for v in 2.0 / (aabb[1] - aabb[0])),
         axis_specs=tuple(tuple(a) for a in axis_specs))

@@ -498,15 +498,36 @@ class TestPackBuildKernel:
                            "bbox_max": [1.5, 1.5, 1.5]}
         self._parity(cfg, ds, monkeypatch, expect_kernel=True)
 
-    def test_stride_keeps_legacy_tail(self, monkeypatch):
-        # stride subselection can't run in-kernel (strided sublane
-        # slices don't lower — exp_pallas_probe5.py): falls back to the
-        # legacy CF-XLA tail, still at full parity
+    def test_stride_kernel_parity(self, monkeypatch):
+        # stride subselection (the reference's inference_samples knob)
+        # runs IN-kernel via a sublane->lane merge + contiguous lane
+        # slice (exp_pallas_probe8.py; strided sublane slices themselves
+        # don't lower — exp_pallas_probe5.py)
         from hyperreel_tpu.configs.presets import with_inference_samples
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
                                  num_frames=4, num_keyframes=2)
         cfg = with_inference_samples(self._dyn_cfg(), 4)
-        self._parity(cfg, ds, monkeypatch, expect_kernel=False)
+        self._parity(cfg, ds, monkeypatch, expect_kernel=True)
+
+    def test_stride_full_ladder_kernel_parity(self, monkeypatch):
+        # stride 4 (8 -> 2 samples) also rides the kernel
+        from hyperreel_tpu.configs.presets import with_inference_samples
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = with_inference_samples(self._dyn_cfg(), 2)
+        self._parity(cfg, ds, monkeypatch, expect_kernel=True)
+
+    def test_stride_plus_compact_falls_to_general_path(self):
+        # the degenerate stride+compact combo is ineligible for CF eval
+        # altogether (general path serves it)
+        from hyperreel_tpu.configs.presets import (
+            with_inference_samples, with_compact_samples)
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = with_compact_samples(
+            with_inference_samples(self._dyn_cfg(), 4), 4)
+        m = build_model(cfg, dataset_info=ds.info())
+        assert m._cf_eval is None
 
 
 class TestPreparedEval:
