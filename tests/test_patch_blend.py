@@ -1,0 +1,80 @@
+"""Patch-blend kernel (ops/pallas/patch_blend.py, interpret mode on
+CPU) vs the pure-XLA reference blend (ops/patch_gather.py) and the
+exact quad sampler."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hyperreel_tpu.ops.grid_sample import grid_sample_2d_cf_quad
+from hyperreel_tpu.ops.patch_gather import (
+    build_patch_table_2d, patch_blend as blend_ref, _unnormalize)
+from hyperreel_tpu.ops.pallas.patch_blend import (
+    patch_blend, patch_index_uv, phase_major_to_lane_major)
+
+from tests.test_patch_gather import coherent_coords, quad_cf
+
+
+def run_patch_pipeline(grid, coords, px, py, blkj):
+    """Full patch path: table -> XLA anchors -> gather -> kernel blend
+    -> lane-major features [C, N]."""
+    H, W, C = grid.shape
+    xt = _unnormalize(coords[:, 0], W)
+    yt = _unnormalize(coords[:, 1], H)
+    table = build_patch_table_2d(grid, px, py)
+    idx, uv = patch_index_uv(xt, yt, W, H, px, py)
+    rows = table[idx]
+    feats = patch_blend(rows, uv, px=px, py=py, C=C, blkj=blkj)
+    return phase_major_to_lane_major(feats, C)
+
+
+class TestPatchBlendKernel:
+    def test_parity_vs_quad_and_reference(self):
+        rng = np.random.default_rng(0)
+        H = W = 33
+        C = 16
+        grid = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+        for px, py in ((4, 2), (4, 3), (8, 2)):
+            coords = coherent_coords(rng, 64, 4, W, H, px, py)
+            got = np.asarray(run_patch_pipeline(grid, coords, px, py,
+                                                blkj=32))
+            want = quad_cf(grid, coords)
+            assert np.abs(got - want).max() < 1e-4, (px, py)
+            # and vs the pure-XLA reference blend (same table/anchors)
+            xt = _unnormalize(coords[:, 0], W)
+            yt = _unnormalize(coords[:, 1], H)
+            table = build_patch_table_2d(grid, px, py)
+            idx, uv = patch_index_uv(xt, yt, W, H, px, py)
+            u = np.asarray(uv[:4]).T.reshape(-1)
+            v = np.asarray(uv[4:]).T.reshape(-1)
+            ref = np.asarray(blend_ref(table[idx], jnp.asarray(u),
+                                       jnp.asarray(v), px, py, C))
+            assert np.abs(got - ref).max() < 1e-5
+
+    def test_bf16_rows(self):
+        rng = np.random.default_rng(1)
+        H = W = 17
+        C = 8
+        grid = jnp.asarray(
+            rng.normal(size=(H, W, C)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        coords = coherent_coords(rng, 16, 4, W, H, 4, 2)
+        got = np.asarray(run_patch_pipeline(grid, coords, 4, 2, blkj=16))
+        want = quad_cf(grid.astype(jnp.float32), coords)
+        assert np.abs(got - want).max() < 2e-2  # bf16 table quantization
+
+    def test_border_zero_padding(self):
+        rng = np.random.default_rng(2)
+        H = W = 17
+        C = 8
+        grid = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+        # bases clear of texel boundaries (a boundary-straddling y at
+        # py=2 is a genuine coverage violation — covered in
+        # test_patch_gather) but straddling the GRID border ring
+        base = np.array([[-1.2, -1.2], [1.0, 1.0], [5.0, 0.1],
+                         [0.97, -1.06]], np.float32)
+        coords = jnp.asarray(
+            np.repeat(base, 4, 0)
+            + rng.uniform(0, 0.01, (16, 2)).astype(np.float32))
+        got = np.asarray(run_patch_pipeline(grid, coords, 4, 2, blkj=4))
+        want = quad_cf(grid, coords)
+        assert np.abs(got - want).max() < 1e-4
