@@ -1307,6 +1307,18 @@ def with_compact_samples(cfg, n, always=False):
     return cfg
 
 
+def with_coherent_gather(cfg, px=4, py=3):
+    """Enable the coherent patch-gather render path (one (px x py)-texel
+    row gathered per 4-consecutive-ray block — ops/patch_gather.py).
+    EXACT only for scanline-coherent frame renders whose block footprints
+    fit the patch (high pixel density; see exp_patch_coverage*.py);
+    out-of-patch corners degrade to the zero-padding value. Eval-only:
+    training and the general path ignore the flag. Returns a new config."""
+    cfg = copy.deepcopy(cfg)
+    cfg["color"]["net"]["coherent_gather"] = [int(px), int(py)]
+    return cfg
+
+
 def with_inference_samples(cfg, n):
     """Insert a select_points stage (inference-time sample-count control,
     reference nlf/embedding/point.py:402-480) right after the point_offset /

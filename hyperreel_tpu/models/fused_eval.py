@@ -243,6 +243,13 @@ class FusedCFEval:
         contract_ok = (self.isect.contract.name == "identity"
                        or self.isect.contract.contract_rows is not None)
         self._pack_ok = acts_ok and contract_ok
+        # coherent patch-gather (ops/patch_gather.py + pallas/patch_blend):
+        # opt-in [px, py]; EXACT only for scanline-coherent ray batches
+        # whose 4-ray block footprints fit the patch (frame renders at
+        # high pixel density — exp_patch_coverage*.py); degrades to
+        # zero features per out-of-patch corner otherwise
+        pc = self.net.cfg.get("coherent_gather")
+        self.patch_cfg = (int(pc[0]), int(pc[1])) if pc else None
 
     # -- channels-first MLP -------------------------------------------------
 
@@ -376,6 +383,12 @@ class FusedCFEval:
             w = cparams["basis_mat"]["w"].astype(jnp.float32)
             wb_t = jnp.concatenate(
                 [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+            if self.patch_cfg is not None:
+                from hyperreel_tpu.ops.patch_gather import (
+                    build_patch_table_2d)
+                ptab = build_patch_table_2d(
+                    space.astype(jnp.bfloat16), *self.patch_cfg)
+                return [quad_table(space)], [ttab_t], wb_t, [ptab]
             return [quad_table(space)], [ttab_t], wb_t
 
         # per-axis multi: static plane x line, or dynamic-multi space
@@ -483,7 +496,11 @@ class FusedCFEval:
         prepared = render_kwargs.get("cf_prepared")
         if prepared is None:
             prepared = self._plan_arrays(cparams)
-        tables, second, wb_t = prepared
+        ptabs = None
+        if len(prepared) == 4:
+            tables, second, wb_t, ptabs = prepared
+        else:
+            tables, second, wb_t = prepared
         axis_specs = meta["axis_specs"]
         tabs = [(tables[i], w, h)
                 for i, (w, h, _, _) in enumerate(axis_specs)]
@@ -498,6 +515,9 @@ class FusedCFEval:
             time_hs = meta["time_hs"]
             dens_c, app_c = meta["dens_c"], meta["app_c"]
         tile = pick_tile(meta["scratch"])
+        # coherent patch-gather: dyn1-only (v1), needs 4-ray lane groups
+        patch = self.patch_cfg \
+            if (dyn1 and ptabs is not None and tile % 4 == 0) else None
 
         # the pack-build kernel's [S, T] -> [1, S*T] reshape only lowers
         # at 128 lanes (exp_pallas_probe6.py)
@@ -597,8 +617,8 @@ class FusedCFEval:
                 inv_cdist=isect.contract.inverse_contract_distance
                 if isect.contract.contract_samples else None,
                 stride=stride_pk)
-            rows_list = [tabs[a][0][idx8[a]]
-                         for a in range(len(axis_specs))]
+            rows_list = None if patch else [
+                tabs[a][0][idx8[a]] for a in range(len(axis_specs))]
             S = Sr
         else:
             # ---- legacy channels-first XLA embedding tail
@@ -740,10 +760,11 @@ class FusedCFEval:
                 return a.transpose(perm).reshape(lead + (S * B,))
 
             rows_list = []
-            for (table, W, H), (_, _, m0, m1) in zip(tabs, axis_specs):
-                px = (comp_rows[m0] + 1.0) * 0.5 * (W - 1)
-                py = (comp_rows[m1] + 1.0) * 0.5 * (H - 1)
-                rows_list.append(table[gather_idx(px, py, W, H, tbo)])
+            if not patch:
+                for (table, W, H), (_, _, m0, m1) in zip(tabs, axis_specs):
+                    px = (comp_rows[m0] + 1.0) * 0.5 * (W - 1)
+                    py = (comp_rows[m1] + 1.0) * 0.5 * (H - 1)
+                    rows_list.append(table[gather_idx(px, py, W, H, tbo)])
 
             # ONE batched CF -> kernel-block-order relayout
             vd_rows_cf = [jnp.broadcast_to(d_rows[c][None], (S, B))
@@ -757,12 +778,39 @@ class FusedCFEval:
             pack = tbo(jnp.stack(rows16, 0))         # [16, N]
 
         if dyn1:
+            if patch:
+                # ---- coherent patch-gather: ONE (px x py)-texel row
+                # per 4-consecutive-ray block (same sorted slot; lanes
+                # are s-major so 4 consecutive lanes = 4 consecutive
+                # rays), blended to channels-first features by the
+                # patch-blend kernel, then the shade kernel skips its
+                # corner blend (preblended=True). Exact when block
+                # footprints fit the patch; out-of-patch corners
+                # degrade to the zero-padding value (ops/patch_gather).
+                from hyperreel_tpu.ops.pallas.patch_blend import (
+                    patch_blend, patch_index_uv,
+                    phase_major_to_lane_major)
+                ppx, ppy = patch
+                W, H = tabs[0][1], tabs[0][2]
+                xt = (pack[0] + 1.0) * 0.5 * (W - 1)
+                yt = (pack[1] + 1.0) * 0.5 * (H - 1)
+                pidx, uv = patch_index_uv(xt, yt, W, H, ppx, ppy)
+                J = pidx.shape[0]
+                blkj = 1024
+                while J % blkj:
+                    blkj //= 2
+                feats = patch_blend(
+                    ptabs[0][pidx], uv, px=ppx, py=ppy, C=C, blkj=blkj,
+                    out_dtype=jnp.bfloat16)
+                rows0 = phase_major_to_lane_major(feats, C)
+            else:
+                rows0 = rows_list[0]
             out = fused_shade_composite(
-                rows_list[0], pack, ttab_t, wb_t,
+                rows0, pack, ttab_t, wb_t,
                 S=S, W=tabs[0][1], H=tabs[0][2], TW=TW, TH=TH,
                 n_density=nd, n_basis=n_basis, shading=shading,
                 density_shift=0.0, distance_scale=net.distance_scale,
-                tile=tile, s_major=True)
+                tile=tile, s_major=True, preblended=bool(patch))
         else:
             from hyperreel_tpu.ops.pallas.shade import (
                 fused_shade_composite_multi)

@@ -46,11 +46,12 @@ def _patch_blend_kernel(rows_ref, uv_ref, o_ref, *, s):
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - tx))
                 t = ty * px + tx
                 acc = acc + (wx * wy) * patch[t * C:(t + 1) * C]
-        o_ref[p * C:(p + 1) * C, :] = acc
+        o_ref[p * C:(p + 1) * C, :] = acc.astype(o_ref.dtype)
 
 
-def patch_blend(rows, uv, *, px, py, C, blkj=1024, interpret=None):
-    """Run the patch-blend kernel; returns feats [4*C, J] f32."""
+def patch_blend(rows, uv, *, px, py, C, blkj=1024, out_dtype=jnp.float32,
+                interpret=None):
+    """Run the patch-blend kernel; returns feats [4*C, J]."""
     J, PC = rows.shape
     assert PC == px * py * C, (PC, px, py, C)
     assert uv.shape == (8, J), uv.shape
@@ -67,7 +68,7 @@ def patch_blend(rows, uv, *, px, py, C, blkj=1024, interpret=None):
             pl.BlockSpec((8, blkj), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((4 * C, blkj), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((4 * C, J), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4 * C, J), out_dtype),
         interpret=interpret,
     )(rows, uv)
 

@@ -123,7 +123,7 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
                   *, S, blk, W, H, TW, TH, Rt, C, n_density, n_basis,
                   sh_deg, density_shift, distance_scale, acc_dtype,
                   s_major=False, use_weights_row=False, shading="sh",
-                  ablate=()):
+                  preblended=False, ablate=()):
     pk = pack_ref[:]                                       # [16, blk]
     xn = pk[0:1]
     yn = pk[1:2]
@@ -136,17 +136,23 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     valid = ((jnp.abs(xn) <= 1.0) & (jnp.abs(yn) <= 1.0)
              & (jnp.abs(zn) <= 1.0) & (dist > 0.0)).astype(jnp.float32)
 
-    # ---- space bilinear from gathered quad rows (corner-major 4 x C)
-    px = (xn + 1.0) * 0.5 * (W - 1)
-    py = (yn + 1.0) * 0.5 * (H - 1)
-    _, fx, x_lo, x_hi = _corner_weights(px, W)
-    _, fy, y_lo, y_hi = _corner_weights(py, H)
-    w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
-    w01 = (1.0 - fy) * fx * y_lo * x_hi
-    w10 = fy * (1.0 - fx) * y_hi * x_lo
-    w11 = fy * fx * y_hi * x_hi
+    # ---- space bilinear from gathered quad rows (corner-major 4 x C);
+    # skipped when the patch-blend kernel already produced features
+    if not preblended:
+        px = (xn + 1.0) * 0.5 * (W - 1)
+        py = (yn + 1.0) * 0.5 * (H - 1)
+        _, fx, x_lo, x_hi = _corner_weights(px, W)
+        _, fy, y_lo, y_hi = _corner_weights(py, H)
+        w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
+        w01 = (1.0 - fy) * fx * y_lo * x_hi
+        w10 = fy * (1.0 - fx) * y_hi * x_lo
+        w11 = fy * fx * y_hi * x_hi
 
-    if "gatherread" in ablate:
+    if preblended:
+        # coherent patch-gather path: rows arrive as channels-first
+        # pre-blended features [C, blk] (ops/pallas/patch_blend.py)
+        feat_s = rows_ref[:].astype(jnp.float32)
+    elif "gatherread" in ablate:
         feat_s = jnp.full((C, blk), 0.5, jnp.float32) + xn * 0.01
     elif "blend" in ablate:
         q = rows_ref[:].astype(jnp.float32).T              # [4C, blk]
@@ -331,9 +337,12 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
                           density_shift, distance_scale, tile=64,
                           acc_dtype=jnp.bfloat16, interpret=None,
                           s_major=False, use_weights_row=False,
-                          shading="sh", ablate=()):
+                          shading="sh", preblended=False, ablate=()):
     """Args:
-      rows:   [N, 4C] bf16 gathered space quad rows (corner-major).
+      rows:   [N, 4C] bf16 gathered space quad rows (corner-major), or
+              with preblended=True a [C, N] channels-first pre-blended
+              feature array (the coherent patch-gather path,
+              ops/pallas/patch_blend.py).
       pack:   [16, N] f32 scalar pack (build_scalar_pack; dist row 4,
               cs rows 5-7, csh rows 8-10, viewdir rows 11-13).
       s_major: lane order within each tile*S block — False: ray-major
@@ -351,9 +360,13 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
     segment-indicator matmul; per-block 128-lane padding is stripped
     before returning).
     """
-    N = rows.shape[0]
-    C4 = rows.shape[1]
-    C = C4 // 4
+    if preblended:
+        C, N = rows.shape
+        C4 = 4 * C                       # unused; kept for the spec
+    else:
+        N = rows.shape[0]
+        C4 = rows.shape[1]
+        C = C4 // 4
     Rt = time_table_t.shape[1]          # padded z width (TWp)
     assert time_table_t.shape[0] == (TH + 2) * C, time_table_t.shape
     blk = tile * S
@@ -371,15 +384,18 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         density_shift=float(density_shift),
         distance_scale=float(distance_scale), acc_dtype=acc_dtype,
         s_major=s_major, use_weights_row=use_weights_row, shading=shading,
-        ablate=tuple(ablate))
+        preblended=preblended, ablate=tuple(ablate))
 
+    rows_spec = pl.BlockSpec((C, blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM) if preblended \
+        else pl.BlockSpec((blk, C4), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
     grid = (N // blk,)
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((blk, C4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            rows_spec,
             pl.BlockSpec((PACK_ROWS, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(((TH + 2) * C, Rt), lambda i: (0, 0),

@@ -530,6 +530,99 @@ class TestPackBuildKernel:
         assert m._cf_eval is None
 
 
+class TestCoherentGather:
+    """Coherent patch-gather (ops/patch_gather.py + pallas/patch_blend):
+    one (px x py)-texel row per 4-consecutive-ray block replaces 4 quad
+    row gathers. Exact parity vs the general path holds when the rays
+    are scanline-coherent at high pixel density (block footprints fit
+    the patch) — these tests build such rays directly."""
+
+    @staticmethod
+    def _scanline_rays(n=256, side=4096):
+        # 2 scanline segments of n/2 consecutive pixels from a high-
+        # density pinhole frame: per-pixel texel deltas << 1, so 4-ray
+        # block footprints always fit a 4x3 patch
+        fov_px = side * 1.2
+        seg = n // 2
+        rows = []
+        for r in (-40.0, 32.0):
+            u = (np.arange(seg, dtype=np.float32) - seg / 2) / fov_px
+            v = np.full(seg, r / fov_px, np.float32)
+            rows.append(np.stack([u, v, np.ones_like(u)], -1))
+        d = np.concatenate(rows, 0)
+        o = np.zeros_like(d)
+        o[:, 2] = -1.5
+        cam = np.full((n, 1), 0.0, np.float32)
+        t = np.full((n, 1), 0.3, np.float32)
+        return jnp.asarray(np.concatenate([o, d, cam, t], -1))
+
+    def _patch_parity(self, cfg, monkeypatch, force_legacy_tail=False):
+        import copy
+        import hyperreel_tpu.ops.pallas.patch_blend as PBL
+        calls = []
+        orig = PBL.patch_blend
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+        monkeypatch.setattr(PBL, "patch_blend", spy)
+
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg_p = with_coherent_gather(cfg, 4, 3)
+        m_p = build_model(cfg_p, dataset_info=ds.info())
+        assert m_p._cf_eval is not None
+        assert m_p._cf_eval.patch_cfg == (4, 3)
+        if force_legacy_tail:
+            m_p._cf_eval._pack_ok = False
+        cfg_g = copy.deepcopy(cfg)
+        cfg_g["color"]["net"]["fused_render"] = False
+        cfg_g["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg_g, dataset_info=ds.info())
+        params = m_p.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert calls, "patch_blend kernel never invoked"
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def _dyn_cfg(self):
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        return cfg
+
+    def test_patch_parity_pack_kernel_path(self, monkeypatch):
+        self._patch_parity(self._dyn_cfg(), monkeypatch)
+
+    def test_patch_parity_legacy_cf_tail(self, monkeypatch):
+        self._patch_parity(self._dyn_cfg(), monkeypatch,
+                           force_legacy_tail=True)
+
+    def test_patch_with_compact(self, monkeypatch):
+        from hyperreel_tpu.configs.presets import with_compact_samples
+        self._patch_parity(with_compact_samples(self._dyn_cfg(), 4),
+                           monkeypatch)
+
+    def test_prepared_includes_patch_table(self):
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        m = build_model(with_coherent_gather(self._dyn_cfg(), 4, 3),
+                        dataset_info=ds.info())
+        params = m.init(jax.random.PRNGKey(0))
+        prepared = m.prepare_eval(params)
+        assert len(prepared) == 4
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        a = m.apply(params, rays, ctx,
+                    render_kwargs={"cf_prepared": prepared})["rgb"]
+        b = m.apply(params, rays, ctx)["rgb"]
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-6
+
+
 class TestPreparedEval:
     """prepare_eval: per-checkpoint prebuilt table arrays shipped into
     apply via render_kwargs["cf_prepared"] (the serving/viewer path)
