@@ -36,10 +36,17 @@ def main():
     # model.
     ap.add_argument("--inference-samples", type=int,
                     default=int(os.environ.get("BENCH_INFERENCE_SAMPLES", 0)))
+    # Coherent patch-gather mode (ops/patch_gather.py): one patch row
+    # per 4-ray block. Exact for this bench's scanline megapixel frame
+    # (block footprints fit the patch — exp_patch_coverage.py); the
+    # HEADLINE bench (driver default) stays the exact quad-gather path.
+    ap.add_argument("--coherent-gather", action="store_true",
+                    default=bool(os.environ.get("BENCH_COHERENT_GATHER")))
     args = ap.parse_args()
 
     fn, (params, rays, it, rng) = entry(
-        inference_samples=args.inference_samples or None)
+        inference_samples=args.inference_samples or None,
+        coherent_gather=args.coherent_gather)
 
     # megapixel frame (reference demo pushes 1,048,576 rays/forward,
     # scripts/demo_technicolor.sh:21-23) rendered as lax.map over chunks;
