@@ -44,6 +44,13 @@ def main(argv=None):
                              "K=16 when the model is compact-eligible "
                              "(measured -0.18 dB for 1.6x throughput), "
                              "full samples otherwise; 0 = always full")
+    parser.add_argument("--coherent-gather", action="store_true",
+                        help="viewer: patch-row gather (one row per "
+                             "4-ray block, ops/patch_gather.py). Exact "
+                             "at high rendering resolutions; low "
+                             "dynamic-ladder levels may degrade where "
+                             "block footprints exceed the patch "
+                             "(PERFORMANCE.md coherent gather)")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
@@ -115,6 +122,16 @@ def main(argv=None):
             params = dict(params, embedding=emb)
             print(f"viewer fast mode: {k} samples/ray "
                   f"({'compact' if far else 'stride'})")
+        if args.coherent_gather:
+            from hyperreel_tpu.config import resolve_model_cfg
+            from hyperreel_tpu.configs.presets import with_coherent_gather
+            from hyperreel_tpu.models.model import build_model
+            if k <= 0:
+                mcfg = resolve_model_cfg(cfg, system.iters_per_epoch)
+            mcfg = with_coherent_gather(mcfg)
+            model = build_model(mcfg,
+                                dataset_info=system.train_dataset.info())
+            print("viewer coherent patch-gather on")
         ray_width = system.train_dataset.all_coords.shape[-1]
         serve(model, params, ray_width=ray_width)
         return

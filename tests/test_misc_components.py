@@ -78,6 +78,31 @@ class TestInteractiveRenderer:
         assert img.dtype == np.uint8 and img.shape[-1] == 3
         assert np.isfinite(dt)
 
+    def test_render_frame_coherent_gather(self):
+        """Viewer frame through the coherent patch-gather path (the
+        --coherent-gather CLI flag; prepared payload carries the patch
+        table)."""
+        from hyperreel_tpu.configs.presets import (
+            tiny_dynamic, convert_epochs_to_iters, with_coherent_gather)
+        from hyperreel_tpu.models.model import build_model
+        from hyperreel_tpu.viewer import InteractiveRenderer
+
+        cfg = with_coherent_gather(
+            convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50))
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        m = build_model(cfg, dataset_info=ds.info())
+        params = m.init(jax.random.PRNGKey(0))
+        r = InteractiveRenderer(m, params, base_wh=(64, 64), ray_width=8)
+        assert r._prepared is not None and len(r._prepared) == 4
+        pose = np.eye(4, dtype=np.float32)[:3]
+        pose[2, 3] = 2.0
+        img, dt = r.render_frame(pose, t=0.3)
+        assert img.dtype == np.uint8 and img.shape[-1] == 3
+        assert np.isfinite(dt)
+
 
 class TestAuxDatasets:
     def test_fourier(self):
