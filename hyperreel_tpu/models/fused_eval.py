@@ -426,6 +426,17 @@ class FusedCFEval:
                     line.astype(jnp.float32).T,
                     ((0, 0), (1, lp - L - 1))))
         wb_t = cparams["basis_mat"]["w"].astype(jnp.float32).T
+        if self.patch_cfg is not None:
+            from hyperreel_tpu.ops.patch_gather import build_patch_table_2d
+            ptabs = []
+            for i in net.active_density:
+                fam = "space" if dynamic else "plane"
+                plane = jnp.concatenate(
+                    [cparams["density"][f"{fam}_{i}"],
+                     cparams["app"][f"{fam}_{i}"]], -1)
+                ptabs.append(build_patch_table_2d(
+                    plane.astype(jnp.bfloat16), *self.patch_cfg))
+            return tables, second, wb_t, ptabs
         return tables, second, wb_t
 
     def prepare(self, params):
@@ -515,9 +526,9 @@ class FusedCFEval:
             time_hs = meta["time_hs"]
             dens_c, app_c = meta["dens_c"], meta["app_c"]
         tile = pick_tile(meta["scratch"])
-        # coherent patch-gather: dyn1-only (v1), needs 4-ray lane groups
+        # coherent patch-gather: needs 4-ray lane groups within a tile
         patch = self.patch_cfg \
-            if (dyn1 and ptabs is not None and tile % 4 == 0) else None
+            if (ptabs is not None and tile % 4 == 0) else None
 
         # the pack-build kernel's [S, T] -> [1, S*T] reshape only lowers
         # at 128 lanes (exp_pallas_probe6.py)
@@ -777,36 +788,42 @@ class FusedCFEval:
                       jnp.zeros((S, B), jnp.float32)]
             pack = tbo(jnp.stack(rows16, 0))         # [16, N]
 
-        if dyn1:
-            if patch:
-                # ---- coherent patch-gather: ONE (px x py)-texel row
-                # per 4-consecutive-ray block (same sorted slot; lanes
-                # are s-major so 4 consecutive lanes = 4 consecutive
-                # rays), blended to channels-first features by the
-                # patch-blend kernel, then the shade kernel skips its
-                # corner blend (preblended=True). Exact when block
-                # footprints fit the patch; out-of-patch corners
-                # degrade to the zero-padding value (ops/patch_gather).
-                from hyperreel_tpu.ops.pallas.patch_blend import (
-                    patch_blend, patch_index_uv,
-                    phase_major_to_lane_major)
-                ppx, ppy = patch
-                W, H = tabs[0][1], tabs[0][2]
-                xt = (pack[0] + 1.0) * 0.5 * (W - 1)
-                yt = (pack[1] + 1.0) * 0.5 * (H - 1)
+        if patch:
+            # ---- coherent patch-gather: ONE (px x py)-texel row per
+            # 4-consecutive-ray block (same sorted slot; lanes are
+            # s-major so 4 consecutive lanes = 4 consecutive rays),
+            # blended to channels-first features by the patch-blend
+            # kernel, then the shade kernel skips its corner blend
+            # (preblended=True). Exact when block footprints fit the
+            # patch; out-of-patch corners degrade to the zero-padding
+            # value (ops/patch_gather.py).
+            from hyperreel_tpu.ops.pallas.patch_blend import (
+                patch_blend, patch_index_uv, phase_major_to_lane_major)
+            ppx, ppy = patch
+
+            def patch_feats(a, C_a):
+                W, H, m0, m1 = axis_specs[a]
+                xt = (pack[m0] + 1.0) * 0.5 * (W - 1)
+                yt = (pack[m1] + 1.0) * 0.5 * (H - 1)
                 pidx, uv = patch_index_uv(xt, yt, W, H, ppx, ppy)
                 J = pidx.shape[0]
                 blkj = 1024
                 while J % blkj:
                     blkj //= 2
                 feats = patch_blend(
-                    ptabs[0][pidx], uv, px=ppx, py=ppy, C=C, blkj=blkj,
-                    out_dtype=jnp.bfloat16)
-                rows0 = phase_major_to_lane_major(feats, C)
+                    ptabs[a][pidx], uv, px=ppx, py=ppy, C=C_a,
+                    blkj=blkj, out_dtype=jnp.bfloat16)
+                return phase_major_to_lane_major(feats, C_a)
+
+            if dyn1:
+                rows_list = [patch_feats(0, C)]
             else:
-                rows0 = rows_list[0]
+                rows_list = [patch_feats(a, dens_c[a] + app_c[a])
+                             for a in range(len(axis_specs))]
+
+        if dyn1:
             out = fused_shade_composite(
-                rows0, pack, ttab_t, wb_t,
+                rows_list[0], pack, ttab_t, wb_t,
                 S=S, W=tabs[0][1], H=tabs[0][2], TW=TW, TH=TH,
                 n_density=nd, n_basis=n_basis, shading=shading,
                 density_shift=0.0, distance_scale=net.distance_scale,
@@ -820,7 +837,7 @@ class FusedCFEval:
                 line_lens=line_lens, time_hs=time_hs, dens_c=dens_c,
                 app_c=app_c, n_basis=n_basis, shading=shading,
                 density_shift=0.0, distance_scale=net.distance_scale,
-                tile=tile, s_major=True)
+                tile=tile, s_major=True, preblended=bool(patch))
 
         rgb_map = out[:3].T
         acc_map = out[3]

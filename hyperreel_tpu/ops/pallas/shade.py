@@ -429,7 +429,8 @@ _VEC_MODE = (2, 1, 0)
 def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
                         time_hs, dens_c, app_c, n_basis, sh_deg,
                         density_shift, distance_scale, acc_dtype,
-                        s_major, use_weights_row, shading):
+                        s_major, use_weights_row, shading,
+                        preblended=False):
     n_ax = len(axes)
     rows_refs = refs[:n_ax]
     pack_ref = refs[n_ax]
@@ -453,18 +454,24 @@ def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
         W, H = grid_dims[a]
         C_a = dens_c[a] + app_c[a]
 
-        px = (comp[m0] + 1.0) * 0.5 * (W - 1)
-        py = (comp[m1] + 1.0) * 0.5 * (H - 1)
-        _, fx, x_lo, x_hi = _corner_weights(px, W)
-        _, fy, y_lo, y_hi = _corner_weights(py, H)
-        w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
-        w01 = (1.0 - fy) * fx * y_lo * x_hi
-        w10 = fy * (1.0 - fx) * y_hi * x_lo
-        w11 = fy * fx * y_hi * x_hi
+        if preblended:
+            # coherent patch-gather: per-axis channels-first features
+            feat_p = rows_refs[a][:].astype(jnp.float32)   # [C_a, blk]
+        else:
+            px = (comp[m0] + 1.0) * 0.5 * (W - 1)
+            py = (comp[m1] + 1.0) * 0.5 * (H - 1)
+            _, fx, x_lo, x_hi = _corner_weights(px, W)
+            _, fy, y_lo, y_hi = _corner_weights(py, H)
+            w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
+            w01 = (1.0 - fy) * fx * y_lo * x_hi
+            w10 = fy * (1.0 - fx) * y_hi * x_lo
+            w11 = fy * fx * y_hi * x_hi
 
-        q = rows_refs[a][:].astype(jnp.float32).T          # [4C_a, blk]
-        feat_p = (q[0 * C_a:1 * C_a] * w00 + q[1 * C_a:2 * C_a] * w01
-                  + q[2 * C_a:3 * C_a] * w10 + q[3 * C_a:4 * C_a] * w11)
+            q = rows_refs[a][:].astype(jnp.float32).T      # [4C_a, blk]
+            feat_p = (q[0 * C_a:1 * C_a] * w00
+                      + q[1 * C_a:2 * C_a] * w01
+                      + q[2 * C_a:3 * C_a] * w10
+                      + q[3 * C_a:4 * C_a] * w11)
 
         # second factor: ring-padded table, two-hot MXU lookup.
         # time_hs[a] == 0: a pure 1D line [C_a, Lp] (static VM).
@@ -515,16 +522,18 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
                                 distance_scale, time_hs=None, tile=64,
                                 acc_dtype=jnp.bfloat16, interpret=None,
                                 s_major=False, use_weights_row=False,
-                                shading="sh"):
+                                shading="sh", preblended=False):
     """Multi-axis static fused render.
 
-    rows_list: per-axis [N, 4*C_a] bf16 gathered quad rows.
+    rows_list: per-axis [N, 4*C_a] bf16 gathered quad rows, or with
+               preblended=True per-axis [C_a, N] channels-first
+               pre-blended features (ops/pallas/patch_blend.py).
     line_tabs: per-axis [C_a, Lp] f32 ring-padded line tables (z width
                padded to a 128 multiple; Lp = L + 2 + pad).
     wb_t:      [3K, sum(app_c)] transposed basis matrix (app rows only).
     grid_dims: per-axis (W, H) plane dims.
     """
-    N = rows_list[0].shape[0]
+    N = rows_list[0].shape[1] if preblended else rows_list[0].shape[0]
     blk = tile * S
     assert N % blk == 0, (N, blk)
     if interpret is None:
@@ -543,11 +552,16 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
         sh_deg=sh_deg, density_shift=float(density_shift),
         distance_scale=float(distance_scale), acc_dtype=acc_dtype,
         s_major=s_major, use_weights_row=use_weights_row,
-        shading=shading)
+        shading=shading, preblended=preblended)
 
-    in_specs = [pl.BlockSpec((blk, r.shape[1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-                for r in rows_list]
+    if preblended:
+        in_specs = [pl.BlockSpec((r.shape[0], blk), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+                    for r in rows_list]
+    else:
+        in_specs = [pl.BlockSpec((blk, r.shape[1]), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+                    for r in rows_list]
     in_specs.append(pl.BlockSpec((PACK_ROWS, blk), lambda i: (0, i),
                                  memory_space=pltpu.VMEM))
     in_specs += [pl.BlockSpec(t.shape, lambda i: (0, 0),

@@ -606,6 +606,76 @@ class TestCoherentGather:
         self._patch_parity(with_compact_samples(self._dyn_cfg(), 4),
                            monkeypatch)
 
+    def test_patch_multi_axis_static(self, monkeypatch):
+        # the [8, 4, 4] static family: 3 patch gathers/sample replace
+        # 3 quad gathers/sample (the worst gather floor in the repo)
+        import copy
+        import hyperreel_tpu.ops.pallas.patch_blend as PBL
+        calls = []
+        orig = PBL.patch_blend
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+        monkeypatch.setattr(PBL, "patch_blend", spy)
+
+        from hyperreel_tpu.configs.presets import (
+            tiny_static, with_coherent_gather)
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"].update(
+            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+             "bf16_tables": True, "fused_render": True})
+        cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
+            "contract"] = {"type": "identity"}
+        cfg_p = with_coherent_gather(cfg, 4, 3)
+        m_p = build_model(cfg_p, dataset_info=ds.info())
+        assert m_p._cf_eval is not None
+        cfg_g = copy.deepcopy(cfg)
+        cfg_g["color"]["net"]["fused_render"] = False
+        cfg_g["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg_g, dataset_info=ds.info())
+        params = m_p.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()[:, :6]   # static: no cam/t cols
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert len(calls) == 3, len(calls)    # one blend per axis
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def test_patch_multi_axis_dynamic(self, monkeypatch):
+        # the [8, 4, 4] dynamic keyframe family (immersive/neural_3d)
+        import copy
+        import hyperreel_tpu.ops.pallas.patch_blend as PBL
+        calls = []
+        orig = PBL.patch_blend
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+        monkeypatch.setattr(PBL, "patch_blend", spy)
+
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = self._dyn_cfg()
+        cfg["color"]["net"]["n_lamb_sigma"] = [4, 2, 2]
+        cfg["color"]["net"]["n_lamb_sh"] = [4, 2, 2]
+        cfg_p = with_coherent_gather(cfg, 4, 3)
+        m_p = build_model(cfg_p, dataset_info=ds.info())
+        assert m_p._cf_eval is not None
+        cfg_g = copy.deepcopy(cfg)
+        cfg_g["color"]["net"]["fused_render"] = False
+        cfg_g["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg_g, dataset_info=ds.info())
+        params = m_p.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert len(calls) == 3, len(calls)
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
     def test_prepared_includes_patch_table(self):
         from hyperreel_tpu.configs.presets import with_coherent_gather
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
