@@ -606,6 +606,11 @@ class TestCoherentGather:
         self._patch_parity(with_compact_samples(self._dyn_cfg(), 4),
                            monkeypatch)
 
+    def test_patch_with_stride(self, monkeypatch):
+        from hyperreel_tpu.configs.presets import with_inference_samples
+        self._patch_parity(with_inference_samples(self._dyn_cfg(), 4),
+                           monkeypatch)
+
     def test_patch_multi_axis_static(self, monkeypatch):
         # the [8, 4, 4] static family: 3 patch gathers/sample replace
         # 3 quad gathers/sample (the worst gather floor in the repo)
