@@ -46,11 +46,11 @@ def main(argv=None):
                              "full samples otherwise; 0 = always full")
     parser.add_argument("--coherent-gather", action="store_true",
                         help="viewer: patch-row gather (one row per "
-                             "4-ray block, ops/patch_gather.py). Exact "
-                             "at high rendering resolutions; low "
-                             "dynamic-ladder levels may degrade where "
-                             "block footprints exceed the patch "
-                             "(PERFORMANCE.md coherent gather)")
+                             "4-ray block, ops/patch_gather.py), "
+                             "auto-gated per dynamic-ladder level by an "
+                             "analytic coverage bound — high-density "
+                             "levels take the patch path, low levels "
+                             "keep the exact quad path")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
@@ -122,18 +122,21 @@ def main(argv=None):
             params = dict(params, embedding=emb)
             print(f"viewer fast mode: {k} samples/ray "
                   f"({'compact' if far else 'stride'})")
+        patch_model = None
         if args.coherent_gather:
             from hyperreel_tpu.config import resolve_model_cfg
             from hyperreel_tpu.configs.presets import with_coherent_gather
             from hyperreel_tpu.models.model import build_model
             if k <= 0:
                 mcfg = resolve_model_cfg(cfg, system.iters_per_epoch)
-            mcfg = with_coherent_gather(mcfg)
-            model = build_model(mcfg,
-                                dataset_info=system.train_dataset.info())
-            print("viewer coherent patch-gather on")
+            patch_model = build_model(
+                with_coherent_gather(mcfg),
+                dataset_info=system.train_dataset.info())
+            print("viewer coherent patch-gather on (auto-gated per "
+                  "ladder level by the coverage bound)")
         ray_width = system.train_dataset.all_coords.shape[-1]
-        serve(model, params, ray_width=ray_width)
+        serve(model, params, ray_width=ray_width,
+              patch_model=patch_model)
         return
 
     if args.render_only or args.eval_only or args.export_mesh:

@@ -85,6 +85,11 @@ class InteractiveRenderer:
     ladder: tuple = (1.0, 0.7071, 0.5, 0.3536, 0.25)
     ray_width: int = 8
     it: int = 10 ** 6
+    # optional coherent patch-gather clone of `model`
+    # (with_coherent_gather): used per frame only when the analytic
+    # coverage bound for the CURRENT ladder level holds (high pixel
+    # density), so low ladder levels keep the exact quad path
+    patch_model: object = None
 
     def __post_init__(self):
         import jax
@@ -106,6 +111,43 @@ class InteractiveRenderer:
 
         self._prepared = prep
         self._fwd = jax.jit(fwd)
+
+        self._patch_fwd = None
+        if self.patch_model is not None and \
+                getattr(self.patch_model, "_cf_eval", None) is not None:
+            self._patch_prepared = self.patch_model.prepare_eval(
+                self.params)
+
+            def patch_fwd(params, prepared, rays):
+                ctx = make_ctx(it=self.it, training=False)
+                rk = {"cf_prepared": prepared} \
+                    if prepared is not None else None
+                return self.patch_model.apply(
+                    params, rays, ctx, render_kwargs=rk)["rgb"]
+
+            self._patch_fwd = jax.jit(patch_fwd)
+            cf = self.patch_model._cf_eval
+            meta = cf._plan_meta(self.params["color"])
+            self._patch_res = max(
+                max(w, h) for (w, h, _, _) in meta["axis_specs"])
+            aabb = np.asarray(cf.net.aabb, np.float32)
+            self._patch_extent = float((aabb[1] - aabb[0]).min())
+            self._patch_diag = float(
+                np.linalg.norm(aabb[1] - aabb[0]))
+            self._patch_px = cf.patch_cfg[0]
+
+    def _patch_ok(self, focal_px, pose):
+        """Analytic coverage bound for the current frame: worst-case
+        x-texel spread of a 4-consecutive-pixel block is
+        3 * t_max / focal_px texels-per-world * texels-per-unit; patch
+        is exact when that (+1 jitter margin) fits the px-2 budget."""
+        if self._patch_fwd is None:
+            return False
+        t_max = float(np.linalg.norm(np.asarray(pose)[:3, 3])) \
+            + self._patch_diag
+        spread = 3.0 * t_max / float(focal_px) \
+            * (self._patch_res - 1) / self._patch_extent
+        return spread <= self._patch_px - 3
 
     def _wh_for(self, level):
         s = self.ladder[level]
@@ -148,7 +190,13 @@ class InteractiveRenderer:
                 [rays, np.full((rays.shape[0], 1), t, np.float32)], -1)
 
         t0 = time.perf_counter()
-        rgb = self._fwd(self.params, self._prepared, jnp.asarray(rays))
+        if self._patch_ok(K[0][0] if isinstance(K, list) else K[0, 0],
+                          pose):
+            rgb = self._patch_fwd(self.params, self._patch_prepared,
+                                  jnp.asarray(rays))
+        else:
+            rgb = self._fwd(self.params, self._prepared,
+                            jnp.asarray(rays))
         rgb.block_until_ready()
         dt = time.perf_counter() - t0
 
@@ -163,7 +211,7 @@ class InteractiveRenderer:
 
 
 def serve(model, params, host="0.0.0.0", port=8090, wh=(512, 512),
-          ray_width=8, time_loop_s=2.0):
+          ray_width=8, time_loop_s=2.0, patch_model=None):
     """Minimal HTTP viewer: GET / returns an HTML page with drag-to-orbit;
     GET /frame?yaw=..&pitch=..&r=..&t=.. returns a PNG frame
     (the render contract of NeRFGUI.test_step, gui_utils.py:139-213)."""
@@ -173,7 +221,8 @@ def serve(model, params, host="0.0.0.0", port=8090, wh=(512, 512),
 
     cam = OrbitCamera(wh[0], wh[1])
     renderer = InteractiveRenderer(model=model, params=params, base_wh=wh,
-                                   ray_width=ray_width)
+                                   ray_width=ray_width,
+                                   patch_model=patch_model)
     print("precompiling resolution ladder...")
     renderer.precompile()
     t_start = time.time()

@@ -79,26 +79,33 @@ class TestInteractiveRenderer:
         assert np.isfinite(dt)
 
     def test_render_frame_coherent_gather(self):
-        """Viewer frame through the coherent patch-gather path (the
-        --coherent-gather CLI flag; prepared payload carries the patch
-        table)."""
+        """Viewer frame with a patch_model (the --coherent-gather CLI
+        flag): the patch path is auto-gated per ladder level by the
+        analytic coverage bound."""
         from hyperreel_tpu.configs.presets import (
             tiny_dynamic, convert_epochs_to_iters, with_coherent_gather)
         from hyperreel_tpu.models.model import build_model
         from hyperreel_tpu.viewer import InteractiveRenderer
 
-        cfg = with_coherent_gather(
-            convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50))
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
         cfg["color"]["net"]["fused_render"] = True
         cfg["color"]["net"]["bf16_tables"] = True
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
                                  num_frames=4, num_keyframes=2)
         m = build_model(cfg, dataset_info=ds.info())
+        m_p = build_model(with_coherent_gather(cfg),
+                          dataset_info=ds.info())
         params = m.init(jax.random.PRNGKey(0))
-        r = InteractiveRenderer(m, params, base_wh=(64, 64), ray_width=8)
-        assert r._prepared is not None and len(r._prepared) == 4
+        r = InteractiveRenderer(m, params, base_wh=(64, 64), ray_width=8,
+                                patch_model=m_p)
+        assert r._patch_fwd is not None
+        assert len(r._patch_prepared) == 4
         pose = np.eye(4, dtype=np.float32)[:3]
         pose[2, 3] = 2.0
+        # the bound must reject a 64px-wide frame (tiny focal) and
+        # accept a high-density one
+        assert not r._patch_ok(64 * 1.2, pose)
+        assert r._patch_ok(64000.0, pose)
         img, dt = r.render_frame(pose, t=0.3)
         assert img.dtype == np.uint8 and img.shape[-1] == 3
         assert np.isfinite(dt)
