@@ -92,6 +92,37 @@ def test_sharded_render(setup):
     assert bool(jnp.all(jnp.isfinite(out["rgb"])))
 
 
+def test_sharded_render_coherent_gather(setup):
+    """Patch-gather mode composes with the sharded eval render: per-
+    device ray shards keep 4-consecutive-ray blocks intact (shard sizes
+    divide by 4) and parity vs the unsharded patch render holds."""
+    from hyperreel_tpu.configs.presets import (
+        tiny_dynamic, convert_epochs_to_iters, with_coherent_gather)
+    from hyperreel_tpu.models.model import build_model
+    from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+    from hyperreel_tpu.models.ctx import StepCtx
+
+    model, trainer, state, mesh, ds0 = setup
+    cfg = with_coherent_gather(
+        convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50))
+    cfg["color"]["net"]["fused_render"] = True
+    cfg["color"]["net"]["bf16_tables"] = True
+    ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                             num_frames=4, num_keyframes=2)
+    m = build_model(cfg, dataset_info=ds.info())
+    assert m._cf_eval is not None and m._cf_eval.patch_cfg is not None
+    params0 = m.init(jax.random.PRNGKey(0))
+    rays = ds.all_coords[:1024]
+    render = make_sharded_render(m, mesh)
+    out = render(replicate(params0, mesh), rays, 0)
+    assert bool(jnp.all(jnp.isfinite(out["rgb"])))
+    ctx = StepCtx(it=jnp.int32(0), rng=jax.random.PRNGKey(0),
+                  training=False)
+    ref = m.apply(params0, jnp.asarray(rays), ctx)["rgb"]
+    np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(ref),
+                               rtol=2e-3, atol=2e-5)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
