@@ -86,15 +86,21 @@ def patch_index_uv(xt, yt, W, H, px, py):
     x0 = jnp.clip(jnp.floor(xb.min(-1)), -1, W - 1)
     y0 = jnp.clip(jnp.floor(yb.min(-1)), -1, H - 1)
     idx = ((y0 + 1) * (W + 1) + (x0 + 1)).astype(jnp.int32)
-    uv = jnp.concatenate([(xb - x0[:, None]).T, (yb - y0[:, None]).T], 0)
+    # phase rows via strided slices + stack — NOT a [J, 4].T transpose
+    # (the [N, small].T class lowers to a catastrophic while-loop on
+    # TPU; PERFORMANCE.md lowering traps)
+    uv = jnp.stack([xt[p::4] - x0 for p in range(4)]
+                   + [yt[p::4] - y0 for p in range(4)], 0)
     return idx, uv
 
 
 def phase_major_to_lane_major(feats, C):
     """[4*C, J] phase-major blend output -> [C, 4*J] lane-major (the
-    shade kernel's sample-lane order). An XLA relayout (the fallback
-    when the pack cannot be produced phase-major); cost ~the array's
-    bytes in HBM traffic."""
+    shade kernel's sample-lane order). Interleaves the four phase
+    sections via a minor-axis stack + reshape — NOT a transpose (the
+    small-minor transpose class lowers to a while-loop on TPU). Cost
+    ~the array's bytes in HBM traffic."""
     fc, J = feats.shape
     assert fc == 4 * C
-    return feats.reshape(4, C, J).transpose(1, 2, 0).reshape(C, 4 * J)
+    parts = [feats[p * C:(p + 1) * C] for p in range(4)]
+    return jnp.stack(parts, axis=-1).reshape(C, 4 * J)
