@@ -42,11 +42,17 @@ def main():
     # HEADLINE bench (driver default) stays the exact quad-gather path.
     ap.add_argument("--coherent-gather", action="store_true",
                     default=bool(os.environ.get("BENCH_COHERENT_GATHER")))
+    # Post-sort first-k compaction (-0.18 dB at k=16, PERFORMANCE.md
+    # Pareto ladder); composes with --coherent-gather for the
+    # production fast point.
+    ap.add_argument("--compact-samples", type=int,
+                    default=int(os.environ.get("BENCH_COMPACT_SAMPLES", 0)))
     args = ap.parse_args()
 
     fn, (params, rays, it, rng) = entry(
         inference_samples=args.inference_samples or None,
-        coherent_gather=args.coherent_gather)
+        coherent_gather=args.coherent_gather,
+        compact_samples=args.compact_samples or None)
 
     # megapixel frame (reference demo pushes 1,048,576 rays/forward,
     # scripts/demo_technicolor.sh:21-23) rendered as lax.map over chunks;

@@ -18,3 +18,10 @@ log "START 11_compact_ladder_B"
 timeout 5400 python -u experiments/exp_compact_ladder2.py B > /tmp/hw_queue/11_compact_B.log 2>&1
 log "END 11_compact_ladder_B rc=$?"
 log "QUEUE2 DONE"
+log "START 12_bench_compact16"
+timeout 1800 python bench.py --compact-samples 16 > /tmp/hw_queue/12_bench_compact16.log 2>&1
+log "END 12_bench_compact16 rc=$?"
+log "START 13_bench_patch_compact16"
+timeout 1800 python bench.py --coherent-gather --compact-samples 16 > /tmp/hw_queue/13_bench_patch_compact16.log 2>&1
+log "END 13_bench_patch_compact16 rc=$?"
+log "QUEUE2B DONE"
