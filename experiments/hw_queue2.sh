@@ -25,3 +25,7 @@ log "START 13_bench_patch_compact16"
 timeout 1800 python bench.py --coherent-gather --compact-samples 16 > /tmp/hw_queue/13_bench_patch_compact16.log 2>&1
 log "END 13_bench_patch_compact16 rc=$?"
 log "QUEUE2B DONE"
+log "START 14_bench_stride16_patch"
+timeout 1800 python bench.py --inference-samples 16 --coherent-gather > /tmp/hw_queue/14_bench_stride16_patch.log 2>&1
+log "END 14_bench_stride16_patch rc=$?"
+log "QUEUE2C DONE"
