@@ -128,10 +128,16 @@ def main():
             err = np.abs(a - b).max()
             log(f"k={k_inf} it={it}: max |kernel - general| = {err:.3e}")
             assert err < 2e-4, err
-        assert any(s == 32 // k_inf for s in strides_seen), strides_seen
+        # routing (fused_eval.py): stride 4+ rides the kernel (measured
+        # faster); stride 2 (k=16) routes to the legacy CF tail
+        # (measured 11.21 vs 7.98 Mrays/s in-kernel)
+        if 32 // k_inf >= 4:
+            assert any(s == 32 // k_inf for s in strides_seen), strides_seen
+        else:
+            assert not any(strides_seen), strides_seen
 
         rps = throughput(m, params, frame_np)
-        log(f"k={k_inf} stride-in-kernel: {rps / 1e6:.2f} Mrays/s")
+        log(f"k={k_inf} routed path:      {rps / 1e6:.2f} Mrays/s")
 
         m._cf_eval._pack_ok = False    # legacy CF-XLA tail, same process
         rps_legacy = throughput(m, params, frame_np)

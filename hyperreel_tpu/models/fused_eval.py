@@ -536,9 +536,13 @@ class FusedCFEval:
         stride_pk = None
         if use_pk and self.stride_k:
             st = S // self.stride_k if S % self.stride_k == 0 else 0
-            if self.compact_k or st < 2 or (st & (st - 1)):
+            if self.compact_k or st < 4 or (st & (st - 1)):
                 # compact+stride combos and non-power-of-two strides
-                # keep the legacy CF-XLA tail
+                # keep the legacy CF-XLA tail; stride 2 (k = S/2) is
+                # HW-measured SLOWER in-kernel than the legacy tail
+                # (7.98 vs 11.21 Mrays/s at k=16 —
+                # experiments/verify_stride_kernel_hw.py), while
+                # stride 4 (k=8) is faster (22.57 vs 15.79)
                 use_pk = False
             else:
                 stride_pk = st

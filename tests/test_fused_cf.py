@@ -498,19 +498,21 @@ class TestPackBuildKernel:
                            "bbox_max": [1.5, 1.5, 1.5]}
         self._parity(cfg, ds, monkeypatch, expect_kernel=True)
 
-    def test_stride_kernel_parity(self, monkeypatch):
-        # stride subselection (the reference's inference_samples knob)
-        # runs IN-kernel via a sublane->lane merge + contiguous lane
-        # slice (exp_pallas_probe8.py; strided sublane slices themselves
-        # don't lower — exp_pallas_probe5.py)
+    def test_stride2_routes_to_legacy_cf_tail(self, monkeypatch):
+        # stride 2 (k = S/2) is HW-measured SLOWER in-kernel than the
+        # legacy CF tail (7.98 vs 11.21 Mrays/s at k=16 —
+        # experiments/verify_stride_kernel_hw.py), so the routing sends
+        # it to the legacy tail; parity must still hold there
         from hyperreel_tpu.configs.presets import with_inference_samples
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
                                  num_frames=4, num_keyframes=2)
         cfg = with_inference_samples(self._dyn_cfg(), 4)
-        self._parity(cfg, ds, monkeypatch, expect_kernel=True)
+        self._parity(cfg, ds, monkeypatch, expect_kernel=False)
 
-    def test_stride_full_ladder_kernel_parity(self, monkeypatch):
-        # stride 4 (8 -> 2 samples) also rides the kernel
+    def test_stride4_kernel_parity(self, monkeypatch):
+        # stride 4+ rides the kernel via a sublane->lane merge +
+        # contiguous lane slice (exp_pallas_probe8.py; HW-measured
+        # faster: 22.57 vs 15.79 Mrays/s at k=8)
         from hyperreel_tpu.configs.presets import with_inference_samples
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
                                  num_frames=4, num_keyframes=2)
