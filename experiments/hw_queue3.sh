@@ -2,6 +2,7 @@
 # Third HW queue: follow-ups from this session's results. Waits for
 # queue2C to finish so TPU jobs never overlap.
 set -u
+mkdir -p /tmp/hw_queue
 log() { echo "[hw_queue3 $(date +%H:%M:%S)] $*" >> /tmp/hw_queue/queue.log; }
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}

@@ -134,7 +134,7 @@ def main():
         if 32 // k_inf >= 4:
             assert any(s == 32 // k_inf for s in strides_seen), strides_seen
         else:
-            assert not any(strides_seen), strides_seen
+            assert not strides_seen, strides_seen
 
         rps = throughput(m, params, frame_np)
         log(f"k={k_inf} routed path:      {rps / 1e6:.2f} Mrays/s")

@@ -542,7 +542,11 @@ class FusedCFEval:
                 # HW-measured SLOWER in-kernel than the legacy tail
                 # (7.98 vs 11.21 Mrays/s at k=16 —
                 # experiments/verify_stride_kernel_hw.py), while
-                # stride 4 (k=8) is faster (22.57 vs 15.79)
+                # stride 4 (k=8) is faster (22.57 vs 15.79).
+                # Provenance: both numbers are flagship-only
+                # (technicolor_z_plane); multi-axis stride-2 is
+                # unmeasured, so the cutoff may be conservative there
+                # (both routes stay parity-gated either way)
                 use_pk = False
             else:
                 stride_pk = st
