@@ -526,9 +526,22 @@ class FusedCFEval:
             time_hs = meta["time_hs"]
             dens_c, app_c = meta["dens_c"], meta["app_c"]
         tile = pick_tile(meta["scratch"])
-        # coherent patch-gather: needs 4-ray lane groups within a tile
-        patch = self.patch_cfg \
-            if (ptabs is not None and tile % 4 == 0) else None
+        # coherent patch-gather: rays are PERMUTED at chunk entry
+        # (original ray 4j+p -> position p*B/4 + j) so each phase is a
+        # contiguous quarter of the flat kernel order; quarters must be
+        # whole tile-blocks, so shrink the tile until 4*tile | B
+        patch = None
+        if self.patch_cfg is not None and ptabs is not None:
+            pt = tile
+            while pt > 4 and B % (4 * pt) != 0:
+                pt //= 2
+            if pt > 4 and B % (4 * pt) == 0:
+                tile = pt
+                patch = self.patch_cfg
+        if patch:
+            D_in = rays.shape[1]
+            rays = rays.reshape(B // 4, 4, D_in).transpose(
+                1, 0, 2).reshape(B, D_in)
 
         # the pack-build kernel's [S, T] -> [1, S*T] reshape only lowers
         # at 128 lanes (exp_pallas_probe6.py)
@@ -849,10 +862,24 @@ class FusedCFEval:
 
         rgb_map = out[:3].T
         acc_map = out[3]
+        dist_map = out[4] if out.shape[0] > 4 else None
+        if patch:
+            # un-permute back to original ray order (the entry
+            # permutation put original ray 4j+p at position p*B/4 + j);
+            # done on the [B, c] TRANSPOSED outputs so it is a
+            # leading-axis sublane copy, not a minor-dim lane interleave
+            def _unperm(a):
+                c = a.shape[1]
+                return a.reshape(4, B // 4, c).transpose(
+                    1, 0, 2).reshape(B, c)
+            rgb_map = _unperm(rgb_map)
+            acc_map = _unperm(acc_map[:, None])[:, 0]
+            if dist_map is not None:
+                dist_map = _unperm(dist_map[:, None])[:, 0]
         if not net.black_bg and net.white_bg:
             rgb_map = rgb_map + (1.0 - acc_map[:, None])
         rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
         outputs = {"rgb": rgb_map}
         if "distances" in render_kwargs.get("fields", []):
-            outputs["distances"] = out[4][:, None]
+            outputs["distances"] = dist_map[:, None]
         return outputs

@@ -3,13 +3,15 @@ rows (ops/patch_gather.py design).
 
 One (px x py)-texel patch row serves 4 consecutive rays (same sorted
 sample slot); this kernel turns the gathered patch rows into per-sample
-bilinear features. Output is PHASE-MAJOR — features of sample-lane
+bilinear features. Output is PHASE-MAJOR — features of original ray
 4j + p land at [p*C + c, j] — because the in-kernel expansion of a
 [P*C, blk/4] patch block to full [*, blk] width has no cheap Mosaic
-form (pltpu.repeat is tile-concat, not elementwise; probe9). Each
-phase's features are a contiguous lane section of the SAME patch
-block, using only known-lowering ops: 2D transpose, contiguous
-sublane slices, iota compares, elementwise math.
+form (pltpu.repeat is tile-concat, not elementwise; probe9). The
+caller (fused_eval) permutes rays at chunk entry to the matching
+quarter-major order (original ray 4j + p -> position p*B/4 + j), so
+both the anchor/offset build and the phase-major -> lane-major
+conversion are elementwise/contiguous — zero strided lane slices,
+zero minor-dim interleaves (the round-3 collapse; PERFORMANCE.md).
 
 The hat-weight blend (max(0, 1 - |u - t|)) reproduces exact bilinear
 for in-patch offsets and vanishes smoothly for out-of-patch ones
@@ -74,33 +76,35 @@ def patch_blend(rows, uv, *, px, py, C, blkj=1024, out_dtype=jnp.float32,
 
 
 def patch_index_uv(xt, yt, W, H, px, py):
-    """XLA-side anchors/offsets for the patch gather.
+    """XLA-side anchors/offsets for the patch gather — QUARTER-MAJOR.
 
-    xt, yt: [N] unnormalized texel coords in the shade kernel's lane
-    order (4 consecutive lanes = the 4 rays of one block). Returns
-    (idx [N//4] int32 rows of the patch table, uv [8, N//4] f32 in the
-    blend kernel's phase-major layout)."""
+    xt, yt: [N] unnormalized texel coords in the PHASE-PERMUTED lane
+    order (fused_eval permutes rays at chunk entry so original ray
+    4j + p sits at position p*B/4 + j; the four rays of each coherent
+    block then occupy the same column of four contiguous quarter
+    sections). Everything here is elementwise over full-lane rows —
+    zero strided lane slices, zero minor-dim reshapes (the round-3
+    design's xt[p::4] slices + [N//4, 4] block reduces collapsed to
+    0.89 Mrays/s on HW; PERFORMANCE.md round 4). Returns (idx [N//4]
+    int32 rows of the patch table, uv [8, N//4] f32 phase-major)."""
     n = xt.shape[0]
-    xb = xt.reshape(n // 4, 4)
-    yb = yt.reshape(n // 4, 4)
-    x0 = jnp.clip(jnp.floor(xb.min(-1)), -1, W - 1)
-    y0 = jnp.clip(jnp.floor(yb.min(-1)), -1, H - 1)
+    xq = xt.reshape(4, n // 4)
+    yq = yt.reshape(4, n // 4)
+    x0 = jnp.clip(jnp.floor(xq.min(0)), -1, W - 1)
+    y0 = jnp.clip(jnp.floor(yq.min(0)), -1, H - 1)
     idx = ((y0 + 1) * (W + 1) + (x0 + 1)).astype(jnp.int32)
-    # phase rows via strided slices + stack — NOT a [J, 4].T transpose
-    # (the [N, small].T class lowers to a catastrophic while-loop on
-    # TPU; PERFORMANCE.md lowering traps)
-    uv = jnp.stack([xt[p::4] - x0 for p in range(4)]
-                   + [yt[p::4] - y0 for p in range(4)], 0)
+    uv = jnp.concatenate([xq - x0[None], yq - y0[None]], 0)
     return idx, uv
 
 
 def phase_major_to_lane_major(feats, C):
-    """[4*C, J] phase-major blend output -> [C, 4*J] lane-major (the
-    shade kernel's sample-lane order). Interleaves the four phase
-    sections via a minor-axis stack + reshape — NOT a transpose (the
-    small-minor transpose class lowers to a while-loop on TPU). Cost
-    ~the array's bytes in HBM traffic."""
+    """[4*C, J] phase-major blend output -> [C, 4*J] in the PERMUTED
+    lane order (phase p's features are the contiguous quarter
+    [p*J, (p+1)*J) — matching the ray permutation applied at chunk
+    entry). A leading-axis [4, C] transpose with the huge J axis kept
+    minor: a plain tiled copy, ~the array's bytes in HBM traffic. The
+    round-3 minor-axis stack/reshape interleave this replaces was in
+    the catastrophic relayout class (PERFORMANCE.md round 4)."""
     fc, J = feats.shape
     assert fc == 4 * C
-    parts = [feats[p * C:(p + 1) * C] for p in range(4)]
-    return jnp.stack(parts, axis=-1).reshape(C, 4 * J)
+    return feats.reshape(4, C, J).transpose(1, 0, 2).reshape(C, 4 * J)
