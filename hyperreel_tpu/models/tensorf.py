@@ -53,10 +53,14 @@ from hyperreel_tpu.models.pe import basic_pe
 
 def n_to_reso(n_voxels, aabb):
     """Cube-root voxel count -> per-axis resolution
-    (reference utils/tensorf_utils.py:65-69)."""
-    aabb = np.asarray(aabb, np.float64)
+    (reference utils/tensorf_utils.py:65-69). Computed in float32 to
+    match the reference's torch-f32 arithmetic: on exact cubes
+    (e.g. 24^3 voxels in a [-2, 2]^3 box) f32 rounds the voxel size
+    DOWN so the division lands on 24, where f64 truncates to 23."""
+    aabb = np.asarray(aabb, np.float32)
     ext = aabb[1] - aabb[0]
-    voxel_size = (ext.prod() / n_voxels) ** (1.0 / 3.0)
+    voxel_size = np.power(ext.prod() / np.float32(n_voxels),
+                          np.float32(1.0 / 3.0), dtype=np.float32)
     return [int(x) for x in (ext / voxel_size)]
 
 
