@@ -819,7 +819,7 @@ class FusedCFEval:
             # patch; out-of-patch corners degrade to the zero-padding
             # value (ops/patch_gather.py).
             from hyperreel_tpu.ops.pallas.patch_blend import (
-                patch_blend, patch_index_uv, phase_major_to_lane_major)
+                patch_blend, patch_index_uv)
             ppx, ppy = patch
 
             def patch_feats(a, C_a):
@@ -831,10 +831,12 @@ class FusedCFEval:
                 blkj = 1024
                 while J % blkj:
                     blkj //= 2
-                feats = patch_blend(
+                # raw phase-major [4*C_a, J] output: the shade kernel
+                # consumes it directly via a BlockSpec index map
+                # (preblended="phase_major") — no relayout copy
+                return patch_blend(
                     ptabs[a][pidx], uv, px=ppx, py=ppy, C=C_a,
                     blkj=blkj, out_dtype=jnp.bfloat16)
-                return phase_major_to_lane_major(feats, C_a)
 
             if dyn1:
                 rows_list = [patch_feats(0, C)]
@@ -848,7 +850,8 @@ class FusedCFEval:
                 S=S, W=tabs[0][1], H=tabs[0][2], TW=TW, TH=TH,
                 n_density=nd, n_basis=n_basis, shading=shading,
                 density_shift=0.0, distance_scale=net.distance_scale,
-                tile=tile, s_major=True, preblended=bool(patch))
+                tile=tile, s_major=True,
+                preblended="phase_major" if patch else False)
         else:
             from hyperreel_tpu.ops.pallas.shade import (
                 fused_shade_composite_multi)
@@ -858,24 +861,25 @@ class FusedCFEval:
                 line_lens=line_lens, time_hs=time_hs, dens_c=dens_c,
                 app_c=app_c, n_basis=n_basis, shading=shading,
                 density_shift=0.0, distance_scale=net.distance_scale,
-                tile=tile, s_major=True, preblended=bool(patch))
+                tile=tile, s_major=True,
+                preblended="phase_major" if patch else False)
 
-        rgb_map = out[:3].T
-        acc_map = out[3]
-        dist_map = out[4] if out.shape[0] > 4 else None
         if patch:
             # un-permute back to original ray order (the entry
-            # permutation put original ray 4j+p at position p*B/4 + j);
-            # done on the [B, c] TRANSPOSED outputs so it is a
-            # leading-axis sublane copy, not a minor-dim lane interleave
-            def _unperm(a):
-                c = a.shape[1]
-                return a.reshape(4, B // 4, c).transpose(
-                    1, 0, 2).reshape(B, c)
-            rgb_map = _unperm(rgb_map)
-            acc_map = _unperm(acc_map[:, None])[:, 0]
-            if dist_map is not None:
-                dist_map = _unperm(dist_map[:, None])[:, 0]
+            # permutation put original ray 4j+p at position p*B/4 + j):
+            # ONE op on the [B, 5] transposed outputs — a leading-axis
+            # sublane copy, not a minor-dim lane interleave; fusing
+            # rgb/acc/dist into one avoids 3x the while-loop overhead
+            outT = out[:5].T
+            outT = outT.reshape(4, B // 4, 5).transpose(
+                1, 0, 2).reshape(B, 5)
+            rgb_map = outT[:, :3]
+            acc_map = outT[:, 3]
+            dist_map = outT[:, 4]
+        else:
+            rgb_map = out[:3].T
+            acc_map = out[3]
+            dist_map = out[4] if out.shape[0] > 4 else None
         if not net.black_bg and net.white_bg:
             rgb_map = rgb_map + (1.0 - acc_map[:, None])
         rgb_map = jnp.clip(rgb_map, 0.0, 1.0)

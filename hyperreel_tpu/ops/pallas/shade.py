@@ -359,10 +359,20 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
     column per ray (per-ray totals computed in-kernel via a
     segment-indicator matmul; per-block 128-lane padding is stripped
     before returning).
+
+    preblended="phase_major": rows is the patch-blend kernel's RAW
+    [4C, J=N/4] phase-major output. The caller's quarter-major ray
+    permutation makes phase p's features the contiguous flat-column
+    quarter [p*J, (p+1)*J), so block i simply reads rows block
+    (i // (G/4), i % (G/4)) — the former phase_major_to_lane_major
+    relayout copy (~0.8 ms/chunk each way on HW) becomes a BlockSpec
+    index map.
     """
-    if preblended:
+    if preblended == "phase_major":
+        C = rows.shape[0] // 4
+        N = rows.shape[1] * 4
+    elif preblended:
         C, N = rows.shape
-        C4 = 4 * C                       # unused; kept for the spec
     else:
         N = rows.shape[0]
         C4 = rows.shape[1]
@@ -386,11 +396,20 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         s_major=s_major, use_weights_row=use_weights_row, shading=shading,
         preblended=preblended, ablate=tuple(ablate))
 
-    rows_spec = pl.BlockSpec((C, blk), lambda i: (0, i),
-                             memory_space=pltpu.VMEM) if preblended \
-        else pl.BlockSpec((blk, C4), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
     grid = (N // blk,)
+    if preblended == "phase_major":
+        q4 = grid[0] // 4
+        assert grid[0] % 4 == 0 and rows.shape[1] % blk == 0, \
+            (grid, rows.shape, blk)
+        rows_spec = pl.BlockSpec((C, blk),
+                                 lambda i: (i // q4, i % q4),
+                                 memory_space=pltpu.VMEM)
+    elif preblended:
+        rows_spec = pl.BlockSpec((C, blk), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    else:
+        rows_spec = pl.BlockSpec((blk, C4), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -533,7 +552,12 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
     wb_t:      [3K, sum(app_c)] transposed basis matrix (app rows only).
     grid_dims: per-axis (W, H) plane dims.
     """
-    N = rows_list[0].shape[1] if preblended else rows_list[0].shape[0]
+    if preblended == "phase_major":
+        N = rows_list[0].shape[1] * 4
+    elif preblended:
+        N = rows_list[0].shape[1]
+    else:
+        N = rows_list[0].shape[0]
     blk = tile * S
     assert N % blk == 0, (N, blk)
     if interpret is None:
@@ -554,7 +578,16 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
         s_major=s_major, use_weights_row=use_weights_row,
         shading=shading, preblended=preblended)
 
-    if preblended:
+    if preblended == "phase_major":
+        # see fused_shade_composite: phase p = contiguous flat-column
+        # quarter, so the relayout is a BlockSpec index map
+        q4 = (N // blk) // 4
+        assert (N // blk) % 4 == 0, (N, blk)
+        in_specs = [pl.BlockSpec((r.shape[0] // 4, blk),
+                                 lambda i: (i // q4, i % q4),
+                                 memory_space=pltpu.VMEM)
+                    for r in rows_list]
+    elif preblended:
         in_specs = [pl.BlockSpec((r.shape[0], blk), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
                     for r in rows_list]

@@ -1,6 +1,10 @@
 """Patch-blend kernel (ops/pallas/patch_blend.py, interpret mode on
 CPU) vs the pure-XLA reference blend (ops/patch_gather.py) and the
-exact quad sampler."""
+exact quad sampler.
+
+patch_index_uv expects QUARTER-MAJOR lane order (fused_eval permutes
+rays at chunk entry: original ray 4j+p -> position p*N/4 + j); these
+tests mirror that permutation and un-permute the features back."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -14,17 +18,31 @@ from hyperreel_tpu.ops.pallas.patch_blend import (
 from tests.test_patch_gather import coherent_coords, quad_cf
 
 
+def qm(x):
+    """[N, ...] with 4-consecutive blocks -> quarter-major order."""
+    n = x.shape[0]
+    return jnp.asarray(x).reshape((n // 4, 4) + x.shape[1:]).swapaxes(
+        0, 1).reshape((n,) + x.shape[1:])
+
+
+def unqm_feats(feats):
+    """[C, N] features in quarter-major lane order -> original order."""
+    C, n = feats.shape
+    return feats.reshape(C, 4, n // 4).transpose(0, 2, 1).reshape(C, n)
+
+
 def run_patch_pipeline(grid, coords, px, py, blkj):
-    """Full patch path: table -> XLA anchors -> gather -> kernel blend
-    -> lane-major features [C, N]."""
+    """Full patch path: quarter-major permute -> table -> XLA anchors ->
+    gather -> kernel blend -> features back in the original order."""
     H, W, C = grid.shape
-    xt = _unnormalize(coords[:, 0], W)
-    yt = _unnormalize(coords[:, 1], H)
+    perm = qm(np.asarray(coords))
+    xt = _unnormalize(perm[:, 0], W)
+    yt = _unnormalize(perm[:, 1], H)
     table = build_patch_table_2d(grid, px, py)
     idx, uv = patch_index_uv(xt, yt, W, H, px, py)
     rows = table[idx]
     feats = patch_blend(rows, uv, px=px, py=py, C=C, blkj=blkj)
-    return phase_major_to_lane_major(feats, C)
+    return unqm_feats(phase_major_to_lane_major(feats, C))
 
 
 class TestPatchBlendKernel:
@@ -39,9 +57,12 @@ class TestPatchBlendKernel:
                                                 blkj=32))
             want = quad_cf(grid, coords)
             assert np.abs(got - want).max() < 1e-4, (px, py)
-            # and vs the pure-XLA reference blend (same table/anchors)
-            xt = _unnormalize(coords[:, 0], W)
-            yt = _unnormalize(coords[:, 1], H)
+            # and vs the pure-XLA reference blend (same table/anchors).
+            # uv[p, j] = offset of original ray 4j+p in BOTH layouts, so
+            # the reference-blend comparison is unchanged.
+            perm = qm(np.asarray(coords))
+            xt = _unnormalize(perm[:, 0], W)
+            yt = _unnormalize(perm[:, 1], H)
             table = build_patch_table_2d(grid, px, py)
             idx, uv = patch_index_uv(xt, yt, W, H, px, py)
             u = np.asarray(uv[:4]).T.reshape(-1)
