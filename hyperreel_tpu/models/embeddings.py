@@ -11,6 +11,7 @@ gating becomes `jnp.where` blends so the whole pipeline stays one jit.
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -689,6 +690,11 @@ def build_embedding_chain(cfg, dataset_info=None, compute_dtype=None):
                 icfg.setdefault("_dataset_bounds",
                                 (float(dataset_info["near"]),
                                  float(dataset_info["far"])))
+            if dataset_info.get("bbox") is not None:
+                bb = dataset_info["bbox"]
+                icfg.setdefault("_dataset_bbox",
+                                (np.asarray(bb[0], np.float32),
+                                 np.asarray(bb[1], np.float32)))
             ccfg = icfg.get("contract")
             dr = dataset_info.get("depth_range")
             if isinstance(ccfg, dict) and dr is not None:

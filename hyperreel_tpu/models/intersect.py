@@ -98,7 +98,15 @@ class IntersectStage:
         self.use_disparity = bool(cfg.get("use_disparity", False))
         self.use_sigma = bool(cfg.get("use_sigma", False))
         self.origin = np.asarray(cfg.get("origin", [0.0, 0.0, 0.0]), np.float32)
-        self.near = float(cfg.get("near", 0.0))
+        # min intersect distance for the validity mask: under
+        # use_dataset_bounds the default is the DATASET near, not 0
+        # (reference nlf/intersect/base.py:87-91)
+        if "near" in cfg:
+            self.near = float(cfg["near"])
+        elif cfg.get("use_dataset_bounds", False):
+            self.near = float(cfg.get("_dataset_bounds", (0.0, 1.0))[0])
+        else:
+            self.near = 0.0
         self.far = float(cfg.get("far", float("inf")))
         self.mask_stop_iters = float(cfg.get("mask", {}).get("stop_iters", float("inf")))
         self.contract = get_contract(cfg.get("contract", None))
@@ -541,10 +549,20 @@ class IntersectVoxelGrid(IntersectStage):
         assert self.z_channels % 3 == 0, self.z_channels
         n = self.z_channels // 3
         # per-axis anchors (reference voxel.py:46-63): initial/end are
-        # 3-vectors, a z/3-point linspace per axis, z_scale per axis
-        initial = np.asarray(cfg.get("initial", [0.0] * 3),
+        # 3-vectors, a z/3-point linspace per axis, z_scale per axis;
+        # under use_dataset_bounds they default to the dataset bbox
+        # scaled by `fac` (reference voxel.py:25-29)
+        if cfg.get("use_dataset_bounds", False) and "_dataset_bbox" in cfg:
+            fac = float(cfg.get("fac", 1.0))
+            bb_min, bb_max = cfg["_dataset_bbox"]
+            d_initial = np.asarray(bb_min, np.float32) * fac
+            d_end = np.asarray(bb_max, np.float32) * fac
+        else:
+            d_initial = [0.0] * 3
+            d_end = [1.0] * 3
+        initial = np.asarray(cfg.get("initial", d_initial),
                              np.float32).reshape(-1)
-        end = np.asarray(cfg.get("end", [1.0] * 3), np.float32).reshape(-1)
+        end = np.asarray(cfg.get("end", d_end), np.float32).reshape(-1)
         if initial.size == 1:
             initial = np.repeat(initial, 3)
         if end.size == 1:
@@ -590,17 +608,57 @@ class IntersectVoxelGrid(IntersectStage):
 @dataclass
 class IntersectEuclidean(IntersectStage):
     """Direct distance prediction (reference
-    nlf/intersect/primitive.py:72-130)."""
+    nlf/intersect/primitive.py:72-123): anchor end defaults to 2.0 and
+    min_radius > 0 re-centers distances on the origin distance."""
 
     def __post_init__(self):
         super().__post_init__()
         cfg = self.cfg
+        self.min_radius = float(cfg.get("min_radius", 0.0))
         self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
-            self.z_channels, cfg, self.contract
+            self.z_channels, cfg, self.contract,
+            far=float(cfg.get("end", 2.0)),
         )
 
     def intersect(self, params, rays, z_vals, x):
-        return z_vals.reshape(z_vals.shape[0], -1)
+        dist = z_vals.reshape(z_vals.shape[0], -1)
+        if self.min_radius > 0:
+            # reference primitive.py:113-121: distance += distance - |o|
+            d_from_o = safe_norm(rays[..., :3], axis=-1, keepdims=True)
+            dist = dist + (dist - d_from_o)
+        return dist
+
+
+@dataclass
+class IntersectEuclideanUnified(IntersectStage):
+    """Distance prediction unified to the ray's Pluecker closest point
+    (reference nlf/intersect/primitive.py:126-179): anchors span
+    [-far, far] under use_dataset_bounds, and the predicted distance is
+    offset by the signed distance from the ray origin to the closest
+    point to the world origin (pluecker_pos, nlf/param.py:297-307)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.cfg
+        near = far = None
+        if cfg.get("use_dataset_bounds", False):
+            ds = cfg.get("_dataset_bounds", (0.0, 1.0))
+            near = float(cfg["initial"]) if "initial" in cfg \
+                else -float(ds[1])
+            far = float(cfg["end"]) if "end" in cfg else float(ds[1])
+        self.samples, self.z_scale, self.initial, self.end = _make_anchor_schedule(
+            self.z_channels, cfg, self.contract, near, far
+        )
+
+    def intersect(self, params, rays, z_vals, x):
+        B = z_vals.shape[0]
+        dist = z_vals.reshape(B, -1)
+        rays_o, rays_d = rays[..., :3], rays[..., 3:6]
+        base_pos = pluecker_closest_point(rays_o, rays_d)
+        diff = base_pos - rays_o
+        off = jnp.sign(jnp.sum(rays_d * diff, -1)) \
+            * safe_norm(diff, axis=-1, keepdims=False)
+        return dist + off[:, None]
 
 
 @dataclass
@@ -718,7 +776,7 @@ intersect_dict = {
     "voxel_grid": IntersectVoxelGrid,
     "deformable_voxel_grid": IntersectDeformableVoxelGrid,
     "euclidean_distance": IntersectEuclidean,
-    "euclidean_distance_unified": IntersectEuclidean,
+    "euclidean_distance_unified": IntersectEuclideanUnified,
 }
 
 
