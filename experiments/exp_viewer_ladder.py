@@ -1,0 +1,77 @@
+"""Round-4 viewer FPS ladder (VERDICT r3 item 6, real TPU).
+
+Measures end-to-end Viewer.render_frame latency (ray gen + device
+render + readback + frame assemble — the honest interactive loop) at
+512^2 and megapixel (1024^2), for the current fast stack:
+  - exact quad path
+  - coherent patch path (auto via the analytic coverage gate)
+  - patch + compact k=16 (the production fast point)
+against the reference's 200 ms viewer budget
+(reference utils/gui_utils.py:139-213; 18 FPS @ 1MP claim README.md:3).
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def build(mode):
+    from hyperreel_tpu.configs.presets import (
+        technicolor_z_plane, convert_epochs_to_iters,
+        with_coherent_gather, with_compact_samples)
+    from hyperreel_tpu.models.model import build_model
+
+    cfg = convert_epochs_to_iters(technicolor_z_plane(), 4000)
+    cfg["color"]["net"]["fused_render"] = True
+    if "c16" in mode:
+        cfg = with_compact_samples(cfg, 16)
+    base = build_model(cfg, dataset_info={
+        "num_keyframes": 4, "num_frames": 50, "num_views": 16},
+        compute_dtype=jnp.bfloat16)
+    patch = None
+    if "patch" in mode:
+        pcfg = with_coherent_gather(cfg)
+        patch = build_model(pcfg, dataset_info={
+            "num_keyframes": 4, "num_frames": 50, "num_views": 16},
+            compute_dtype=jnp.bfloat16)
+    return base, patch
+
+
+def main():
+    from hyperreel_tpu.viewer import InteractiveRenderer
+    log("devices:", jax.devices())
+    pose = np.eye(4, dtype=np.float32)[:3]
+    pose[2, 3] = 2.0
+
+    for mode in ("quad", "patch", "patch+c16"):
+        base, patch = build(mode)
+        params = base.init(jax.random.PRNGKey(0))
+        for side in (512, 1024):
+            v = InteractiveRenderer(model=base, params=params, base_wh=(side, side),
+                       ladder=(1.0,), patch_model=patch)
+            # warm (compile), then 5 timed frames with distinct poses
+            v.render_frame(pose)
+            times = []
+            for i in range(5):
+                p2 = pose.copy()
+                p2[0, 3] += 1e-4 * (i + 1)
+                _, dt = v.render_frame(p2)
+                times.append(dt)
+            dt = float(np.median(times))
+            used_patch = patch is not None and v._patch_ok(
+                side / (2.0 * np.tan(np.radians(60.0) / 2.0)) * 1.0,
+                pose) and v._patch_fwd is not None
+            log(f"[{mode}] {side}x{side}: {dt*1e3:7.1f} ms/frame "
+                f"({1.0/dt:5.2f} FPS, {side*side/dt/1e6:5.2f} Mrays/s) "
+                f"patch_gate={'on' if used_patch else 'off'}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -531,6 +531,15 @@ class FusedCFEval:
         # contiguous quarter of the flat kernel order; quarters must be
         # whole tile-blocks, so shrink the tile until 4*tile | B
         patch = None
+        # rays_phase_major: the CALLER already delivers rays in the
+        # phase-major order (original ray 4j+p at position p*B/4 + j —
+        # a free host-side reindex at ray generation) and accepts
+        # outputs in that order, so both in-graph permutation copies
+        # (~0.45 ms each per chunk on HW: the [B//4,4,D] transposes
+        # lower to while-loops) drop out. Rays are order-independent
+        # everywhere else, so if patch routing falls through the flag
+        # is a no-op (output order always matches input order).
+        pm_rays = bool(render_kwargs.get("rays_phase_major"))
         if self.patch_cfg is not None and ptabs is not None:
             pt = tile
             while pt > 4 and B % (4 * pt) != 0:
@@ -538,7 +547,7 @@ class FusedCFEval:
             if pt > 4 and B % (4 * pt) == 0:
                 tile = pt
                 patch = self.patch_cfg
-        if patch:
+        if patch and not pm_rays:
             D_in = rays.shape[1]
             rays = rays.reshape(B // 4, 4, D_in).transpose(
                 1, 0, 2).reshape(B, D_in)
@@ -819,14 +828,20 @@ class FusedCFEval:
             # patch; out-of-patch corners degrade to the zero-padding
             # value (ops/patch_gather.py).
             from hyperreel_tpu.ops.pallas.patch_blend import (
-                patch_blend, patch_index_uv)
+                patch_blend, patch_anchor_idx)
             ppx, ppy = patch
 
             def patch_feats(a, C_a):
                 W, H, m0, m1 = axis_specs[a]
-                xt = (pack[m0] + 1.0) * 0.5 * (W - 1)
-                yt = (pack[m1] + 1.0) * 0.5 * (H - 1)
-                pidx, uv = patch_index_uv(xt, yt, W, H, ppx, ppy)
+                # anchors: elementwise min over the 4 contiguous phase
+                # quarters of the normalized pack rows (scale commutes
+                # with the min); per-sample (u, v) offsets are computed
+                # INSIDE the blend kernel from quarter-offset pack
+                # blocks — the former XLA-side uv build (two full-[N]
+                # scale passes + a while-loop reshape + the [8, J]
+                # concat's update-slices, ~2.3 ms/chunk) has no HBM
+                # footprint at all now (round-4 HLO attribution)
+                pidx, anchors = patch_anchor_idx(pack[m0], pack[m1], W, H)
                 J = pidx.shape[0]
                 blkj = 1024
                 while J % blkj:
@@ -835,7 +850,8 @@ class FusedCFEval:
                 # consumes it directly via a BlockSpec index map
                 # (preblended="phase_major") — no relayout copy
                 return patch_blend(
-                    ptabs[a][pidx], uv, px=ppx, py=ppy, C=C_a,
+                    ptabs[a][pidx], anchors, pack, m0=m0, m1=m1,
+                    W=W, H=H, px=ppx, py=ppy, C=C_a,
                     blkj=blkj, out_dtype=jnp.bfloat16)
 
             if dyn1:
@@ -864,7 +880,7 @@ class FusedCFEval:
                 tile=tile, s_major=True,
                 preblended="phase_major" if patch else False)
 
-        if patch:
+        if patch and not pm_rays:
             # un-permute back to original ray order (the entry
             # permutation put original ray 4j+p at position p*B/4 + j):
             # ONE op on the [B, 5] transposed outputs — a leading-axis

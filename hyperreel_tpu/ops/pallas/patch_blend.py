@@ -7,11 +7,22 @@ bilinear features. Output is PHASE-MAJOR — features of original ray
 4j + p land at [p*C + c, j] — because the in-kernel expansion of a
 [P*C, blk/4] patch block to full [*, blk] width has no cheap Mosaic
 form (pltpu.repeat is tile-concat, not elementwise; probe9). The
-caller (fused_eval) permutes rays at chunk entry to the matching
-quarter-major order (original ray 4j + p -> position p*B/4 + j), so
-both the anchor/offset build and the phase-major -> lane-major
-conversion are elementwise/contiguous — zero strided lane slices,
-zero minor-dim interleaves (the round-3 collapse; PERFORMANCE.md).
+caller (fused_eval) delivers rays in the matching quarter-major order
+(original ray 4j + p at position p*B/4 + j — permuted at chunk entry,
+or already phase-major under the rays_phase_major contract), so the
+anchor build is an elementwise min of 4 CONTIGUOUS slices and the
+phase-major -> lane-major conversion is a BlockSpec index map — zero
+strided lane slices, zero minor-dim interleaves (the round-3 collapse;
+PERFORMANCE.md).
+
+Per-sample (u, v) offsets are computed IN-KERNEL from the scalar pack's
+normalized coordinate rows (one [16, blkj] pack block per phase via
+quarter-offset BlockSpec index maps): the round-4 HLO attribution
+showed the XLA-side uv build cost ~2.3 ms/chunk — two full-[N] texel
+scale passes (multiply fusions), a [N] -> [4, N/4] reshape that lowers
+to TWO while-loops, and the [8, J] uv concat's dynamic-update-slices.
+All of it replaced by 4 extra VMEM-block reads of rows the shade
+kernel streams anyway.
 
 The hat-weight blend (max(0, 1 - |u - t|)) reproduces exact bilinear
 for in-patch offsets and vanishes smoothly for out-of-patch ones
@@ -19,12 +30,14 @@ for in-patch offsets and vanishes smoothly for out-of-patch ones
 ops/patch_gather.py docstring).
 
 Inputs
-  rows [J, px*py*C]   bf16/f32 gathered patch rows, J = N // 4, texel
-                      t = ty*px + tx channel-major per row
-  uv   [8, J]         f32: rows 0..3 = u offsets for phases 0..3,
-                      rows 4..7 = v offsets
+  rows    [J, px*py*C]  bf16/f32 gathered patch rows, J = N // 4,
+                        texel t = ty*px + tx channel-major per row
+  anchors [2, J]        f32 texel anchors (x0, y0) per 4-ray block
+  pack    [16, N]       the scalar pack; rows m0/m1 hold the
+                        normalized plane coords (phase p's samples are
+                        the contiguous quarter [p*J, (p+1)*J))
 Output
-  feats [4*C, J]      f32: row p*C + c = channel c of sample 4j + p
+  feats [4*C, J]        row p*C + c = channel c of sample 4j + p
 """
 
 import functools
@@ -35,12 +48,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _patch_blend_kernel(rows_ref, uv_ref, o_ref, *, s):
+def _patch_blend_kernel(rows_ref, anc_ref, pk0_ref, pk1_ref, pk2_ref,
+                        pk3_ref, o_ref, *, s):
     px, py, C = s.px, s.py, s.C
     patch = rows_ref[:].astype(jnp.float32).T          # [P*C, blkj]
-    for p in range(4):
-        u = uv_ref[p:p + 1]                            # [1, blkj]
-        v = uv_ref[4 + p:5 + p]
+    x0 = anc_ref[0:1]                                  # [1, blkj]
+    y0 = anc_ref[1:2]
+    for p, pk in enumerate((pk0_ref, pk1_ref, pk2_ref, pk3_ref)):
+        # in-kernel texel scale + anchor offset (bit-identical op order
+        # to the former XLA-side ((xn+1)*0.5)*(W-1) pass)
+        u = (pk[s.m0:s.m0 + 1] + 1.0) * 0.5 * (s.W - 1) - x0
+        v = (pk[s.m1:s.m1 + 1] + 1.0) * 0.5 * (s.H - 1) - y0
         acc = jnp.zeros((C, patch.shape[1]), jnp.float32)
         for ty in range(py):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - ty))
@@ -51,50 +69,66 @@ def _patch_blend_kernel(rows_ref, uv_ref, o_ref, *, s):
         o_ref[p * C:(p + 1) * C, :] = acc.astype(o_ref.dtype)
 
 
-def patch_blend(rows, uv, *, px, py, C, blkj=1024, out_dtype=jnp.float32,
-                interpret=None):
+def patch_blend(rows, anchors, pack, *, m0, m1, W, H, px, py, C,
+                blkj=1024, out_dtype=jnp.float32, interpret=None):
     """Run the patch-blend kernel; returns feats [4*C, J]."""
     J, PC = rows.shape
     assert PC == px * py * C, (PC, px, py, C)
-    assert uv.shape == (8, J), uv.shape
+    assert anchors.shape == (2, J), anchors.shape
+    R16, N = pack.shape
+    assert N == 4 * J, (N, J)
     assert J % blkj == 0, (J, blkj)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kern = functools.partial(
-        _patch_blend_kernel, s=SimpleNamespace(px=px, py=py, C=C))
+        _patch_blend_kernel,
+        s=SimpleNamespace(px=px, py=py, C=C, m0=m0, m1=m1, W=W, H=H))
+    nb = J // blkj
+
+    def pk_spec(p):
+        return pl.BlockSpec((R16, blkj), lambda i, _p=p: (0, i + _p * nb))
+
     return pl.pallas_call(
         kern,
-        grid=(J // blkj,),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec((blkj, PC), lambda i: (i, 0)),
-            pl.BlockSpec((8, blkj), lambda i: (0, i)),
+            pl.BlockSpec((2, blkj), lambda i: (0, i)),
+            pk_spec(0), pk_spec(1), pk_spec(2), pk_spec(3),
         ],
         out_specs=pl.BlockSpec((4 * C, blkj), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((4 * C, J), out_dtype),
         interpret=interpret,
-    )(rows, uv)
+    )(rows, anchors, pack, pack, pack, pack)
 
 
-def patch_index_uv(xt, yt, W, H, px, py):
-    """XLA-side anchors/offsets for the patch gather — QUARTER-MAJOR.
+def patch_anchor_idx(x_row, y_row, W, H):
+    """XLA-side anchors for the patch gather — QUARTER-MAJOR.
 
-    xt, yt: [N] unnormalized texel coords in the PHASE-PERMUTED lane
-    order (fused_eval permutes rays at chunk entry so original ray
-    4j + p sits at position p*B/4 + j; the four rays of each coherent
-    block then occupy the same column of four contiguous quarter
-    sections). Everything here is elementwise over full-lane rows —
-    zero strided lane slices, zero minor-dim reshapes (the round-3
-    design's xt[p::4] slices + [N//4, 4] block reduces collapsed to
-    0.89 Mrays/s on HW; PERFORMANCE.md round 4). Returns (idx [N//4]
-    int32 rows of the patch table, uv [8, N//4] f32 phase-major)."""
-    n = xt.shape[0]
-    xq = xt.reshape(4, n // 4)
-    yq = yt.reshape(4, n // 4)
-    x0 = jnp.clip(jnp.floor(xq.min(0)), -1, W - 1)
-    y0 = jnp.clip(jnp.floor(yq.min(0)), -1, H - 1)
+    x_row, y_row: [N] NORMALIZED plane coords in the phase-major lane
+    order (original ray 4j + p at position p*B/4 + j; the four rays of
+    each coherent block occupy the same column of four contiguous
+    quarter sections). The phase min is an elementwise min of 4
+    CONTIGUOUS slices — the former [N] -> [4, N/4] reshape lowered to
+    a ~0.45 ms while-loop each for x and y (round-4 HLO attribution).
+    The texel scale is applied AFTER the min (monotone, so min
+    commutes bit-exactly) over [J] instead of [N].
+
+    Returns (idx [J] int32 rows of the patch table,
+             anchors [2, J] f32 texel (x0, y0))."""
+    n = x_row.shape[0]
+    q = n // 4
+
+    def min4(r):
+        return jnp.minimum(jnp.minimum(r[0:q], r[q:2 * q]),
+                           jnp.minimum(r[2 * q:3 * q], r[3 * q:]))
+
+    x0 = jnp.clip(jnp.floor((min4(x_row) + 1.0) * 0.5 * (W - 1)),
+                  -1, W - 1)
+    y0 = jnp.clip(jnp.floor((min4(y_row) + 1.0) * 0.5 * (H - 1)),
+                  -1, H - 1)
     idx = ((y0 + 1) * (W + 1) + (x0 + 1)).astype(jnp.int32)
-    uv = jnp.concatenate([xq - x0[None], yq - y0[None]], 0)
-    return idx, uv
+    return idx, jnp.stack([x0, y0], 0)
 
 
 def phase_major_to_lane_major(feats, C):

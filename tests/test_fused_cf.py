@@ -608,6 +608,30 @@ class TestCoherentGather:
         self._patch_parity(with_compact_samples(self._dyn_cfg(), 4),
                            monkeypatch)
 
+    def test_patch_phase_major_rays_contract(self):
+        # rays_phase_major: the caller pre-permutes rays to the
+        # phase-major order (original ray 4j+p at position p*B/4 + j)
+        # and receives outputs in that order — both in-graph
+        # permutation copies drop out; values must match the in-graph
+        # permute path exactly on the SAME blocks
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg_p = with_coherent_gather(self._dyn_cfg(), 4, 3)
+        m_p = build_model(cfg_p, dataset_info=ds.info())
+        params = m_p.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        B = rays.shape[0]
+        perm = np.arange(B).reshape(B // 4, 4).T.reshape(B)
+        b_pm = np.asarray(m_p.apply(
+            params, rays[perm], ctx, {"rays_phase_major": True})["rgb"])
+        # un-permute host-side: output row p*B/4 + j is original 4j + p
+        b = np.empty_like(b_pm)
+        b[perm] = b_pm
+        assert np.abs(a - b).max() < 1e-6, np.abs(a - b).max()
+
     def test_patch_with_stride(self, monkeypatch):
         from hyperreel_tpu.configs.presets import with_inference_samples
         self._patch_parity(with_inference_samples(self._dyn_cfg(), 4),
