@@ -169,6 +169,10 @@ class LocalAffineEmbedding:
         rays = x[self.rays_name]
         pred = self.net.apply(params["net"], rays[..., :self.param_channels],
                               ctx)
+        # raw (tform, bias) exposed for the warp regularizers (reference
+        # nlf/embedding/affine.py embed_params mode); DCE'd when the
+        # "embed_params" field is not requested
+        x["embed_params"] = pred
         M = pred[..., : self.tform_out_channels * self.param_channels]
         M = M.reshape(rays.shape[0], self.tform_out_channels,
                       self.param_channels)

@@ -288,6 +288,14 @@ class FusedCFEval:
                 x = x + b.astype(x.dtype)[:, None]
             if i < act_until:
                 x = net.layer_act(x, ctx)
+        # HYPERREEL_BF16_TAIL=sim: round the CF rows (z offsets, point
+        # coords, field acts inputs) through bf16 to measure the
+        # PRECISION cost of a bf16 embedding tail without kernel dtype
+        # work — the bandwidth upside is bounded by the pack-build
+        # kernel's I/O share (~2.65 ms of a 23.4 ms chunk, so <= ~1.3
+        # ms; tables/gathers are bf16 already). See exp_bf16_tail.py.
+        if os.environ.get("HYPERREEL_BF16_TAIL") == "sim":
+            x = x.astype(jnp.bfloat16)
         return x.astype(jnp.float32)
 
     # -- render plan --------------------------------------------------------

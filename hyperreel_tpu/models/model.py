@@ -48,12 +48,29 @@ class LightfieldModel:
 
     def apply(self, params, rays, ctx, render_kwargs=None):
         render_kwargs = render_kwargs or {}
-        if self._cf_eval is not None and self._cf_eval.ok(ctx,
-                                                         render_kwargs):
+        if not render_kwargs.get("no_param") and self._cf_eval is not None \
+                and self._cf_eval.ok(ctx, render_kwargs):
             return self._cf_eval.apply(params, rays, ctx, render_kwargs)
-        rays = self.ray_param.apply(rays)
+        # no_param: rays arrive already in parameter space (the warp
+        # level-set regularizer jitters param rays and re-renders —
+        # reference nlf/__init__.py render(no_param=True))
+        if not render_kwargs.get("no_param"):
+            rays = self.ray_param.apply(rays)
+        # embed_params is a per-RAY field (the LocalAffine tform+bias,
+        # warp regularizers) — route it around the color net, whose
+        # fields machinery assumes per-sample layout
+        want_ep = "embed_params" in render_kwargs.get("fields", ())
         x = self.embedding.apply(params["embedding"], rays, ctx, render_kwargs)
-        return self.color_net.apply(params["color"], x, ctx, render_kwargs)
+        ep = x.pop("embed_params", None) if isinstance(x, dict) else None
+        color_kwargs = render_kwargs
+        if want_ep:
+            color_kwargs = dict(render_kwargs)
+            color_kwargs["fields"] = [f for f in render_kwargs["fields"]
+                                      if f != "embed_params"]
+        out = self.color_net.apply(params["color"], x, ctx, color_kwargs)
+        if want_ep and ep is not None:
+            out["embed_params"] = ep
+        return out
 
     def prepare_eval(self, params):
         """Per-checkpoint serving prep: prebuilt fused-eval table arrays

@@ -234,36 +234,52 @@ class RayDensityRegularizer(SimpleRayDensityRegularizer):
         return base * self.loss_fn(sigma, h)
 
 
+def _affine_stage(model):
+    for name, stage in model.embedding.stages:
+        if type(stage).__name__ == "LocalAffineEmbedding":
+            return name, stage
+    return None, None
+
+
 @dataclass
 class WarpRegularizer:
-    """Low-rank constraint on learned local re-parameterizations: penalize
-    singular values beyond the top-2 of the predicted per-ray transform
-    (reference nlf/regularizers/warp.py:18-80)."""
+    """Low-rank constraint on learned local re-parameterizations
+    (reference nlf/regularizers/warp.py:18-76): render the model's
+    `embed_params` output (the LocalAffine stage's raw tform+bias,
+    produced through the full ray_param + embedding pipeline) and
+    penalize singular values beyond the top-2 of the per-ray transform.
+
+    Divergence note: the reference's tform slicing (warp.py:64-67)
+    takes `raw[..., :out_channels]` — out_channels SCALARS — then
+    reshapes to [out_channels, param_channels], which silently merges
+    param_channels rays per tform; that code path is exercised by zero
+    shipped experiments and cannot be intentional. We implement the
+    intended (and WarpLevelSetRegularizer-consistent, warp.py:134-137)
+    semantics: tform = the first out_channels*param_channels entries."""
 
     cfg: dict
 
     def __post_init__(self):
-        self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
+        loss_cfg = self.cfg.get("loss", "mse")
+        if isinstance(loss_cfg, dict):
+            loss_cfg = loss_cfg.get("type", "mse")
+        self.loss_fn = get_loss(loss_cfg)
         self.param_channels = int(self.cfg.get("param", {}).get("n_dims", 4))
 
     def loss(self, model, params, batch, ctx, system=None):
-        # Only meaningful when the embedding chain contains a local_affine
-        # stage exposing a per-ray transform; otherwise contributes zero.
-        for name, stage in model.embedding.stages:
-            if type(stage).__name__ == "LocalAffineEmbedding":
-                rays = batch["rays"]
-                pred = stage.net.apply(
-                    params["embedding"][name]["net"],
-                    rays[..., : stage.param_channels], ctx)
-                M = pred[..., : stage.tform_out_channels
-                         * stage.param_channels].reshape(
-                    rays.shape[0], stage.tform_out_channels,
-                    stage.param_channels)
-                S = jnp.linalg.svd(M, compute_uv=False)
-                base = schedule_weight(self.cfg, ctx.it)
-                return base * self.loss_fn(S[..., 2:],
-                                           jnp.zeros_like(S[..., 2:]))
-        return jnp.asarray(0.0)
+        name, stage = _affine_stage(model)
+        if stage is None:
+            return jnp.asarray(0.0)
+        out = model.apply(params, batch["rays"], ctx,
+                          {"fields": ["embed_params"]})
+        raw = out["embed_params"]
+        pc = self.param_channels
+        out_channels = raw.shape[-1] // (pc + 1)
+        M = raw[..., : out_channels * pc].reshape(
+            raw.shape[0], out_channels, pc)
+        S = jnp.linalg.svd(M, compute_uv=False)
+        base = schedule_weight(self.cfg, ctx.it)
+        return base * self.loss_fn(S[..., 2:], jnp.zeros_like(S[..., 2:]))
 
 
 @dataclass
@@ -680,61 +696,94 @@ class GeometryFeedbackRegularizer:
 
 @dataclass
 class WarpLevelSetRegularizer:
-    """Level-set consistency (reference nlf/regularizers/warp.py:80-186
-    WarpLevelSetRegularizer).
+    """Level-set consistency (reference nlf/regularizers/warp.py:79-300
+    WarpLevelSetRegularizer, non-subdivided path — the subdivided
+    branch belongs to the vestigial subdivision family, zero shipped
+    configs, SURVEY.md §2.10).
 
-    The reference jitters rays along the NULL-SPACE directions of the
-    learned local transform (the beyond-top-2 right singular vectors —
-    the level-set tangents) and requires outputs to agree; its full form
-    additionally re-renders through the subdivided-lightfield
-    `embed_params` mode, which belongs to the vestigial subdivision
-    family (zero shipped configs — SURVEY.md §2.10). Here: when a
-    LocalAffine stage exposes a transform, jitter along its null-space
-    directions and compare rendered rgb; otherwise fall back to
-    along-the-ray translation consistency of the predicted points."""
+    The reference machinery, reproduced: one forward returns rgb AND
+    the LocalAffine stage's raw (tform, bias) (`embed_params`); the
+    beyond-top-2 right singular vectors of tform span the local level
+    set; rays are re-parameterized (ray_param), jittered along those
+    null-space directions (a bundle of `jitter.bundle_size` gaussian
+    draws scaled by `jitter.pos`), and re-rendered with no_param=True
+    (rays already in param space). Three weighted losses: color
+    (rgb vs jittered rgb), svd (S[..., 2:] -> 0), level (jittered
+    tform/bias vs original). Falls back to along-the-ray translation
+    consistency of predicted points when no transform stage exists."""
 
     cfg: dict
 
     def __post_init__(self):
+        def one(key, default="mse"):
+            c = self.cfg.get(key, {}) or {}
+            return (get_loss(c.get("type", default)),
+                    float(c.get("weight", 1.0)))
+
+        self.color_loss = one("color_loss")
+        self.svd_loss = one("svd_loss")
+        self.level_loss = one("level_loss")
         self.loss_fn = get_loss(self.cfg.get("loss", "mse"))
         self.step = float(self.cfg.get("step", 0.01))
         jit = self.cfg.get("jitter", {}) or {}
         self.jitter_pos = float(jit.get("pos", 0.01))
         self.bundle = int(jit.get("bundle_size", 1))
+        self.param_channels = int(self.cfg.get("param", {}).get("n_dims", 6))
 
     def loss(self, model, params, batch, ctx, system=None):
         rays = batch["rays"]
         base = schedule_weight(self.cfg, ctx.it)
-        for name, stage in model.embedding.stages:
-            if type(stage).__name__ != "LocalAffineEmbedding":
-                continue
-            pred = stage.net.apply(
-                params["embedding"][name]["net"],
-                rays[..., : stage.param_channels], ctx)
-            pc = stage.param_channels
-            M = pred[..., : stage.tform_out_channels * pc].reshape(
-                rays.shape[0], stage.tform_out_channels, pc)
-            # right singular vectors beyond the top-2 span the level set
-            _, _, vt = jnp.linalg.svd(M, full_matrices=False)
-            null = vt[..., 2:, :]                      # [B, pc-2, pc]
-            k = jax.random.normal(
-                jax.random.fold_in(ctx.rng, 311),
-                (rays.shape[0], null.shape[-2], 1)) * self.jitter_pos
-            jit = jnp.sum(k * null, -2)                # [B, pc]
-            pad = rays.shape[-1] - jit.shape[-1]
-            jit_rays = rays + jnp.concatenate(
-                [jit, jnp.zeros((rays.shape[0], pad), jit.dtype)], -1) \
-                if pad > 0 else rays + jit[..., :rays.shape[-1]]
-            a = model.apply(params, rays, ctx)["rgb"]
-            b = model.apply(params, jit_rays, ctx)["rgb"]
+        name, stage = _affine_stage(model)
+        if stage is None:
+            stepped = jnp.concatenate(
+                [rays[..., :3] + rays[..., 3:6] * self.step,
+                 rays[..., 3:6], rays[..., 6:]], -1)
+            kw = {"fields": ["points"]}
+            a = model.apply(params, rays, ctx, kw)["points"]
+            b = model.apply(params, stepped, ctx, kw)["points"]
             return base * self.loss_fn(a, b)
-        stepped = jnp.concatenate(
-            [rays[..., :3] + rays[..., 3:6] * self.step,
-             rays[..., 3:6], rays[..., 6:]], -1)
-        kw = {"fields": ["points"]}
-        a = model.apply(params, rays, ctx, kw)["points"]
-        b = model.apply(params, stepped, ctx, kw)["points"]
-        return base * self.loss_fn(a, b)
+
+        out = model.apply(params, rays, ctx, {"fields": ["embed_params"]})
+        rgb, raw = out["rgb"], out["embed_params"]
+        pc = stage.param_channels
+        oc = stage.tform_out_channels
+        tform = raw[..., : oc * pc].reshape(raw.shape[0], oc, pc)
+        bias = raw[..., -oc:] if stage.use_bias else raw[..., :0]
+        _, S, vt = jnp.linalg.svd(tform, full_matrices=False)
+        null = vt[..., 2:, :]                          # [B, pc-2, pc]
+
+        # bundle of jitters along the null space (warp.py:153-166)
+        B, nb = rays.shape[0], self.bundle
+        k = jax.random.normal(
+            jax.random.fold_in(ctx.rng, 311),
+            (B, nb, null.shape[-2], 1)) * self.jitter_pos
+        jdirs = jnp.mean(k * null[:, None], -2)        # [B, nb, pc]
+
+        # jitter in PARAM space; re-render bypassing ray_param
+        # (warp.py:196-201 no_param=True, apply_ndc=False)
+        prays = model.ray_param.apply(rays)
+        pad = prays.shape[-1] - pc
+        jdirs = jnp.concatenate(
+            [jdirs, jnp.zeros((B, nb, pad), jdirs.dtype)], -1) \
+            if pad > 0 else jdirs[..., : prays.shape[-1]]
+        jrays = (prays[:, None] + jdirs).reshape(B * nb, prays.shape[-1])
+        jout = model.apply(params, jrays, ctx,
+                           {"fields": ["embed_params"], "no_param": True})
+        jrgb = jout["rgb"]
+        jraw = jout["embed_params"]
+        jtform = jraw[..., : oc * pc]
+        jbias = jraw[..., -oc:] if stage.use_bias else jraw[..., :0]
+
+        rep = lambda a: jnp.repeat(a[:, None], nb, 1).reshape(  # noqa: E731
+            B * nb, -1)
+        (cf, cw), (sf, sw), (lf, lw) = (
+            self.color_loss, self.svd_loss, self.level_loss)
+        total = cw * cf(rep(rgb), jrgb)
+        total = total + sw * sf(S[..., 2:], jnp.zeros_like(S[..., 2:]))
+        total = total + lw * (
+            lf(jtform, rep(tform.reshape(B, oc * pc)))
+            + lf(jbias, rep(bias)))
+        return base * total
 
 
 @dataclass

@@ -438,3 +438,49 @@ class TestWarpRegularizers:
         val = float(reg.loss(model, params, batch,
                              make_ctx(100, training=True)))
         assert np.isfinite(val) and val >= 0.0
+
+    def test_no_param_render_contract(self):
+        # no_param=True: rays arrive already in parameter space
+        # (reference nlf/__init__.py render(no_param=True), used by the
+        # warp level-set re-render) — must equal the default path on
+        # pre-parameterized rays
+        model, ds = self._affine_model()
+        params = model.init(jax.random.PRNGKey(0))
+        batch = next(ds.batch_iterator(16, seed=0))
+        rays = jnp.asarray(batch["rays"])
+        ctx = make_ctx(100, training=True)
+        a = model.apply(params, rays, ctx)["rgb"]
+        b = model.apply(params, model.ray_param.apply(rays), ctx,
+                        {"no_param": True})["rgb"]
+        assert float(jnp.abs(a - b).max()) == 0.0
+
+    def test_warp_level_bundle_and_zero_jitter(self):
+        # reference warp.py:153-300 machinery: bundle_size>1 jitter
+        # draws; at jitter.pos=0 the color and level losses vanish
+        # exactly (re-render of identical param rays), leaving only the
+        # svd term — pins the no_param re-render path end-to-end
+        from hyperreel_tpu.train.regularizers_extra import (
+            WarpLevelSetRegularizer)
+        model, ds = self._affine_model()
+        params = model.init(jax.random.PRNGKey(0))
+        batch = {k: jnp.asarray(v)
+                 for k, v in next(ds.batch_iterator(16, seed=0)).items()}
+        ctx = make_ctx(100, training=True)
+        reg0 = WarpLevelSetRegularizer(
+            cfg={"weight": 1.0, "param": {"n_dims": 6},
+                 "jitter": {"pos": 0.0, "bundle_size": 2},
+                 "color_loss": {"weight": 1.0},
+                 "level_loss": {"weight": 1.0},
+                 "svd_loss": {"weight": 0.0}})
+        assert float(reg0.loss(model, params, batch, ctx)) < 1e-12
+        reg = WarpLevelSetRegularizer(
+            cfg={"weight": 1.0, "param": {"n_dims": 6},
+                 "jitter": {"pos": 0.05, "bundle_size": 3}})
+
+        def loss(p):
+            return reg.loss(model, p, batch, ctx)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val)) and float(val) > 0.0
+        assert all(bool(jnp.all(jnp.isfinite(g)))
+                   for g in jax.tree.leaves(grads))
