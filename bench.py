@@ -53,6 +53,12 @@ def main():
     # production fast point.
     ap.add_argument("--compact-samples", type=int,
                     default=int(os.environ.get("BENCH_COMPACT_SAMPLES", 0)))
+    # Patch texel extent (px py). Both (4,3) and (3,2) are
+    # HW-parity-verified exact at this bench's 1024^2 pixel density
+    # (verify_pm_patch_hw); (3,2) rows are half the bytes.
+    ps_env = os.environ.get("BENCH_PATCH_SHAPE", "")
+    ap.add_argument("--patch-shape", type=int, nargs=2, default=(
+        tuple(int(v) for v in ps_env.split(",")) if ps_env else None))
     args = ap.parse_args()
 
     # prepared=True: per-checkpoint tables (quad/patch/time) are built
@@ -65,7 +71,8 @@ def main():
         inference_samples=args.inference_samples or None,
         coherent_gather=args.coherent_gather,
         compact_samples=args.compact_samples or None,
-        prepared=True)
+        prepared=True,
+        patch_shape=tuple(args.patch_shape) if args.patch_shape else None)
 
     # megapixel frame (reference demo pushes 1,048,576 rays/forward,
     # scripts/demo_technicolor.sh:21-23) rendered as lax.map over chunks;

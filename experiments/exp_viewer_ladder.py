@@ -56,14 +56,20 @@ def main():
         for side in (512, 1024):
             v = InteractiveRenderer(model=base, params=params, base_wh=(side, side),
                        ladder=(1.0,), patch_model=patch)
-            # warm (compile), then 5 timed frames with distinct poses
+            # warm (compile), then 5 timed frames with distinct poses.
+            # Time the WHOLE call (device render + uint8 frame readback):
+            # the internal dt stops at block_until_ready, which resolves
+            # early through the axon tunnel (CLAUDE.md timing rule) —
+            # the np.asarray readback is the trustworthy sync point.
             v.render_frame(pose)
             times = []
             for i in range(5):
                 p2 = pose.copy()
                 p2[0, 3] += 1e-4 * (i + 1)
-                _, dt = v.render_frame(p2)
-                times.append(dt)
+                t0 = time.perf_counter()
+                frame, _ = v.render_frame(p2)
+                assert frame.sum() >= 0  # force materialization
+                times.append(time.perf_counter() - t0)
             dt = float(np.median(times))
             used_patch = patch is not None and v._patch_ok(
                 side / (2.0 * np.tan(np.radians(60.0) / 2.0)) * 1.0,
