@@ -55,8 +55,10 @@ def main():
                     default=int(os.environ.get("BENCH_COMPACT_SAMPLES", 0)))
     # Patch texel extent (px py). Both (4,3) and (3,2) are
     # HW-parity-verified exact at this bench's 1024^2 pixel density
-    # (verify_pm_patch_hw); (3,2) rows are half the bytes.
-    ps_env = os.environ.get("BENCH_PATCH_SHAPE", "")
+    # (verify_pm_patch_hw 8.2e-5); (3,2) rows are half the bytes and
+    # the gather rate at these widths is byte-sensitive, so (3,2) is
+    # the default (official legs: 13.63 vs 11.42 Mrays/s).
+    ps_env = os.environ.get("BENCH_PATCH_SHAPE", "3,2")
     ap.add_argument("--patch-shape", type=int, nargs=2, default=(
         tuple(int(v) for v in ps_env.split(",")) if ps_env else None))
     args = ap.parse_args()

@@ -71,12 +71,9 @@ def main():
                 assert frame.sum() >= 0  # force materialization
                 times.append(time.perf_counter() - t0)
             dt = float(np.median(times))
-            used_patch = patch is not None and v._patch_ok(
-                side / (2.0 * np.tan(np.radians(60.0) / 2.0)) * 1.0,
-                pose) and v._patch_fwd is not None
             log(f"[{mode}] {side}x{side}: {dt*1e3:7.1f} ms/frame "
                 f"({1.0/dt:5.2f} FPS, {side*side/dt/1e6:5.2f} Mrays/s) "
-                f"patch_gate={'on' if used_patch else 'off'}")
+                f"patch_gate={'on' if v.last_used_patch else 'off'}")
 
 
 if __name__ == "__main__":

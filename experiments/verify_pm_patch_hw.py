@@ -114,18 +114,21 @@ def main():
     log(f"chunk: in-graph {dt_in*1e3:6.2f} ms ({n/dt_in/1e6:5.2f} Mr/s)  "
         f"pm {dt_pm*1e3:6.2f} ms ({n/dt_pm/1e6:5.2f} Mr/s)")
 
-    # patch-size probe (3, 2)
-    m_s, fn_s = build("patch", px=3, py=2)
-    jf_s = jax.jit(
-        lambda p, r, i, k: fn_s(p, r, i, k, {"rays_phase_major": True}))
+    # patch-size probe ladder: (3,2) is the shipped default (192 B
+    # rows); (2,2)/(3,3) bound how much further row narrowing buys and
+    # where exactness breaks at bench pixel density
     ref = np.asarray(jf_g(params, rays, it, rng))
-    got_raw = np.asarray(jf_s(params, rays_pm, it, rng))
-    got = np.empty_like(got_raw)
-    got[perm] = got_raw
-    e = np.abs(got - ref).max()
-    dt_s = timeit(jf_s, params, rays_pm, it, rng)
-    log(f"px,py=(3,2): |err| {e:.2e}  chunk {dt_s*1e3:6.2f} ms "
-        f"({n/dt_s/1e6:5.2f} Mr/s)")
+    for px, py in ((3, 2), (2, 2), (3, 3)):
+        m_s, fn_s = build("patch", px=px, py=py)
+        jf_s = jax.jit(lambda p, r, i, k, f=fn_s: f(
+            p, r, i, k, {"rays_phase_major": True}))
+        got_raw = np.asarray(jf_s(params, rays_pm, it, rng))
+        got = np.empty_like(got_raw)
+        got[perm] = got_raw
+        e = np.abs(got - ref).max()
+        dt_s = timeit(jf_s, params, rays_pm, it, rng)
+        log(f"px,py=({px},{py}): |err| {e:.2e}  chunk {dt_s*1e3:6.2f} ms "
+            f"({n/dt_s/1e6:5.2f} Mr/s)")
     log("ALL OK")
 
 

@@ -104,24 +104,43 @@ def main(argv=None):
                 st.get("type") == "ray_intersect"
                 and st.get("intersect", {}).get("invalid_sort_far")
                 for st in mcfg["embedding"]["embeddings"].values())
-            if k == -1:
-                # auto: compact K=16 is quality-calibrated (-0.18 dB,
-                # PERFORMANCE.md Pareto ladder) so it is safe as a
-                # default; stride needs a fine-tune, so auto keeps
-                # full samples on non-compactable models
+            auto = k == -1
+            if auto:
+                # auto: compact K=16 only after a scene-dependent
+                # quality probe — the blob ladder measured -0.18 dB but
+                # the hostile-occluder scene COLLAPSES (25.0 -> 9.7 dB,
+                # round-4 hostile ladder), so auto must verify on the
+                # actual checkpoint; stride needs a fine-tune, so auto
+                # keeps full samples on non-compactable models
                 k = 16 if far else 0
         if k > 0:
             helper = with_compact_samples if far else \
                 with_inference_samples
-            mcfg = helper(mcfg, k)
-            model = build_model(mcfg,
-                                dataset_info=system.train_dataset.info())
-            init_p = model.init(jax.random.PRNGKey(0))
+            fast_cfg = helper(mcfg, k)
+            fast_model = build_model(
+                fast_cfg, dataset_info=system.train_dataset.info())
+            init_p = fast_model.init(jax.random.PRNGKey(0))
             emb = dict(init_p["embedding"])
             emb.update(params["embedding"])
-            params = dict(params, embedding=emb)
-            print(f"viewer fast mode: {k} samples/ray "
-                  f"({'compact' if far else 'stride'})")
+            fast_params = dict(params, embedding=emb)
+            probe_ok = True
+            if auto:
+                from hyperreel_tpu.viewer import fast_mode_probe
+                probe_ok, d = fast_mode_probe(
+                    model, params, fast_model, fast_params,
+                    system.train_dataset.all_coords, it=state.it)
+                print(f"viewer fast-mode probe: compact-vs-full "
+                      f"{d:.1f} dB ({'pass' if probe_ok else 'FAIL'}"
+                      f" @ 35.0 gate)")
+            if probe_ok:
+                mcfg, model, params = fast_cfg, fast_model, fast_params
+                print(f"viewer fast mode: {k} samples/ray "
+                      f"({'compact' if far else 'stride'})")
+            else:
+                k = 0
+                print("viewer fast mode disabled by quality gate "
+                      "(scene-dependent compact loss; use "
+                      "--fast-samples to force)")
         patch_model = None
         if args.coherent_gather:
             from hyperreel_tpu.config import resolve_model_cfg

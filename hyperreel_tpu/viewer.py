@@ -91,39 +91,63 @@ class InteractiveRenderer:
     # density), so low ladder levels keep the exact quad path
     patch_model: object = None
 
+    # rays per compiled chunk: frames above this render as lax.map over
+    # chunks (the bench/serving shape; also the v5e HBM ceiling for the
+    # quad unpack temporaries — PERFORMANCE.md)
+    chunk: int = 1 << 18
+
     def __post_init__(self):
         import jax
-        self._fns = {}
         self._level = len(self.ladder) - 1  # start conservative
         self._jax = jax
+        # Device-resident weights: jit does NOT cache host (numpy) args,
+        # so leaving params on host re-uploads the full parameter set
+        # through the axon tunnel EVERY frame (measured: seconds/frame,
+        # round-4 viewer ladder). One device_put here removes that.
+        self.params = jax.device_put(self.params)
         # per-checkpoint serving prep: prebuilt fused-eval tables (ships
         # into every compiled frame as jit args, so frames skip the
         # table rebuild; None falls back to in-trace building)
         prep = getattr(self.model, "prepare_eval", lambda p: None)(
             self.params)
+        if prep is not None:
+            prep = jax.device_put(prep)
 
         def fwd(params, prepared, rays):
             ctx = make_ctx(it=self.it, training=False)
-            rk = {"cf_prepared": prepared} if prepared is not None \
-                else None
-            return self.model.apply(params, rays, ctx,
-                                    render_kwargs=rk)["rgb"]
+
+            def one(r):
+                rk = {"cf_prepared": prepared} if prepared is not None \
+                    else None
+                return self.model.apply(params, r, ctx,
+                                        render_kwargs=rk)["rgb"]
+            return self._jax.lax.map(one, rays)
 
         self._prepared = prep
         self._fwd = jax.jit(fwd)
 
         self._patch_fwd = None
+        self._patch_gate_cache = {}
+        self.last_used_patch = False
         if self.patch_model is not None and \
                 getattr(self.patch_model, "_cf_eval", None) is not None:
-            self._patch_prepared = self.patch_model.prepare_eval(
-                self.params)
+            self._patch_prepared = jax.device_put(
+                self.patch_model.prepare_eval(self.params))
 
             def patch_fwd(params, prepared, rays):
+                # rays arrive phase-major per chunk (host-side reindex at
+                # ray gen — the serving contract, fused_eval.py
+                # rays_phase_major); outputs are un-permuted host-side.
                 ctx = make_ctx(it=self.it, training=False)
-                rk = {"cf_prepared": prepared} \
-                    if prepared is not None else None
-                return self.patch_model.apply(
-                    params, rays, ctx, render_kwargs=rk)["rgb"]
+
+                def one(r):
+                    rk = {"cf_prepared": prepared,
+                          "rays_phase_major": True} \
+                        if prepared is not None \
+                        else {"rays_phase_major": True}
+                    return self.patch_model.apply(
+                        params, r, ctx, render_kwargs=rk)["rgb"]
+                return self._jax.lax.map(one, rays)
 
             self._patch_fwd = jax.jit(patch_fwd)
             cf = self.patch_model._cf_eval
@@ -136,18 +160,60 @@ class InteractiveRenderer:
                 np.linalg.norm(aabb[1] - aabb[0]))
             self._patch_px = cf.patch_cfg[0]
 
-    def _patch_ok(self, focal_px, pose):
-        """Analytic coverage bound for the current frame: worst-case
-        x-texel spread of a 4-consecutive-pixel block is
-        3 * t_max / focal_px texels-per-world * texels-per-unit; patch
-        is exact when that (+1 jitter margin) fits the px-2 budget."""
-        if self._patch_fwd is None:
-            return False
+    def _patch_bound(self, focal_px, pose):
+        """Analytic coverage bound: worst-case x-texel spread of a
+        4-consecutive-pixel block is 3 * t_max / focal_px world-per-px
+        * texels-per-world; patch is exact when that (+1 bilinear
+        corner, +1 jitter margin) fits the px budget. Conservative
+        (t_max uses the full aabb diagonal), so a pass is trustworthy;
+        a fail falls through to the empirical probe."""
         t_max = float(np.linalg.norm(np.asarray(pose)[:3, 3])) \
             + self._patch_diag
         spread = 3.0 * t_max / float(focal_px) \
             * (self._patch_res - 1) / self._patch_extent
         return spread <= self._patch_px - 3
+
+    def _patch_probe_ok(self, rays, W, H, focal_px, pose):
+        """Empirical gate when the analytic bound fails: render the
+        worst-case block rows (top / middle / bottom of the frame, where
+        ray angles are extreme) through BOTH paths and compare. Patch
+        exactness is per 4-ray block (each block's footprint is
+        independent), so block-row parity transfers to the frame. Cached
+        per (W, H, radius bucket) — the spread scales with camera
+        distance, so re-probe on big zoom changes."""
+        import jax.numpy as jnp
+        r = float(np.linalg.norm(np.asarray(pose)[:3, 3]))
+        key = (W, H, int(np.round(np.log1p(r) * 4)))
+        hit = self._patch_gate_cache.get(key)
+        if hit is not None:
+            return hit
+        rows = sorted({0, H // 2, H - 1})
+        probe = np.concatenate([rays[y * W:(y + 1) * W] for y in rows], 0)
+        pad = (-len(probe)) % 1024
+        if pad:
+            probe = np.concatenate(
+                [probe, np.repeat(probe[-1:], pad, 0)], 0)
+        n = len(probe)
+        quad = np.asarray(self._fwd(
+            self.params, self._prepared,
+            jnp.asarray(probe[None])))[0]
+        pm = probe.reshape(n // 4, 4, -1).transpose(1, 0, 2).reshape(n, -1)
+        patch = np.asarray(self._patch_fwd(
+            self.params, self._patch_prepared, jnp.asarray(pm[None])))[0]
+        patch = patch.reshape(4, n // 4, -1).transpose(1, 0, 2).reshape(
+            n, -1)
+        ok = bool(np.abs(patch - quad).max() < 1e-3)
+        self._patch_gate_cache[key] = ok
+        return ok
+
+    def _patch_ok(self, focal_px, pose, rays=None, W=None, H=None):
+        if self._patch_fwd is None:
+            return False
+        if self._patch_bound(focal_px, pose):
+            return True
+        if rays is None:
+            return False
+        return self._patch_probe_ok(rays, W, H, focal_px, pose)
 
     def _wh_for(self, level):
         s = self.ladder[level]
@@ -189,15 +255,36 @@ class InteractiveRenderer:
             rays = np.concatenate(
                 [rays, np.full((rays.shape[0], 1), t, np.float32)], -1)
 
+        n = rays.shape[0]
+        cs = self.chunk if n >= self.chunk else (n + 1023) // 1024 * 1024
+        pad = (-n) % cs
+        if pad:
+            rays = np.concatenate(
+                [rays, np.repeat(rays[-1:], pad, 0)], 0)
+        k = rays.shape[0] // cs
+        chunks = rays.reshape(k, cs, -1)
+
+        use_patch = self._patch_ok(
+            K[0][0] if isinstance(K, list) else K[0, 0], pose,
+            rays=rays[:n], W=W, H=H)
+        self.last_used_patch = use_patch
         t0 = time.perf_counter()
-        if self._patch_ok(K[0][0] if isinstance(K, list) else K[0, 0],
-                          pose):
+        if use_patch:
+            # phase-major per chunk (host-side, off the device clock —
+            # the serving contract; see bench.py)
+            pm = np.ascontiguousarray(
+                chunks.reshape(k, cs // 4, 4, -1).transpose(0, 2, 1, 3)
+            ).reshape(k, cs, -1)
             rgb = self._patch_fwd(self.params, self._patch_prepared,
-                                  jnp.asarray(rays))
+                                  jnp.asarray(pm))
+            out = np.asarray(rgb).reshape(k, 4, cs // 4, 3).transpose(
+                0, 2, 1, 3).reshape(-1, 3)
         else:
             rgb = self._fwd(self.params, self._prepared,
-                            jnp.asarray(rays))
-        rgb.block_until_ready()
+                            jnp.asarray(chunks))
+            out = np.asarray(rgb).reshape(-1, 3)
+        # the np.asarray readback above is the trustworthy sync point
+        # through the axon tunnel (block_until_ready resolves early)
         dt = time.perf_counter() - t0
 
         # ladder adaptation (discrete version of gui_utils.py:186-193)
@@ -206,8 +293,32 @@ class InteractiveRenderer:
         elif dt < self.frame_budget_s * 0.4 and self._level > 0:
             self._level -= 1
 
-        img = np.clip(np.asarray(rgb).reshape(H, W, 3), 0, 1)
+        img = np.clip(out[:n].reshape(H, W, 3), 0, 1)
         return (img * 255).astype(np.uint8), dt
+
+
+def fast_mode_probe(model, params, fast_model, fast_params, coords,
+                    it, n_rays=8192, gate_db=35.0):
+    """Scene-dependent quality gate for the viewer's auto fast mode.
+
+    Renders a dataset-wide ray slice with the full model and the
+    compact/stride fast model and compares them: `gate_db` between the
+    two renders bounds the fast mode's quality loss well under the
+    blob ladder's -0.18 dB class, while the hostile-occluder collapse
+    (25.0 -> 9.7 dB, round-4 hostile ladder) lands far below it.
+    Returns (ok, psnr_db)."""
+    import jax.numpy as jnp
+    from hyperreel_tpu.train.metrics import psnr
+    from hyperreel_tpu.train.render import Renderer
+
+    idx = np.linspace(0, len(coords) - 1, n_rays).astype(int)
+    probe_rays = jnp.asarray(np.asarray(coords[idx]))
+    full_rgb = Renderer(model, ray_chunk=n_rays).render_rays(
+        params, probe_rays, it=it)["rgb"]
+    fast_rgb = Renderer(fast_model, ray_chunk=n_rays).render_rays(
+        fast_params, probe_rays, it=it)["rgb"]
+    d = float(psnr(np.asarray(fast_rgb), np.asarray(full_rgb)))
+    return d >= gate_db, d
 
 
 def serve(model, params, host="0.0.0.0", port=8090, wh=(512, 512),

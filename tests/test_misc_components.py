@@ -109,6 +109,35 @@ class TestInteractiveRenderer:
         img, dt = r.render_frame(pose, t=0.3)
         assert img.dtype == np.uint8 and img.shape[-1] == 3
         assert np.isfinite(dt)
+        # the 64px frame fails the analytic bound, so render_frame ran
+        # the empirical probe (patch-vs-quad parity on worst-case block
+        # rows) and cached a verdict for this (W, H, radius) bucket
+        assert len(r._patch_gate_cache) == 1
+        assert isinstance(r.last_used_patch, bool)
+
+    def test_fast_mode_probe_gate(self):
+        """Scene-dependent quality gate for the viewer auto fast mode
+        (round-4 hostile ladder: compact16 collapses 25.0 -> 9.7 dB on
+        occluder scenes, so auto must verify on the actual checkpoint)."""
+        import jax.tree_util as jtu
+        from hyperreel_tpu.configs.presets import (
+            tiny_dynamic, convert_epochs_to_iters)
+        from hyperreel_tpu.models.model import build_model
+        from hyperreel_tpu.viewer import fast_mode_probe
+
+        cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        m = build_model(cfg, dataset_info=ds.info())
+        params = m.init(jax.random.PRNGKey(0))
+        ok, d = fast_mode_probe(m, params, m, params,
+                                ds.all_coords, it=100, n_rays=256)
+        assert ok and d > 35.0  # identical renders pass trivially
+        # a fast model whose render diverges must FAIL the gate
+        bad = jtu.tree_map(lambda x: x * 0.0, params)
+        ok, d = fast_mode_probe(m, params, m, bad,
+                                ds.all_coords, it=100, n_rays=256)
+        assert not ok and d < 35.0
 
 
 class TestAuxDatasets:
