@@ -10,6 +10,7 @@ one exercised by the shipped training scripts
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from hyperreel_tpu.train.losses import get_loss
@@ -69,13 +70,28 @@ class TensorfRegularizer:
         total = l1_w * net.density_l1(cp)
 
         if self.tv_weight_density > 0 or self.tv_weight_app > 0:
-            tv_on = (it <= self.total_num_tv_iters).astype(jnp.float32)
-            if self.tv_weight_density > 0:
-                total = total + self.tv_weight_density * tv_on * \
-                    net.tv_loss_density(cp)
-            if self.tv_weight_app > 0:
-                total = total + self.tv_weight_app * tv_on * \
-                    net.tv_loss_app(cp)
+            # Reference tensorf.py:75-89 accumulates `loss_tv` across the
+            # density and app blocks, so the density TV lands in
+            # total_loss TWICE: total = L1 + 2*Wd*tv_d + Wa*tv_a.
+            # Reproduced faithfully (every shipped config sets both
+            # weights, so the app-only NameError branch never runs).
+            def tv_term(_):
+                t = jnp.asarray(0.0)
+                if self.tv_weight_density > 0:
+                    d = self.tv_weight_density * net.tv_loss_density(cp)
+                    t = t + (2.0 * d if self.tv_weight_app > 0 else d)
+                if self.tv_weight_app > 0:
+                    t = t + self.tv_weight_app * net.tv_loss_app(cp)
+                return t
+
+            # The reference EARLY-RETURNS past total_num_tv_iters
+            # (tensorf.py:74-76) — no TV compute at all. lax.cond keeps
+            # that: only the taken branch executes (fwd AND bwd), so the
+            # ~200K post-cutoff steps of the 320K technicolor schedule
+            # skip the full-grid TV work instead of multiplying it by 0.
+            total = total + jax.lax.cond(
+                it <= self.total_num_tv_iters, tv_term,
+                lambda _: jnp.asarray(0.0), operand=None)
         return total
 
 

@@ -48,6 +48,35 @@ def test_tensorf_l1_switch(setup):
     assert late < early
 
 
+def test_tensorf_tv_double_count_and_cutoff(setup):
+    """Reference tensorf.py:75-89 accumulates loss_tv across the density
+    and app blocks, so total = L1 + 2*Wd*tv_d + Wa*tv_a; past
+    total_num_tv_iters it EARLY-RETURNS with the L1 term only
+    (tensorf.py:74-76)."""
+    model, params, batch = setup
+    cfgs = tv_4000_defaults()
+    (_, reg), = build_regularizers(cfgs)
+    ctx = make_ctx(100)
+    total = float(reg.loss(model, params, batch, ctx))
+    net, cp = model.color_net, params["color"]
+    l1 = 8e-5 * float(net.density_l1(cp))
+    tv_d = float(net.tv_loss_density(cp))
+    tv_a = float(net.tv_loss_app(cp))
+    expect = l1 + 2 * 0.05 * tv_d + 0.05 * tv_a
+    assert total == pytest.approx(expect, rel=1e-5)
+    # cutoff: tv_4000 -> total_num_tv_iters = 4 * 30000 = 120000
+    assert reg.total_num_tv_iters == 120000
+    late = float(reg.loss(model, params, batch, make_ctx(120001)))
+    l1_late = 4e-5 * float(net.density_l1(cp))
+    assert late == pytest.approx(l1_late, rel=1e-5)
+    # grads stay finite through the cond on both sides of the cutoff
+    for it in (100, 120001):
+        g = jax.grad(lambda p: reg.loss(model, p, batch,
+                                        make_ctx(it)))(params)
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree.leaves(g))
+
+
 @pytest.mark.parametrize("reg_cfg", [
     {"type": "simple_ray_density", "weight": 1.0,
      "jitter": {"pos_std": 0.01, "dir_std": 0.01}},
