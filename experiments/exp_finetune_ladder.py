@@ -33,7 +33,8 @@ def main():
     from hyperreel_tpu.configs.presets import (
         technicolor_z_plane, convert_epochs_to_iters,
         with_inference_samples, with_compact_samples)
-    from hyperreel_tpu.data.synthetic import gaussian_blob_scene
+    from hyperreel_tpu.data.synthetic import (
+        gaussian_blob_scene, hostile_scene)
     from hyperreel_tpu.models.model import build_model
     from hyperreel_tpu.models.ctx import StepCtx
     from hyperreel_tpu.train.trainer import Trainer
@@ -41,7 +42,14 @@ def main():
     from hyperreel_tpu.train.render import Renderer
     from hyperreel_tpu.train.metrics import psnr
 
-    ds = gaussian_blob_scene(n_views=8, wh=(96, 96), dynamic=True)
+    # scene argv: "hostile" reruns the WHOLE fine-tuned ladder on the
+    # occluder/HF-texture/specular scene (VERDICT r3 weak #4: the blob's
+    # "-0.18 dB" class numbers are scene-dependent; the hostile raw rows
+    # collapsed, so the fine-tuned points are the open question)
+    scene = sys.argv[1] if len(sys.argv) > 1 else "blob"
+    make = hostile_scene if scene == "hostile" else gaussian_blob_scene
+    log(f"scene: {scene}")
+    ds = make(n_views=8, wh=(96, 96), dynamic=True)
     W, H = ds.img_wh
     npix = W * H
     hold_img = 4 * ds.num_frames

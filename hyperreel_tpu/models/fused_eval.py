@@ -496,17 +496,20 @@ class FusedCFEval:
         shading = "sh" if net.shading_mode == "SH" else "rgb"
 
         def pick_tile(scratch):
-            # HYPERREEL_EVAL_TILE overrides the VMEM heuristic (perf
-            # experiments; the 8 MB cap is empirical from Mosaic VMEM
-            # exhaustion on the pre-kernel path and is conservative for
-            # multi-axis families — see exp_multiaxis_tile.py)
+            # HYPERREEL_EVAL_TILE overrides the VMEM heuristic.
+            # Cap provenance (round-4 exp_multiaxis_tile, real TPU):
+            # llff-class multi-axis static at tile=128 is 16.25 MB-units
+            # (128*32*3968), COMPILES and runs 1.46x faster than tile=64;
+            # n3d-class dynamic z=64 is 31.5 MB-units (128*64*3840) and
+            # FAILS Mosaic compile. 17 MB admits the verified llff point
+            # with maximal margin below the verified failure.
             force = os.environ.get("HYPERREEL_EVAL_TILE")
             if force and B % int(force) == 0:
                 return int(force)
             tile = 128
             while tile > 1 and (B % tile != 0
                                 or tile * S_shade * scratch
-                                > 8 * (1 << 20)):
+                                > 17 * (1 << 20)):
                 tile //= 2
             return tile
 
