@@ -253,7 +253,8 @@ class FusedCFEval:
 
     # -- channels-first MLP -------------------------------------------------
 
-    def _mlp_cf(self, params, net_in_cf, ctx, field_major=False):
+    def _mlp_cf(self, params, net_in_cf, ctx, field_major=False,
+                keep_dtype=False):
         """BaseMLP.apply with [C, B] activations (same math, transposed
         weights; mirrors models/mlp.py BaseMLP.apply).
 
@@ -262,7 +263,13 @@ class FusedCFEval:
         c*S + s) — a trace-time weight/bias column permutation, so the
         pack-build kernel (ops/pallas/pack_build.py) can extract field
         rows as contiguous sublane slices (strided sublane slices do
-        not lower in Mosaic — exp_pallas_probe5.py)."""
+        not lower in Mosaic — exp_pallas_probe5.py).
+
+        keep_dtype: skip the final f32 upcast. With compute_dtype=bf16
+        the output rows are bf16-VALUED either way (bf16 matmul output
+        — the round-4 bf16-tail A/B measured delta exactly 0.0), so a
+        bf16-stored kernel input is lossless by construction and halves
+        the [P*S, B] HBM write+read at the MLP/pack-kernel boundary."""
         net = self.pred.net
         cd = net.compute_dtype
         x = net_in_cf
@@ -296,6 +303,8 @@ class FusedCFEval:
         # ms; tables/gathers are bf16 already). See exp_bf16_tail.py.
         if os.environ.get("HYPERREEL_BF16_TAIL") == "sim":
             x = x.astype(jnp.bfloat16)
+        if keep_dtype:
+            return x
         return x.astype(jnp.float32)
 
     # -- render plan --------------------------------------------------------
@@ -594,9 +603,23 @@ class FusedCFEval:
         net_in = jnp.concatenate(feats, -1)          # [B, in_ch], tiny C
         net_in_cf = jnp.stack(_rows_of(net_in, net_in.shape[1]))
 
+        # bf16 pack-kernel input (HYPERREEL_BF16_PACK_INPUT=1): halves
+        # the [P*S, B] HBM write+read at the MLP/kernel boundary but is
+        # NOT lossless on TPU — XLA fuses the old astype(f32) into the
+        # bf16 matmul as an f32-ACCUMULATED output, so f32 storage
+        # carries full accumulator precision that bf16 storage rounds
+        # away (the bf16_tail sim could not see this: bf16->bf16 casts
+        # are dtype no-ops). Default OFF pending the HW A/B.
+        bf16_in = use_pk and os.environ.get(
+            "HYPERREEL_BF16_PACK_INPUT") == "1"
         out_cf = self._mlp_cf(eparams["ray_prediction_0"]["net"],
-                              net_in_cf, ctx,
-                              field_major=use_pk)    # [S*preds, B]
+                              net_in_cf, ctx, field_major=use_pk,
+                              keep_dtype=bf16_in)    # [S*preds, B]
+        if out_cf.dtype != jnp.float32 and (
+                out_cf.dtype != jnp.bfloat16 or out_cf.shape[0] % 16):
+            # bf16 VMEM blocks tile at 16 sublanes; odd row counts (and
+            # any non-bf16 compute dtype) take the f32 path
+            out_cf = out_cf.astype(jnp.float32)
 
         def field_rows(name):
             off, width = self.field_offsets[name]
@@ -865,20 +888,48 @@ class FusedCFEval:
                     W=W, H=H, px=ppx, py=ppy, C=C_a,
                     blkj=blkj, out_dtype=jnp.bfloat16)
 
-            if dyn1:
+            fuse_patch = dyn1 and os.environ.get(
+                "HYPERREEL_FUSED_PATCH", "1") not in ("0", "false")
+            if dyn1 and fuse_patch:
+                # blend+shade FUSION (shade.py _shade_kernel_fused_patch):
+                # hand the gathered patch rows + anchors straight to the
+                # shade kernel — the [4C, J] f32 feature array never
+                # exists in HBM and the blend kernel's duplicate pack
+                # reads vanish (~3 ms/chunk of I/O at flagship channel
+                # counts). HYPERREEL_FUSED_PATCH=0 restores the separate
+                # patch-blend kernel (A/B knob).
+                W0, H0, m00, m10 = axis_specs[0]
+                pidx, p_anchors = patch_anchor_idx(
+                    pack[m00], pack[m10], W0, H0)
+                rows_list = [ptabs[0][pidx]]
+            elif dyn1:
                 rows_list = [patch_feats(0, C)]
             else:
                 rows_list = [patch_feats(a, dens_c[a] + app_c[a])
                              for a in range(len(axis_specs))]
+        else:
+            fuse_patch = False
 
         if dyn1:
-            out = fused_shade_composite(
-                rows_list[0], pack, ttab_t, wb_t,
-                S=S, W=tabs[0][1], H=tabs[0][2], TW=TW, TH=TH,
-                n_density=nd, n_basis=n_basis, shading=shading,
-                density_shift=0.0, distance_scale=net.distance_scale,
-                tile=tile, s_major=True,
-                preblended="phase_major" if patch else False)
+            if patch and fuse_patch:
+                out = fused_shade_composite(
+                    rows_list[0], pack, ttab_t, wb_t,
+                    S=S, W=tabs[0][1], H=tabs[0][2], TW=TW, TH=TH,
+                    n_density=nd, n_basis=n_basis, shading=shading,
+                    density_shift=0.0,
+                    distance_scale=net.distance_scale,
+                    tile=tile, s_major=True, preblended="fused_patch",
+                    anchors=p_anchors, patch_pxy=patch,
+                    m0=axis_specs[0][2], m1=axis_specs[0][3])
+            else:
+                out = fused_shade_composite(
+                    rows_list[0], pack, ttab_t, wb_t,
+                    S=S, W=tabs[0][1], H=tabs[0][2], TW=TW, TH=TH,
+                    n_density=nd, n_basis=n_basis, shading=shading,
+                    density_shift=0.0,
+                    distance_scale=net.distance_scale,
+                    tile=tile, s_major=True,
+                    preblended="phase_major" if patch else False)
         else:
             from hyperreel_tpu.ops.pallas.shade import (
                 fused_shade_composite_multi)

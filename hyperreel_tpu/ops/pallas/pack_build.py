@@ -105,8 +105,12 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
         if s.stride is not None and n_rows == k:
             # stride mode: every-stride-th prediction-order row (the
             # reference's inference_samples positional subselection)
-            return substride(s.field_acts[name](cf_ref[r0:r0 + S], ctx))
-        return s.field_acts[name](cf_ref[r0:r0 + n_rows], ctx)
+            rows = cf_ref[r0:r0 + S].astype(jnp.float32)
+            return substride(s.field_acts[name](rows, ctx))
+        # bf16 inputs (lossless storage of the bf16-valued MLP output —
+        # fused_eval._mlp_cf keep_dtype) upcast on load; math stays f32
+        rows = cf_ref[r0:r0 + n_rows].astype(jnp.float32)
+        return s.field_acts[name](rows, ctx)
 
     o2 = ray_ref[2:3]
     d_rows = [ray_ref[3:4], ray_ref[4:5], ray_ref[5:6]]

@@ -119,12 +119,13 @@ def _corner_weights(p, lim):
     return base, frac, in_lo, in_hi
 
 
-def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
-                  *, S, blk, W, H, TW, TH, Rt, C, n_density, n_basis,
-                  sh_deg, density_shift, distance_scale, acc_dtype,
-                  s_major=False, use_weights_row=False, shading="sh",
-                  preblended=False, ablate=()):
-    pk = pack_ref[:]                                       # [16, blk]
+def _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, row0,
+                *, S, blk, TW, TH, Rt, C, n_density, n_basis, sh_deg,
+                density_shift, distance_scale, acc_dtype, s_major,
+                use_weights_row, shading, ablate):
+    """Everything downstream of the space features: validity, the
+    separable time-plane blend, density, the basis matmul, and the
+    shade/composite tail. Writes out_ref rows [row0, row0+8)."""
     xn = pk[0:1]
     yn = pk[1:2]
     zn = pk[2:3]
@@ -135,32 +136,6 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     # matching valid_mask on the pre-normalized points) and dist > 0
     valid = ((jnp.abs(xn) <= 1.0) & (jnp.abs(yn) <= 1.0)
              & (jnp.abs(zn) <= 1.0) & (dist > 0.0)).astype(jnp.float32)
-
-    # ---- space bilinear from gathered quad rows (corner-major 4 x C);
-    # skipped when the patch-blend kernel already produced features
-    if not preblended:
-        px = (xn + 1.0) * 0.5 * (W - 1)
-        py = (yn + 1.0) * 0.5 * (H - 1)
-        _, fx, x_lo, x_hi = _corner_weights(px, W)
-        _, fy, y_lo, y_hi = _corner_weights(py, H)
-        w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
-        w01 = (1.0 - fy) * fx * y_lo * x_hi
-        w10 = fy * (1.0 - fx) * y_hi * x_lo
-        w11 = fy * fx * y_hi * x_hi
-
-    if preblended:
-        # coherent patch-gather path: rows arrive as channels-first
-        # pre-blended features [C, blk] (ops/pallas/patch_blend.py)
-        feat_s = rows_ref[:].astype(jnp.float32)
-    elif "gatherread" in ablate:
-        feat_s = jnp.full((C, blk), 0.5, jnp.float32) + xn * 0.01
-    elif "blend" in ablate:
-        q = rows_ref[:].astype(jnp.float32).T              # [4C, blk]
-        feat_s = q[0 * C:1 * C] + w00
-    else:
-        q = rows_ref[:].astype(jnp.float32).T              # [4C, blk]
-        feat_s = (q[0 * C:1 * C] * w00 + q[1 * C:2 * C] * w01
-                  + q[2 * C:3 * C] * w10 + q[3 * C:4 * C] * w11)
 
     # ---- time-plane bilinear, SEPARABLE: a z-axis two-hot MXU matmul
     # fetches the z-interpolated features of EVERY keyframe row at once,
@@ -212,14 +187,98 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
     _shade_tail(out_ref, pk, sigma, app, dist, S=S, blk=blk,
                 n_basis=n_basis, sh_deg=sh_deg, shading=shading,
                 distance_scale=distance_scale, s_major=s_major,
-                ablate=ablate)
+                ablate=ablate, row0=row0)
+
+
+def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
+                  *, S, blk, W, H, TW, TH, Rt, C, n_density, n_basis,
+                  sh_deg, density_shift, distance_scale, acc_dtype,
+                  s_major=False, use_weights_row=False, shading="sh",
+                  preblended=False, ablate=()):
+    pk = pack_ref[:]                                       # [16, blk]
+    xn = pk[0:1]
+    yn = pk[1:2]
+
+    # ---- space bilinear from gathered quad rows (corner-major 4 x C);
+    # skipped when the patch-blend kernel already produced features
+    if not preblended:
+        px = (xn + 1.0) * 0.5 * (W - 1)
+        py = (yn + 1.0) * 0.5 * (H - 1)
+        _, fx, x_lo, x_hi = _corner_weights(px, W)
+        _, fy, y_lo, y_hi = _corner_weights(py, H)
+        w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
+        w01 = (1.0 - fy) * fx * y_lo * x_hi
+        w10 = fy * (1.0 - fx) * y_hi * x_lo
+        w11 = fy * fx * y_hi * x_hi
+
+    if preblended:
+        # coherent patch-gather path: rows arrive as channels-first
+        # pre-blended features [C, blk] (ops/pallas/patch_blend.py)
+        feat_s = rows_ref[:].astype(jnp.float32)
+    elif "gatherread" in ablate:
+        feat_s = jnp.full((C, blk), 0.5, jnp.float32) + xn * 0.01
+    elif "blend" in ablate:
+        q = rows_ref[:].astype(jnp.float32).T              # [4C, blk]
+        feat_s = q[0 * C:1 * C] + w00
+    else:
+        q = rows_ref[:].astype(jnp.float32).T              # [4C, blk]
+        feat_s = (q[0 * C:1 * C] * w00 + q[1 * C:2 * C] * w01
+                  + q[2 * C:3 * C] * w10 + q[3 * C:4 * C] * w11)
+
+    _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, 0,
+                S=S, blk=blk, TW=TW, TH=TH, Rt=Rt, C=C,
+                n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
+                density_shift=density_shift,
+                distance_scale=distance_scale, acc_dtype=acc_dtype,
+                s_major=s_major, use_weights_row=use_weights_row,
+                shading=shading, ablate=ablate)
+
+
+def _shade_kernel_fused_patch(rows_ref, anc_ref, pk0_ref, pk1_ref,
+                              pk2_ref, pk3_ref, ttab_ref, wb_ref,
+                              out_ref, *, S, blk, W, H, TW, TH, Rt, C,
+                              px, py, m0, m1, n_density, n_basis,
+                              sh_deg, density_shift, distance_scale,
+                              acc_dtype, s_major, use_weights_row,
+                              shading, ablate=()):
+    """Fused patch-blend + shade: one invocation consumes one J-block of
+    gathered patch rows and shades ALL FOUR phases that share it,
+    writing phase p's per-ray totals to out rows [8p, 8p+8). Replaces
+    the separate patch-blend kernel: the [4C, J] f32 feature round trip
+    through HBM and blend's duplicate pack reads vanish (~3 ms/chunk of
+    pure I/O at flagship channel counts, round-4b accounting)."""
+    patch = rows_ref[:].astype(jnp.float32).T          # [P*C, blk]
+    x0 = anc_ref[0:1]                                  # [1, blk]
+    y0 = anc_ref[1:2]
+    for p, pk_ref in enumerate((pk0_ref, pk1_ref, pk2_ref, pk3_ref)):
+        pk = pk_ref[:]
+        # in-kernel texel scale + anchor offset (bit-identical op order
+        # to the patch-blend kernel, ops/pallas/patch_blend.py)
+        u = (pk[m0:m0 + 1] + 1.0) * 0.5 * (W - 1) - x0
+        v = (pk[m1:m1 + 1] + 1.0) * 0.5 * (H - 1) - y0
+        feat_s = jnp.zeros((C, blk), jnp.float32)
+        for ty in range(py):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - ty))
+            for tx in range(px):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - tx))
+                t = ty * px + tx
+                feat_s = feat_s + (wx * wy) * patch[t * C:(t + 1) * C]
+        _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, 8 * p,
+                    S=S, blk=blk, TW=TW, TH=TH, Rt=Rt, C=C,
+                    n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
+                    density_shift=density_shift,
+                    distance_scale=distance_scale, acc_dtype=acc_dtype,
+                    s_major=s_major, use_weights_row=use_weights_row,
+                    shading=shading, ablate=ablate)
 
 
 def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
-                sh_deg, shading, distance_scale, s_major, ablate=()):
+                sh_deg, shading, distance_scale, s_major, ablate=(),
+                row0=0):
     """Shared kernel tail: per-channel shading (SH or RGB), per-sample
     color scale/shift, the segmented composite, and the compacted
-    per-ray totals."""
+    per-ray totals (written to out rows [row0, row0+8) — the fused
+    patch kernel stacks four phases in one 32-row output block)."""
     rgb = []
     if "sh" in ablate:
         rgb = [app[c:c + 1] for c in range(3)]
@@ -300,7 +359,7 @@ def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
         [w * rgb[0], w * rgb[1], w * rgb[2], w, w * dist,
          jnp.zeros((3, blk), jnp.float32)], 0)             # [8, blk]
     if "outmm" in ablate:
-        out_ref[:, :] = vs[:, :pt]
+        out_ref[row0:row0 + 8, :] = vs[:, :pt]
         return
     hi = vs.astype(jnp.bfloat16).astype(jnp.float32)
     lo = vs - hi
@@ -311,9 +370,9 @@ def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
             preferred_element_type=jnp.float32)            # [8, pt]
 
     if "outmm1" in ablate:
-        out_ref[:, :] = dot(hi)
+        out_ref[row0:row0 + 8, :] = dot(hi)
         return
-    out_ref[:, :] = dot(hi) + dot(lo)
+    out_ref[row0:row0 + 8, :] = dot(hi) + dot(lo)
 
 
 def build_scalar_pack(xn, yn, zn, tn, cs, csh, dist, vd_rows,
@@ -337,7 +396,8 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
                           density_shift, distance_scale, tile=64,
                           acc_dtype=jnp.bfloat16, interpret=None,
                           s_major=False, use_weights_row=False,
-                          shading="sh", preblended=False, ablate=()):
+                          shading="sh", preblended=False, ablate=(),
+                          anchors=None, patch_pxy=None, m0=0, m1=1):
     """Args:
       rows:   [N, 4C] bf16 gathered space quad rows (corner-major), or
               with preblended=True a [C, N] channels-first pre-blended
@@ -367,8 +427,20 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
     (i // (G/4), i % (G/4)) — the former phase_major_to_lane_major
     relayout copy (~0.8 ms/chunk each way on HW) becomes a BlockSpec
     index map.
+
+    preblended="fused_patch": rows is the [J, px*py*C] gathered patch
+    rows themselves (bf16) and `anchors` [2, J] the texel anchors —
+    the patch-blend runs INSIDE this kernel (one invocation blends one
+    J-block and shades all four phases sharing it), so the [4C, J] f32
+    feature array never exists in HBM and the separate blend kernel's
+    duplicate pack reads vanish. `patch_pxy` = (px, py); `m0`/`m1` the
+    pack rows holding the plane coords.
     """
-    if preblended == "phase_major":
+    if preblended == "fused_patch":
+        px, py = patch_pxy
+        C = rows.shape[1] // (px * py)
+        N = pack.shape[1]
+    elif preblended == "phase_major":
         C = rows.shape[0] // 4
         N = rows.shape[1] * 4
     elif preblended:
@@ -388,6 +460,51 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
     pt = ((tile + 127) // 128) * 128     # padded output lanes per block
     sh_deg = {1: 0, 4: 1, 9: 2, 16: 3, 25: 4}[n_basis] \
         if shading == "sh" else 0
+
+    if preblended == "fused_patch":
+        q4 = (N // blk) // 4
+        assert (N // blk) % 4 == 0 and rows.shape[0] == N // 4, \
+            (N, blk, rows.shape)
+        kern = functools.partial(
+            _shade_kernel_fused_patch, S=S, blk=blk, W=W, H=H, TW=TW,
+            TH=TH, Rt=Rt, C=C, px=px, py=py, m0=m0, m1=m1,
+            n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
+            density_shift=float(density_shift),
+            distance_scale=float(distance_scale), acc_dtype=acc_dtype,
+            s_major=s_major, use_weights_row=use_weights_row,
+            shading=shading, ablate=tuple(ablate))
+        out = pl.pallas_call(
+            kern,
+            grid=(q4,),
+            in_specs=[
+                pl.BlockSpec((blk, px * py * C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                *[pl.BlockSpec((PACK_ROWS, blk),
+                               lambda i, _p=p: (0, i + _p * q4),
+                               memory_space=pltpu.VMEM)
+                  for p in range(4)],
+                pl.BlockSpec(((TH + 2) * C, Rt), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * n_basis, C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((32, pt), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((32, q4 * pt), jnp.float32),
+            interpret=interpret,
+        )(rows, anchors, pack, pack, pack, pack, time_table_t, wb_t)
+        # rows 8p hold phase p's totals for J-block i at column block i;
+        # rearrange to the phase-major per-ray order (tiny [8, N/S]-
+        # class copy)
+        out = out.reshape(4, 8, q4, pt).transpose(1, 0, 2, 3).reshape(
+            8, 4 * q4 * pt)
+        if pt != tile:
+            out = out.reshape(8, N // blk, pt)[:, :, :tile].reshape(
+                8, N // S)
+        return out
+
     kern = functools.partial(
         _shade_kernel, S=S, blk=blk, W=W, H=H, TW=TW, TH=TH, Rt=Rt, C=C,
         n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,

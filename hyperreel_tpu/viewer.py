@@ -100,6 +100,7 @@ class InteractiveRenderer:
         import jax
         self._level = len(self.ladder) - 1  # start conservative
         self._jax = jax
+        self._frame_fns = {}
         # Device-resident weights: jit does NOT cache host (numpy) args,
         # so leaving params on host re-uploads the full parameter set
         # through the axon tunnel EVERY frame (measured: seconds/frame,
@@ -213,7 +214,79 @@ class InteractiveRenderer:
             return True
         if rays is None:
             return False
+        if callable(rays):
+            r = float(np.linalg.norm(np.asarray(pose)[:3, 3]))
+            key = (W, H, int(np.round(np.log1p(r) * 4)))
+            if key in self._patch_gate_cache:   # avoid building host
+                return self._patch_gate_cache[key]  # rays on cache hit
+            rays = rays()
         return self._patch_probe_ok(rays, W, H, focal_px, pose)
+
+    def _frame_fn(self, W, H, use_patch, ray_width):
+        """Compiled pose->frame path: rays are generated IN-GRAPH from a
+        [3,3] K + [3,4] pose (the per-frame host->device upload drops
+        from 32 MB of rays to ~60 B), and the output is uint8 in-graph
+        (3 MB readback, not 12 MB f32). The pixel-grid constants are
+        PRE-PERMUTED host-side into the phase-major chunk order when the
+        patch path is on, so the pm contract costs nothing in-graph."""
+        import jax
+        import jax.numpy as jnp
+        key = (W, H, use_patch, ray_width)
+        hit = self._frame_fns.get(key)
+        if hit is not None:
+            return hit
+        n = W * H
+        cs = self.chunk if n >= self.chunk else (n + 1023) // 1024 * 1024
+        pad = (-n) % cs
+        k = (n + pad) // cs
+        # flat pixel coords, padded by replicating the last pixel
+        jj, ii = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32),
+                             indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        if pad:
+            ii = np.concatenate([ii, np.repeat(ii[-1:], pad)])
+            jj = np.concatenate([jj, np.repeat(jj[-1:], pad)])
+        if use_patch:
+            # phase-major per chunk as a CONSTANT reindex of the grid
+            pm = (np.arange(k * cs).reshape(k, cs // 4, 4)
+                  .transpose(0, 2, 1).reshape(-1))
+            ii, jj = ii[pm], jj[pm]
+        ii = jnp.asarray(ii.reshape(k, cs))
+        jj = jnp.asarray(jj.reshape(k, cs))
+        model = self.patch_model if use_patch else self.model
+        base_rk = {"rays_phase_major": True} if use_patch else {}
+
+        def fn(params, prepared, K, pose, t, cam):
+            ctx = make_ctx(it=self.it, training=False)
+            # get_ray_directions_K semantics (ops/ray_math.py:8-26,
+            # centered_pixels) + get_rays rotation/normalize (29-39)
+            x = (ii - K[0, 2] + 0.5) / K[0, 0]
+            y = -(jj - K[1, 2] + 0.5) / K[1, 1]
+            dirs = jnp.stack([x, y, -jnp.ones_like(x)], -1)
+            d = dirs @ pose[:, :3].T
+            d = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            o = jnp.broadcast_to(pose[:, 3], d.shape)
+            cols = [o, d]
+            if ray_width >= 7:
+                cols.append(jnp.full(d.shape[:-1] + (1,), cam))
+            if ray_width == 8:
+                cols.append(jnp.full(d.shape[:-1] + (1,), t))
+            rays = jnp.concatenate(cols, -1)
+
+            def one(r):
+                rk = dict(base_rk)
+                if prepared is not None:
+                    rk["cf_prepared"] = prepared
+                return model.apply(params, r, ctx,
+                                   render_kwargs=rk or None)["rgb"]
+            rgb = self._jax.lax.map(one, rays)
+            return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        jf = self._jax.jit(fn)
+        self._frame_fns[key] = (jf, k, cs, pad)
+        return self._frame_fns[key]
 
     def _wh_for(self, level):
         s = self.ladder[level]
@@ -233,6 +306,21 @@ class InteractiveRenderer:
             self.render_frame(pose)
         self._level = level
 
+    def _host_rays(self, W, H, K, pose, t, cam_id):
+        """Host-side ray build (the patch-gate probe path only; frames
+        go through the compiled pose path, _frame_fn)."""
+        dirs = get_ray_directions_K(H, W, K, centered_pixels=True)
+        rays_o, rays_d = get_rays(dirs, np.asarray(pose, np.float32))
+        rays = np.concatenate([rays_o, rays_d], -1).astype(np.float32)
+        if self.ray_width >= 7:
+            rays = np.concatenate(
+                [rays, np.full((rays.shape[0], 1), cam_id, np.float32)],
+                -1)
+        if self.ray_width == 8:
+            rays = np.concatenate(
+                [rays, np.full((rays.shape[0], 1), t, np.float32)], -1)
+        return rays
+
     def render_frame(self, pose, K=None, t=0.0, cam_id=1.0):
         """Render one frame at the current ladder level; adapt the level to
         the measured frame time."""
@@ -245,44 +333,27 @@ class InteractiveRenderer:
             K = np.asarray(K, np.float32).copy()
             K[0] *= W / self.base_wh[0]
             K[1] *= H / self.base_wh[1]
-        dirs = get_ray_directions_K(H, W, K, centered_pixels=True)
-        rays_o, rays_d = get_rays(dirs, np.asarray(pose, np.float32))
-        rays = np.concatenate([rays_o, rays_d], -1).astype(np.float32)
-        if self.ray_width >= 7:
-            rays = np.concatenate(
-                [rays, np.full((rays.shape[0], 1), cam_id, np.float32)], -1)
-        if self.ray_width == 8:
-            rays = np.concatenate(
-                [rays, np.full((rays.shape[0], 1), t, np.float32)], -1)
-
-        n = rays.shape[0]
-        cs = self.chunk if n >= self.chunk else (n + 1023) // 1024 * 1024
-        pad = (-n) % cs
-        if pad:
-            rays = np.concatenate(
-                [rays, np.repeat(rays[-1:], pad, 0)], 0)
-        k = rays.shape[0] // cs
-        chunks = rays.reshape(k, cs, -1)
+        K = np.asarray(K, np.float32)
+        n = W * H
 
         use_patch = self._patch_ok(
-            K[0][0] if isinstance(K, list) else K[0, 0], pose,
-            rays=rays[:n], W=W, H=H)
+            float(K[0, 0]), pose, W=W, H=H,
+            rays=lambda: self._host_rays(W, H, K, pose, t, cam_id))
         self.last_used_patch = use_patch
+        jf, k, cs, pad = self._frame_fn(W, H, use_patch, self.ray_width)
+
         t0 = time.perf_counter()
+        out_u8 = np.asarray(jf(
+            self.params, self._patch_prepared if use_patch
+            else self._prepared,
+            jnp.asarray(K), jnp.asarray(np.asarray(pose, np.float32)),
+            jnp.asarray(t, jnp.float32),
+            jnp.asarray(cam_id, jnp.float32)))
         if use_patch:
-            # phase-major per chunk (host-side, off the device clock —
-            # the serving contract; see bench.py)
-            pm = np.ascontiguousarray(
-                chunks.reshape(k, cs // 4, 4, -1).transpose(0, 2, 1, 3)
-            ).reshape(k, cs, -1)
-            rgb = self._patch_fwd(self.params, self._patch_prepared,
-                                  jnp.asarray(pm))
-            out = np.asarray(rgb).reshape(k, 4, cs // 4, 3).transpose(
+            out_u8 = out_u8.reshape(k, 4, cs // 4, 3).transpose(
                 0, 2, 1, 3).reshape(-1, 3)
         else:
-            rgb = self._fwd(self.params, self._prepared,
-                            jnp.asarray(chunks))
-            out = np.asarray(rgb).reshape(-1, 3)
+            out_u8 = out_u8.reshape(-1, 3)
         # the np.asarray readback above is the trustworthy sync point
         # through the axon tunnel (block_until_ready resolves early)
         dt = time.perf_counter() - t0
@@ -293,8 +364,7 @@ class InteractiveRenderer:
         elif dt < self.frame_budget_s * 0.4 and self._level > 0:
             self._level -= 1
 
-        img = np.clip(out[:n].reshape(H, W, 3), 0, 1)
-        return (img * 255).astype(np.uint8), dt
+        return out_u8[:n].reshape(H, W, 3), dt
 
 
 def fast_mode_probe(model, params, fast_model, fast_params, coords,

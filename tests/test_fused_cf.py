@@ -453,6 +453,44 @@ class TestPackBuildKernel:
                                  num_frames=4, num_keyframes=2)
         self._parity(self._dyn_cfg(), ds, monkeypatch)
 
+    def test_dynamic_bf16_input_kernel_parity(self, monkeypatch):
+        """compute_dtype=bf16: the MLP output ships to the kernel
+        STORED as bf16 (lossless — the values are bf16-valued either
+        way; fused_eval keep_dtype) and upcasts on load. Parity vs the
+        general path at the same compute dtype, plus a dtype spy."""
+        import copy
+        import hyperreel_tpu.ops.pallas.pack_build as PB
+        dtypes = []
+        orig = PB.pack_build
+
+        def spy(out_cf_fm, *a, **k):
+            dtypes.append(out_cf_fm.dtype)
+            return orig(out_cf_fm, *a, **k)
+
+        monkeypatch.setattr(PB, "pack_build", spy)
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        # S=16 so P*S % 16 == 0 (the bf16 block gate; S=8 configs fall
+        # back to f32 input, flagship S=32 always qualifies)
+        cfg = convert_epochs_to_iters(tiny_dynamic(z_channels=16),
+                                      iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        m_cf = build_model(cfg, dataset_info=ds.info(),
+                           compute_dtype=jnp.bfloat16)
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info(),
+                          compute_dtype=jnp.bfloat16)
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:256])
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+        assert dtypes and all(d == jnp.bfloat16 for d in dtypes), dtypes
+
     def test_dynamic_compact_kernel_parity(self, monkeypatch):
         from hyperreel_tpu.configs.presets import with_compact_samples
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
@@ -562,12 +600,15 @@ class TestCoherentGather:
         import copy
         import hyperreel_tpu.ops.pallas.patch_blend as PBL
         calls = []
-        orig = PBL.patch_blend
+        orig = PBL.patch_anchor_idx
 
         def spy(*a, **k):
             calls.append(1)
             return orig(*a, **k)
-        monkeypatch.setattr(PBL, "patch_blend", spy)
+        # anchors are built on BOTH patch routes (separate blend kernel
+        # and the blend+shade fusion), so this spy proves the patch
+        # path engaged without pinning which route ran
+        monkeypatch.setattr(PBL, "patch_anchor_idx", spy)
 
         from hyperreel_tpu.configs.presets import with_coherent_gather
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
@@ -587,8 +628,8 @@ class TestCoherentGather:
         ctx = make_ctx(it=5000, training=False)
         a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
         b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
-        assert calls, "patch_blend kernel never invoked"
         assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+        assert calls, "patch path never engaged"
 
     def _dyn_cfg(self):
         cfg = convert_epochs_to_iters(tiny_dynamic(), iters_per_epoch=50)
@@ -636,6 +677,38 @@ class TestCoherentGather:
         from hyperreel_tpu.configs.presets import with_inference_samples
         self._patch_parity(with_inference_samples(self._dyn_cfg(), 4),
                            monkeypatch)
+
+    def test_fused_patch_vs_blend_kernel(self, monkeypatch):
+        """Blend+shade fusion (shade.py _shade_kernel_fused_patch) vs
+        the separate patch-blend kernel route: same math except the
+        fused route keeps the blended features in f32 registers (the
+        blend kernel rounds its HBM output to bf16), so the routes
+        agree within the feats-rounding envelope and BOTH hold the
+        2e-4 gate vs the general path (covered by _patch_parity)."""
+        import hyperreel_tpu.ops.pallas.patch_blend as PBL
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        blend_calls = []
+        orig = PBL.patch_blend
+
+        def spy(*a, **k):
+            blend_calls.append(1)
+            return orig(*a, **k)
+        monkeypatch.setattr(PBL, "patch_blend", spy)
+
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg_p = with_coherent_gather(self._dyn_cfg(), 4, 3)
+        m_p = build_model(cfg_p, dataset_info=ds.info())
+        params = m_p.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        monkeypatch.setenv("HYPERREEL_FUSED_PATCH", "1")
+        a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        assert not blend_calls, "fusion on: blend kernel must not run"
+        monkeypatch.setenv("HYPERREEL_FUSED_PATCH", "0")
+        b = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        assert blend_calls, "fusion off: blend kernel must run"
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
 
     def test_patch_multi_axis_static(self, monkeypatch):
         # the [8, 4, 4] static family: 3 patch gathers/sample replace
