@@ -82,13 +82,15 @@ def main():
     total = 0.0
     for ev in tr.get("traceEvents", []):
         if ev.get("ph") == "X" and ev.get("pid") in dev_pids and "dur" in ev:
-            tot[ev.get("name", "?")] += ev["dur"]
-            total += ev["dur"]
-    # the parent jit span double-counts its children: subtract the
-    # largest jit_* entry
-    parent = max((v for k, v in tot.items() if k.startswith("jit_")),
-                 default=0.0)
-    dev_ms = (total - parent) / 1e3
+            name = ev.get("name", "?")
+            tot[name] += ev["dur"]
+            # leaf sum: parent spans ("0", jit_*, the scan's while.*)
+            # re-count their children (the round-4b grid-800 run
+            # triple-counted: 3819 "ms device" for a 1270 ms scan)
+            if not (name == "0" or name.startswith("jit_")
+                    or name.startswith("while")):
+                total += ev["dur"]
+    dev_ms = total / 1e3
     log(f"== {spc}-step scan: {dev_ms:.1f} ms device "
         f"({dev_ms/spc:.2f} ms/step, "
         f"{16384*spc/(dev_ms/1e3)/1e6:.2f} Mrays/s train)")
