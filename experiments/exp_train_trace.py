@@ -32,15 +32,25 @@ def main():
     from hyperreel_tpu.train.regularizers import tv_4000_defaults
 
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    log("devices:", jax.devices(), "grid:", grid)
+    # A/B knob (round 4b): "notv" drops the tensorf regularizer to
+    # isolate the TV+L1 share of the final-scale step; "l1" keeps L1
+    # but zeroes the TV weights (the reference's post-120K regime)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "tv"
+    log("devices:", jax.devices(), "grid:", grid, "mode:", mode)
 
     ds = gaussian_blob_scene(n_views=4, wh=(64, 64), dynamic=True)
     cfg = _mid_scale(
         convert_epochs_to_iters(technicolor_z_plane(), 200), grid=grid)
     model = build_model(cfg, dataset_info=ds.info(),
                         compute_dtype=jnp.bfloat16)
+    regs = tv_4000_defaults()
+    if mode == "notv":
+        regs = None
+    elif mode == "l1":
+        regs["tensorf"]["TV_weight_density"] = 0.0
+        regs["tensorf"]["TV_weight_app"] = 0.0
     trainer = Trainer(model, _training_cfg(),
-                      regularizer_cfgs=tv_4000_defaults(),
+                      regularizer_cfgs=regs,
                       iters_per_epoch=200)
     state = trainer.init_state(jax.random.PRNGKey(0))
     spc = 8

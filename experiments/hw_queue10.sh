@@ -22,3 +22,9 @@ timeout 3600 python -u experiments/exp_train_trace.py 800 \
   > /tmp/hw_queue/train_trace_800b.log 2>&1
 log "leg 2 rc=$?"
 log "queue 10 done"
+
+log "leg 3: exp_train_trace 800 l1 (TV share A/B - the post-120K regime)"
+timeout 3600 python -u experiments/exp_train_trace.py 800 l1 \
+  > /tmp/hw_queue/train_trace_800_l1.log 2>&1
+log "leg 3 rc=$?"
+log "queue 10b done"
