@@ -888,20 +888,25 @@ class FusedCFEval:
                     W=W, H=H, px=ppx, py=ppy, C=C_a,
                     blkj=blkj, out_dtype=jnp.bfloat16)
 
-            fuse_patch = dyn1 and os.environ.get(
+            fuse_patch = os.environ.get(
                 "HYPERREEL_FUSED_PATCH", "1") not in ("0", "false")
-            if dyn1 and fuse_patch:
-                # blend+shade FUSION (shade.py _shade_kernel_fused_patch):
-                # hand the gathered patch rows + anchors straight to the
-                # shade kernel — the [4C, J] f32 feature array never
-                # exists in HBM and the blend kernel's duplicate pack
-                # reads vanish (~3 ms/chunk of I/O at flagship channel
-                # counts). HYPERREEL_FUSED_PATCH=0 restores the separate
+            if fuse_patch:
+                # blend+shade FUSION (shade.py _shade_kernel_fused_patch
+                # / _shade_kernel_multi_fused_patch): hand the gathered
+                # patch rows + anchors straight to the shade kernel —
+                # the per-axis [4C, J] f32 feature arrays never exist in
+                # HBM and the blend kernel's duplicate pack reads vanish
+                # (~3 ms/chunk of I/O at flagship channel counts).
+                # HYPERREEL_FUSED_PATCH=0 restores the separate
                 # patch-blend kernel (A/B knob).
-                W0, H0, m00, m10 = axis_specs[0]
-                pidx, p_anchors = patch_anchor_idx(
-                    pack[m00], pack[m10], W0, H0)
-                rows_list = [ptabs[0][pidx]]
+                rows_list, anchors_list = [], []
+                for a in range(1 if dyn1 else len(axis_specs)):
+                    Wa, Ha, m0a, m1a = axis_specs[a]
+                    pidx, anc = patch_anchor_idx(
+                        pack[m0a], pack[m1a], Wa, Ha)
+                    rows_list.append(ptabs[a][pidx])
+                    anchors_list.append(anc)
+                p_anchors = anchors_list[0]
             elif dyn1:
                 rows_list = [patch_feats(0, C)]
             else:
@@ -933,14 +938,26 @@ class FusedCFEval:
         else:
             from hyperreel_tpu.ops.pallas.shade import (
                 fused_shade_composite_multi)
-            out = fused_shade_composite_multi(
-                rows_list, pack, line_tabs, wb_t,
-                axes=net.active_density, S=S, grid_dims=grid_dims,
-                line_lens=line_lens, time_hs=time_hs, dens_c=dens_c,
-                app_c=app_c, n_basis=n_basis, shading=shading,
-                density_shift=0.0, distance_scale=net.distance_scale,
-                tile=tile, s_major=True,
-                preblended="phase_major" if patch else False)
+            if patch and fuse_patch:
+                out = fused_shade_composite_multi(
+                    rows_list, pack, line_tabs, wb_t,
+                    axes=net.active_density, S=S, grid_dims=grid_dims,
+                    line_lens=line_lens, time_hs=time_hs,
+                    dens_c=dens_c, app_c=app_c, n_basis=n_basis,
+                    shading=shading, density_shift=0.0,
+                    distance_scale=net.distance_scale,
+                    tile=tile, s_major=True, preblended="fused_patch",
+                    anchors_list=anchors_list, patch_pxy=patch)
+            else:
+                out = fused_shade_composite_multi(
+                    rows_list, pack, line_tabs, wb_t,
+                    axes=net.active_density, S=S, grid_dims=grid_dims,
+                    line_lens=line_lens, time_hs=time_hs,
+                    dens_c=dens_c, app_c=app_c, n_basis=n_basis,
+                    shading=shading, density_shift=0.0,
+                    distance_scale=net.distance_scale,
+                    tile=tile, s_major=True,
+                    preblended="phase_major" if patch else False)
 
         if patch and not pm_rays:
             # un-permute back to original ray order (the entry

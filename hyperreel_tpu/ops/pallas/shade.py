@@ -562,19 +562,13 @@ _MAT_MODE = ((0, 1), (0, 2), (1, 2))
 _VEC_MODE = (2, 1, 0)
 
 
-def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
-                        time_hs, dens_c, app_c, n_basis, sh_deg,
-                        density_shift, distance_scale, acc_dtype,
-                        s_major, use_weights_row, shading,
-                        preblended=False):
-    n_ax = len(axes)
-    rows_refs = refs[:n_ax]
-    pack_ref = refs[n_ax]
-    ttab_refs = refs[n_ax + 1:2 * n_ax + 1]
-    wb_ref = refs[2 * n_ax + 1]
-    out_ref = refs[2 * n_ax + 2]
-
-    pk = pack_ref[:]                                       # [16, blk]
+def _multi_core(pk, get_feat_p, ttab_refs, wb_ref, out_ref, row0,
+                *, axes, S, blk, line_lens, time_hs, dens_c, app_c,
+                n_basis, sh_deg, density_shift, distance_scale,
+                acc_dtype, s_major, use_weights_row, shading):
+    """Per-phase multi-axis body: per-axis space features (via
+    get_feat_p(a, pk)) x line/time-plane second factors, density,
+    basis matmul, tail. Writes out rows [row0, row0+8)."""
     comp = [pk[0:1], pk[1:2], pk[2:3]]
     tn = pk[3:4]
     dist = pk[4:5]
@@ -585,29 +579,9 @@ def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
     dfeat = jnp.zeros((1, blk), jnp.float32)
     app_parts = []
     for a, ax in enumerate(axes):
-        m0, m1 = _MAT_MODE[ax]
         v = _VEC_MODE[ax]
-        W, H = grid_dims[a]
         C_a = dens_c[a] + app_c[a]
-
-        if preblended:
-            # coherent patch-gather: per-axis channels-first features
-            feat_p = rows_refs[a][:].astype(jnp.float32)   # [C_a, blk]
-        else:
-            px = (comp[m0] + 1.0) * 0.5 * (W - 1)
-            py = (comp[m1] + 1.0) * 0.5 * (H - 1)
-            _, fx, x_lo, x_hi = _corner_weights(px, W)
-            _, fy, y_lo, y_hi = _corner_weights(py, H)
-            w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
-            w01 = (1.0 - fy) * fx * y_lo * x_hi
-            w10 = fy * (1.0 - fx) * y_hi * x_lo
-            w11 = fy * fx * y_hi * x_hi
-
-            q = rows_refs[a][:].astype(jnp.float32).T      # [4C_a, blk]
-            feat_p = (q[0 * C_a:1 * C_a] * w00
-                      + q[1 * C_a:2 * C_a] * w01
-                      + q[2 * C_a:3 * C_a] * w10
-                      + q[3 * C_a:4 * C_a] * w11)
+        feat_p = get_feat_p(a, pk)
 
         # second factor: ring-padded table, two-hot MXU lookup.
         # time_hs[a] == 0: a pure 1D line [C_a, Lp] (static VM).
@@ -649,7 +623,103 @@ def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
         preferred_element_type=jnp.float32)                # [3K, blk]
     _shade_tail(out_ref, pk, sigma, app, dist, S=S, blk=blk,
                 n_basis=n_basis, sh_deg=sh_deg, shading=shading,
-                distance_scale=distance_scale, s_major=s_major)
+                distance_scale=distance_scale, s_major=s_major,
+                row0=row0)
+
+
+def _shade_kernel_multi(*refs, axes, S, blk, grid_dims, line_lens,
+                        time_hs, dens_c, app_c, n_basis, sh_deg,
+                        density_shift, distance_scale, acc_dtype,
+                        s_major, use_weights_row, shading,
+                        preblended=False):
+    n_ax = len(axes)
+    rows_refs = refs[:n_ax]
+    pack_ref = refs[n_ax]
+    ttab_refs = refs[n_ax + 1:2 * n_ax + 1]
+    wb_ref = refs[2 * n_ax + 1]
+    out_ref = refs[2 * n_ax + 2]
+
+    pk = pack_ref[:]                                       # [16, blk]
+
+    def get_feat_p(a, pk):
+        ax = axes[a]
+        m0, m1 = _MAT_MODE[ax]
+        W, H = grid_dims[a]
+        C_a = dens_c[a] + app_c[a]
+        if preblended:
+            # coherent patch-gather: per-axis channels-first features
+            return rows_refs[a][:].astype(jnp.float32)     # [C_a, blk]
+        px = (pk[m0:m0 + 1] + 1.0) * 0.5 * (W - 1)
+        py = (pk[m1:m1 + 1] + 1.0) * 0.5 * (H - 1)
+        _, fx, x_lo, x_hi = _corner_weights(px, W)
+        _, fy, y_lo, y_hi = _corner_weights(py, H)
+        w00 = (1.0 - fy) * (1.0 - fx) * y_lo * x_lo
+        w01 = (1.0 - fy) * fx * y_lo * x_hi
+        w10 = fy * (1.0 - fx) * y_hi * x_lo
+        w11 = fy * fx * y_hi * x_hi
+        q = rows_refs[a][:].astype(jnp.float32).T          # [4C_a, blk]
+        return (q[0 * C_a:1 * C_a] * w00 + q[1 * C_a:2 * C_a] * w01
+                + q[2 * C_a:3 * C_a] * w10 + q[3 * C_a:4 * C_a] * w11)
+
+    _multi_core(pk, get_feat_p, ttab_refs, wb_ref, out_ref, 0,
+                axes=axes, S=S, blk=blk, line_lens=line_lens,
+                time_hs=time_hs, dens_c=dens_c, app_c=app_c,
+                n_basis=n_basis, sh_deg=sh_deg,
+                density_shift=density_shift,
+                distance_scale=distance_scale, acc_dtype=acc_dtype,
+                s_major=s_major, use_weights_row=use_weights_row,
+                shading=shading)
+
+
+def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
+                                    line_lens, time_hs, dens_c, app_c,
+                                    px, py, n_basis, sh_deg,
+                                    density_shift, distance_scale,
+                                    acc_dtype, s_major,
+                                    use_weights_row, shading):
+    """Multi-axis blend+shade fusion: one invocation reads one J-block
+    of per-axis gathered patch rows + anchors and shades all four
+    phases (see _shade_kernel_fused_patch)."""
+    n_ax = len(axes)
+    rows_refs = refs[:n_ax]
+    anc_refs = refs[n_ax:2 * n_ax]
+    pk_refs = refs[2 * n_ax:2 * n_ax + 4]
+    ttab_refs = refs[2 * n_ax + 4:3 * n_ax + 4]
+    wb_ref = refs[3 * n_ax + 4]
+    out_ref = refs[3 * n_ax + 5]
+
+    patches = [r[:].astype(jnp.float32).T for r in rows_refs]
+
+    for p, pk_ref in enumerate(pk_refs):
+        pk = pk_ref[:]
+
+        def get_feat_p(a, pk):
+            ax = axes[a]
+            m0, m1 = _MAT_MODE[ax]
+            W, H = grid_dims[a]
+            C_a = dens_c[a] + app_c[a]
+            u = (pk[m0:m0 + 1] + 1.0) * 0.5 * (W - 1) \
+                - anc_refs[a][0:1]
+            v = (pk[m1:m1 + 1] + 1.0) * 0.5 * (H - 1) \
+                - anc_refs[a][1:2]
+            acc = jnp.zeros((C_a, blk), jnp.float32)
+            for ty in range(py):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - ty))
+                for tx in range(px):
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - tx))
+                    t = ty * px + tx
+                    acc = acc + (wx * wy) * patches[a][
+                        t * C_a:(t + 1) * C_a]
+            return acc
+
+        _multi_core(pk, get_feat_p, ttab_refs, wb_ref, out_ref, 8 * p,
+                    axes=axes, S=S, blk=blk, line_lens=line_lens,
+                    time_hs=time_hs, dens_c=dens_c, app_c=app_c,
+                    n_basis=n_basis, sh_deg=sh_deg,
+                    density_shift=density_shift,
+                    distance_scale=distance_scale, acc_dtype=acc_dtype,
+                    s_major=s_major, use_weights_row=use_weights_row,
+                    shading=shading)
 
 
 def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
@@ -658,7 +728,8 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
                                 distance_scale, time_hs=None, tile=64,
                                 acc_dtype=jnp.bfloat16, interpret=None,
                                 s_major=False, use_weights_row=False,
-                                shading="sh", preblended=False):
+                                shading="sh", preblended=False,
+                                anchors_list=None, patch_pxy=None):
     """Multi-axis static fused render.
 
     rows_list: per-axis [N, 4*C_a] bf16 gathered quad rows, or with
@@ -669,7 +740,9 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
     wb_t:      [3K, sum(app_c)] transposed basis matrix (app rows only).
     grid_dims: per-axis (W, H) plane dims.
     """
-    if preblended == "phase_major":
+    if preblended == "fused_patch":
+        N = pack.shape[1]
+    elif preblended == "phase_major":
         N = rows_list[0].shape[1] * 4
     elif preblended:
         N = rows_list[0].shape[1]
@@ -684,6 +757,54 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
         if shading == "sh" else 0
     if time_hs is None:
         time_hs = (0,) * len(axes)
+
+    if preblended == "fused_patch":
+        px, py = patch_pxy
+        q4 = (N // blk) // 4
+        assert (N // blk) % 4 == 0, (N, blk)
+        kern = functools.partial(
+            _shade_kernel_multi_fused_patch, axes=tuple(axes), S=S,
+            blk=blk, grid_dims=tuple(tuple(g) for g in grid_dims),
+            line_lens=tuple(int(L) for L in line_lens),
+            time_hs=tuple(int(t) for t in time_hs),
+            dens_c=tuple(dens_c), app_c=tuple(app_c), px=px, py=py,
+            n_basis=n_basis, sh_deg=sh_deg,
+            density_shift=float(density_shift),
+            distance_scale=float(distance_scale), acc_dtype=acc_dtype,
+            s_major=s_major, use_weights_row=use_weights_row,
+            shading=shading)
+        in_specs = [pl.BlockSpec((blk, r.shape[1]), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+                    for r in rows_list]
+        in_specs += [pl.BlockSpec((2, blk), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+                     for _ in rows_list]
+        in_specs += [pl.BlockSpec((PACK_ROWS, blk),
+                                  lambda i, _p=p: (0, i + _p * q4),
+                                  memory_space=pltpu.VMEM)
+                     for p in range(4)]
+        in_specs += [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for t in line_tabs]
+        in_specs.append(pl.BlockSpec(wb_t.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
+            kern,
+            grid=(q4,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((32, pt), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((32, q4 * pt), jnp.float32),
+            interpret=interpret,
+        )(*rows_list, *anchors_list, pack, pack, pack, pack,
+          *line_tabs, wb_t)
+        out = out.reshape(4, 8, q4, pt).transpose(1, 0, 2, 3).reshape(
+            8, 4 * q4 * pt)
+        if pt != tile:
+            out = out.reshape(8, N // blk, pt)[:, :, :tile].reshape(
+                8, N // S)
+        return out
+
     kern = functools.partial(
         _shade_kernel_multi, axes=tuple(axes), S=S, blk=blk,
         grid_dims=tuple(tuple(g) for g in grid_dims),

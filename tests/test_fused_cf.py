@@ -716,12 +716,14 @@ class TestCoherentGather:
         import copy
         import hyperreel_tpu.ops.pallas.patch_blend as PBL
         calls = []
-        orig = PBL.patch_blend
+        orig = PBL.patch_anchor_idx
 
         def spy(*a, **k):
             calls.append(1)
             return orig(*a, **k)
-        monkeypatch.setattr(PBL, "patch_blend", spy)
+        # anchors are built once per AXIS on both patch routes (blend
+        # kernel and blend+shade fusion)
+        monkeypatch.setattr(PBL, "patch_anchor_idx", spy)
 
         from hyperreel_tpu.configs.presets import (
             tiny_static, with_coherent_gather)
@@ -744,20 +746,20 @@ class TestCoherentGather:
         ctx = make_ctx(it=5000, training=False)
         a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
         b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
-        assert len(calls) == 3, len(calls)    # one blend per axis
         assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+        assert len(calls) == 3, len(calls)    # anchors per axis
 
     def test_patch_multi_axis_dynamic(self, monkeypatch):
         # the [8, 4, 4] dynamic keyframe family (immersive/neural_3d)
         import copy
         import hyperreel_tpu.ops.pallas.patch_blend as PBL
         calls = []
-        orig = PBL.patch_blend
+        orig = PBL.patch_anchor_idx
 
         def spy(*a, **k):
             calls.append(1)
             return orig(*a, **k)
-        monkeypatch.setattr(PBL, "patch_blend", spy)
+        monkeypatch.setattr(PBL, "patch_anchor_idx", spy)
 
         from hyperreel_tpu.configs.presets import with_coherent_gather
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
@@ -777,8 +779,8 @@ class TestCoherentGather:
         ctx = make_ctx(it=5000, training=False)
         a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
         b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
-        assert len(calls) == 3, len(calls)
         assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+        assert len(calls) == 3, len(calls)
 
     def test_prepared_includes_patch_table(self):
         from hyperreel_tpu.configs.presets import with_coherent_gather
