@@ -890,6 +890,20 @@ class FusedCFEval:
 
             fuse_patch = os.environ.get(
                 "HYPERREEL_FUSED_PATCH", "1") not in ("0", "false")
+            if fuse_patch and not dyn1:
+                # STRUCTURAL GATE (round-5): the multi-axis blend+shade
+                # fusion (_shade_kernel_multi_fused_patch) fails the
+                # Mosaic compile on real TPU for BOTH the llff-class
+                # static and n3d-class dynamic families (round-4
+                # regression, /tmp/hw_queue/multiaxis_patch2.log:
+                # compile-helper 500 at every tile), while the
+                # two-kernel route (patch_blend + preblended
+                # "phase_major") is the HW-measured published path
+                # (llff 5.64 / n3d 3.32 Mrays/s). Default to the route
+                # that lowers; the fused variant stays opt-in for HW
+                # experimentation until its compile is fixed.
+                fuse_patch = os.environ.get(
+                    "HYPERREEL_FUSED_PATCH_MULTI") == "1"
             if fuse_patch:
                 # blend+shade FUSION (shade.py _shade_kernel_fused_patch
                 # / _shade_kernel_multi_fused_patch): hand the gathered

@@ -453,11 +453,9 @@ class TestPackBuildKernel:
                                  num_frames=4, num_keyframes=2)
         self._parity(self._dyn_cfg(), ds, monkeypatch)
 
-    def test_dynamic_bf16_input_kernel_parity(self, monkeypatch):
-        """compute_dtype=bf16: the MLP output ships to the kernel
-        STORED as bf16 (lossless — the values are bf16-valued either
-        way; fused_eval keep_dtype) and upcasts on load. Parity vs the
-        general path at the same compute dtype, plus a dtype spy."""
+    def _bf16_input_run(self, monkeypatch):
+        """Shared driver: compute_dtype=bf16 model through the pack
+        kernel with a dtype spy; returns (dtypes_seen, max|cf - gen|)."""
         import copy
         import hyperreel_tpu.ops.pallas.pack_build as PB
         dtypes = []
@@ -488,7 +486,27 @@ class TestPackBuildKernel:
         ctx = make_ctx(it=5000, training=False)
         a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
         b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
-        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+        return dtypes, float(np.abs(a - b).max())
+
+    def test_dynamic_pack_input_f32_by_default(self, monkeypatch):
+        """The pack kernel's MLP-output input is STORED f32 by default
+        even at compute_dtype=bf16: XLA fuses dot(bf16,bf16) +
+        convert(f32) into an f32-ACCUMULATED output, so f32 storage
+        carries accumulator precision that bf16 storage rounds away
+        (HW: |patch-gen| 3.2e-4 > the 2e-4 exact-class gate with bf16
+        input on — PERFORMANCE.md round 4b). Parity stays exact-class."""
+        monkeypatch.delenv("HYPERREEL_BF16_PACK_INPUT", raising=False)
+        dtypes, err = self._bf16_input_run(monkeypatch)
+        assert err < 2e-4, err
+        assert dtypes and all(d == jnp.float32 for d in dtypes), dtypes
+
+    def test_dynamic_pack_input_bf16_opt_in(self, monkeypatch):
+        """HYPERREEL_BF16_PACK_INPUT=1 opts into bf16 row storage at the
+        MLP/kernel boundary (pure-bandwidth knob; known to cost ~1e-4 of
+        accumulator precision on HW — not exact-class)."""
+        monkeypatch.setenv("HYPERREEL_BF16_PACK_INPUT", "1")
+        dtypes, err = self._bf16_input_run(monkeypatch)
+        assert err < 1e-3, err
         assert dtypes and all(d == jnp.bfloat16 for d in dtypes), dtypes
 
     def test_dynamic_compact_kernel_parity(self, monkeypatch):
@@ -781,6 +799,51 @@ class TestCoherentGather:
         b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
         assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
         assert len(calls) == 3, len(calls)
+
+    def test_patch_multi_axis_default_route_is_blend_kernel(
+            self, monkeypatch):
+        """STRUCTURAL GATE (round-5): the multi-axis blend+shade fusion
+        fails the Mosaic compile on real TPU (round-4 regression —
+        compile-helper 500 on llff AND n3d patch legs at every tile),
+        so the DEFAULT multi-axis patch route must be the two-kernel
+        path (patch_blend + preblended "phase_major" — the HW-measured
+        published route). The fused variant is opt-in via
+        HYPERREEL_FUSED_PATCH_MULTI=1 and must match it."""
+        import copy
+        import hyperreel_tpu.ops.pallas.patch_blend as PBL
+        blend_calls = []
+        orig = PBL.patch_blend
+
+        def spy(*a, **k):
+            blend_calls.append(1)
+            return orig(*a, **k)
+        monkeypatch.setattr(PBL, "patch_blend", spy)
+
+        from hyperreel_tpu.configs.presets import (
+            tiny_static, with_coherent_gather)
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"].update(
+            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+             "bf16_tables": True, "fused_render": True})
+        cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
+            "contract"] = {"type": "identity"}
+        cfg_p = with_coherent_gather(cfg, 4, 3)
+        m_p = build_model(cfg_p, dataset_info=ds.info())
+        params = m_p.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()[:, :6]
+        ctx = make_ctx(it=5000, training=False)
+        monkeypatch.setenv("HYPERREEL_FUSED_PATCH", "1")
+        monkeypatch.delenv("HYPERREEL_FUSED_PATCH_MULTI", raising=False)
+        a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        assert len(blend_calls) == 3, \
+            "multi-axis default must take the blend-kernel route"
+        monkeypatch.setenv("HYPERREEL_FUSED_PATCH_MULTI", "1")
+        blend_calls.clear()
+        b = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        assert not blend_calls, \
+            "opt-in fusion must bypass the blend kernel"
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
 
     def test_prepared_includes_patch_table(self):
         from hyperreel_tpu.configs.presets import with_coherent_gather
