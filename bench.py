@@ -69,12 +69,21 @@ def main():
     # not hoist the loop-invariant builds out of the frame lax.map
     # (~0.8 ms/chunk measured rebuilt per iteration, round-4 HLO
     # attribution), so in-frame rebuild would misprice serving.
+    # uniform_time: the bench frame shares one t (a frame render), so
+    # the keyframe time mix is premixed out of the shade kernel
+    # ((TH+2)x fewer MXU FLOPs in its dominant matmul — round-5). The
+    # in-graph witness below proves the contract holds; BENCH_UNIFORM_T=0
+    # restores the per-sample time mix for A/B.
+    uniform_t = os.environ.get("BENCH_UNIFORM_T", "1") not in (
+        "0", "false")
+    coherent = args.coherent_gather
     fn, (params, rays, it, rng) = entry(
         inference_samples=args.inference_samples or None,
-        coherent_gather=args.coherent_gather,
+        coherent_gather=coherent,
         compact_samples=args.compact_samples or None,
         prepared=True,
-        patch_shape=tuple(args.patch_shape) if args.patch_shape else None)
+        patch_shape=tuple(args.patch_shape) if args.patch_shape else None,
+        coverage_out=coherent, uniform_time=uniform_t)
 
     # megapixel frame (reference demo pushes 1,048,576 rays/forward,
     # scripts/demo_technicolor.sh:21-23) rendered as lax.map over chunks;
@@ -97,7 +106,8 @@ def main():
     t = np.full((n, 1), 0.3, np.float32)
     frame_np = np.concatenate([o, d, cam, t], -1).astype(np.float32)
     frame_np = frame_np.reshape(k, chunk, -1)
-    if args.coherent_gather:
+    frame_np_quad = frame_np
+    if coherent:
         # phase-major ray order per chunk (original ray 4j+p at position
         # p*chunk/4 + j): a free host-side reindex at ray generation that
         # replaces two in-graph permutation copies (entry()'s
@@ -116,7 +126,57 @@ def main():
 
     jitted = jax.jit(render_frame)
     out = jitted(params, frame, it, rng)
-    out.block_until_ready()
+    jax.block_until_ready(out)
+
+    # patch-EXACTNESS gate (round-5, VERDICT item 7): the patch path's
+    # in-graph coverage witness (models/fused_eval.py
+    # patch_coverage_viol) must be ZERO on this frame — otherwise the
+    # requested --patch-shape under-covers at this pixel density (HW
+    # ground truth: (2,2) renders 2.9e-3 off while (3,2)/(4,3) are
+    # 7e-5-exact, verify_pm3.log) and timing it as the exact-class
+    # headline would be dishonest. Fall back to the quad path loudly;
+    # BENCH_ALLOW_INEXACT=1 keeps the patch path (for Pareto ladders
+    # that label their rows approximate).
+    if coherent:
+        import sys
+        pviol = float(jnp.max(out[1]))
+        utviol = float(jnp.max(out[2]))
+        allow = os.environ.get("BENCH_ALLOW_INEXACT") == "1"
+        rebuild = False
+        if utviol > 0.0 and not allow:
+            # rays disagree on t: the uniform-time premix contract is
+            # broken — rebuild with the per-sample time mix
+            print(f"# uniform-time witness {utviol:.2e} > 0 -> "
+                  "disabling the time premix", file=sys.stderr,
+                  flush=True)
+            uniform_t = False
+            rebuild = True
+        if pviol > 0.0 and not allow:
+            print(f"# patch shape {tuple(args.patch_shape)} UNDER-"
+                  f"COVERS this frame (viol={pviol:.2e}) -> falling "
+                  "back to the exact quad path", file=sys.stderr,
+                  flush=True)
+            coherent = False
+            frame = jnp.asarray(frame_np_quad)
+            rebuild = True
+        elif (pviol > 0.0 or utviol > 0.0) and allow:
+            print(f"# witnesses patch={pviol:.2e} t={utviol:.2e} — "
+                  "timing anyway (BENCH_ALLOW_INEXACT=1)",
+                  file=sys.stderr, flush=True)
+        if rebuild:
+            fn, (params, _r, it, rng) = entry(
+                inference_samples=args.inference_samples or None,
+                coherent_gather=coherent,
+                compact_samples=args.compact_samples or None,
+                prepared=True,
+                patch_shape=(tuple(args.patch_shape)
+                             if coherent and args.patch_shape else None),
+                coverage_out=coherent, uniform_time=uniform_t)
+            jitted = jax.jit(render_frame)
+            out = jitted(params, frame, it, rng)
+            jax.block_until_ready(out)
+
+    rgb_of = (lambda o: o[0]) if coherent else (lambda o: o)
 
     # Streaming-throughput timing through the axon tunnel: the production
     # renderer pipelines frame dispatches against device execution, so the
@@ -134,11 +194,11 @@ def main():
     for v in frame_variants:
         float(v[0, 0, 0])
     out = jitted(params, frame_variants[0], it, rng)
-    float(out[0, 0, 0])
+    float(rgb_of(out)[0, 0, 0])
 
     t0 = time.perf_counter()
     outs = [jitted(params, v, it, rng) for v in frame_variants]
-    float(outs[-1][0, 0, 0])
+    float(rgb_of(outs[-1])[0, 0, 0])
     dt = (time.perf_counter() - t0) / n_timed
 
     rays_per_sec = n / dt

@@ -330,6 +330,7 @@ class FusedCFEval:
         axis_specs, line_lens, time_hs = [], [], []
         dens_c, app_c = [], []
         scratch = 0
+        scratch_axes = []
         for i in net.active_density:
             fam = "space" if dynamic else "plane"
             pd = cparams["density"][f"{fam}_{i}"]
@@ -342,18 +343,21 @@ class FusedCFEval:
                 twp = ((TW + 2 + 127) // 128) * 128
                 line_lens.append(TW)
                 time_hs.append(TH)
-                scratch += twp * 6 + (TH + 2) * C_a * 4
+                sa = twp * 6 + (TH + 2) * C_a * 4
             else:
                 L = cparams["density"][f"line_{i}"].shape[0]
                 lp = ((L + 2 + 127) // 128) * 128
                 line_lens.append(L)
                 time_hs.append(0)
-                scratch += lp * 6 + C_a * 4
+                sa = lp * 6 + C_a * 4
+            scratch += sa
+            scratch_axes.append(sa)
             dens_c.append(net.density_n_comp[i])
             app_c.append(net.app_n_comp[i])
         return {"dyn1": False, "axis_specs": axis_specs,
                 "line_lens": line_lens, "time_hs": time_hs,
-                "dens_c": dens_c, "app_c": app_c, "scratch": scratch}
+                "dens_c": dens_c, "app_c": app_c, "scratch": scratch,
+                "scratch_axes": scratch_axes}
 
     def _plan_arrays(self, cparams):
         """The per-CHECKPOINT table arrays of the render plan:
@@ -865,6 +869,42 @@ class FusedCFEval:
                 patch_blend, patch_anchor_idx)
             ppx, ppy = patch
 
+            # patch-EXACTNESS diagnostic (round-5, VERDICT item 7):
+            # per-(block, slot) the patch path zero-degrades exactly
+            # when the block's VALID samples' bilinear footprint exits
+            # the (px, py) patch on some plane axis: floor(max) -
+            # floor(min) > p - 2. Invalid samples (OOB comp / dist<=0)
+            # are sigma-masked in the kernel, so they are excluded via
+            # +/-inf sentinels (an all-invalid block can't violate).
+            # Scalar mean over the OR of all axis-dims, returned as
+            # outputs["patch_coverage_viol"] — callers (bench probe,
+            # tests, serving gates) enforce the exactness contract on
+            # it instead of trusting a shape default. HW ground truth:
+            # (3,2)/(3,3)/(4,3) are 7e-5-exact at bench density while
+            # (2,2) is 2.9e-3-INEXACT (verify_pm3.log).
+            ok_row = ((jnp.abs(pack[0]) <= 1.0)
+                      & (jnp.abs(pack[1]) <= 1.0)
+                      & (jnp.abs(pack[2]) <= 1.0) & (pack[4] > 0.0))
+
+            def _r4(r, op):
+                qq = r.shape[0] // 4
+                return op(op(r[:qq], r[qq:2 * qq]),
+                          op(r[2 * qq:3 * qq], r[3 * qq:]))
+
+            viol_blocks = None
+            for (Wa, Ha, m0a, m1a) in axis_specs:
+                for mm, size, budget in ((m0a, Wa, ppx), (m1a, Ha, ppy)):
+                    t = (pack[mm] + 1.0) * 0.5 * (size - 1)
+                    f = jnp.floor(t)
+                    lo = _r4(jnp.where(ok_row, f, jnp.float32(3e38)),
+                             jnp.minimum)
+                    hi = _r4(jnp.where(ok_row, f, jnp.float32(-3e38)),
+                             jnp.maximum)
+                    va = hi - lo > budget - 2
+                    viol_blocks = va if viol_blocks is None \
+                        else (viol_blocks | va)
+            patch_viol = jnp.mean(viol_blocks.astype(jnp.float32))
+
             def patch_feats(a, C_a):
                 W, H, m0, m1 = axis_specs[a]
                 # anchors: elementwise min over the 4 contiguous phase
@@ -890,20 +930,69 @@ class FusedCFEval:
 
             fuse_patch = os.environ.get(
                 "HYPERREEL_FUSED_PATCH", "1") not in ("0", "false")
+            tile_fp = tile
             if fuse_patch and not dyn1:
-                # STRUCTURAL GATE (round-5): the multi-axis blend+shade
-                # fusion (_shade_kernel_multi_fused_patch) fails the
-                # Mosaic compile on real TPU for BOTH the llff-class
-                # static and n3d-class dynamic families (round-4
-                # regression, /tmp/hw_queue/multiaxis_patch2.log:
-                # compile-helper 500 at every tile), while the
-                # two-kernel route (patch_blend + preblended
-                # "phase_major") is the HW-measured published path
-                # (llff 5.64 / n3d 3.32 Mrays/s). Default to the route
-                # that lowers; the fused variant stays opt-in for HW
-                # experimentation until its compile is fixed.
-                fuse_patch = os.environ.get(
-                    "HYPERREEL_FUSED_PATCH_MULTI") == "1"
+                # STRUCTURAL GATE (round-5): the round-4 phase-outer
+                # multi-axis blend+shade fusion failed the Mosaic
+                # compile on real TPU (multiaxis_patch2.log: HTTP 500
+                # on llff AND n3d patch legs) because it held every
+                # axis's [P*C_a, blk] f32 patch transpose live at once.
+                # The kernel is now axis-outer (shade.py), and this
+                # VARIANT-SPECIFIC VMEM estimate picks the fused call's
+                # OWN tile (the chunk-global `tile` stays untouched for
+                # the other kernels): bf16 patch-row input blocks for
+                # all axes (double-buffered) + ONE axis's f32 patch
+                # transpose + the largest per-axis second-factor
+                # scratch + 4-phase accumulators. If no tile >= 8
+                # satisfies the cap, fall back to the two-kernel route
+                # (patch_blend + "phase_major") — a route that always
+                # lowers. HYPERREEL_FUSED_PATCH_MULTI=0/1 overrides the
+                # gate both ways for A/B.
+                P_t = patch[0] * patch[1]
+                cs = [dens_c[a] + app_c[a]
+                      for a in range(len(axis_specs))]
+                fp_scratch = (sum(P_t * c * 2 for c in cs) * 2
+                              + max(P_t * c * 4 for c in cs)
+                              + max(meta["scratch_axes"])
+                              + 4 * (1 + 3 * n_basis) * 4 + 512
+                              + 3 * max(cs) * 4)
+                # own override (HYPERREEL_EVAL_TILE must NOT leak here:
+                # forcing the chunk tile to 128 for the pack-build
+                # kernel is routine, but 128 would re-break this
+                # variant's compile)
+                force_fp = os.environ.get("HYPERREEL_FUSED_PATCH_TILE")
+                if force_fp and B % int(force_fp) == 0:
+                    tile_fp = int(force_fp)
+                else:
+                    tile_fp = 128
+                    while tile_fp > 1 and (
+                            B % tile_fp != 0
+                            or tile_fp * S_shade * fp_scratch
+                            > 17 * (1 << 20)):
+                        tile_fp //= 2
+                while tile_fp > 4 and B % (4 * tile_fp) != 0:
+                    tile_fp //= 2
+                ov = os.environ.get("HYPERREEL_FUSED_PATCH_MULTI")
+                if ov is not None:
+                    fuse_patch = ov not in ("0", "false")
+                else:
+                    # DEFAULT OFF (round-5 HW evidence): the axis-outer
+                    # rewrite LOWERS now (vs round-4's HTTP 500) but
+                    # MISCOMPILES on real TPU — llff parity 9.4e-2 /
+                    # n3d 1.6e-1 at every tile (multiaxis_patch3.log)
+                    # while CPU interpret parity passes at 2e-4
+                    # (test_patch_multi_axis_structural_gate), so the
+                    # math is right and Mosaic's lowering of the
+                    # in-kernel [blk, P*C_a] patch transpose is not.
+                    # The two-kernel route is HW-exact at 7.7e-5 AND
+                    # at the published throughput (llff 5.86 / n3d
+                    # 3.32 Mrays/s tile128, multiaxis_patch3_nofuse
+                    # .log) — and the miscompiled fused variant was
+                    # barely faster (6.28 / 2.39). Stays opt-in for HW
+                    # A/B until a Mosaic-exact form exists.
+                    fuse_patch = False
+                fuse_patch = fuse_patch and (
+                    tile_fp >= 8 and B % (4 * tile_fp) == 0)
             if fuse_patch:
                 # blend+shade FUSION (shade.py _shade_kernel_fused_patch
                 # / _shade_kernel_multi_fused_patch): hand the gathered
@@ -928,6 +1017,55 @@ class FusedCFEval:
                              for a in range(len(axis_specs))]
         else:
             fuse_patch = False
+
+        # ---- UNIFORM-TIME PREMIX (round 5): a frame render shares ONE
+        # t across every ray, so the keyframe time mix can be hoisted
+        # OUT of the shade kernel: mix the [(TH+2)*C, Rt] time table
+        # down to [C, Rt] with the frame's scalar t weights (two
+        # dynamic row-group picks — bit-identical corner math to
+        # _shade_core) and run the kernel with TH=0. The kernel's
+        # dominant cost is the z-two-hot MXU matmul whose FLOPs scale
+        # with the fetched row count, so this is a (TH+2)x cut of the
+        # flagship shade kernel (~5.8 ms/chunk, ~90% that matmul —
+        # round-5 fused_glue trace) and (TH_a+2)x per dynamic axis of
+        # the multi families. Caller contract: every ray in the chunk
+        # carries the same t; the in-graph witness
+        # outputs["uniform_time_viol"] = max|tn - tn[0]| is returned
+        # for callers to enforce (same pattern as the patch coverage
+        # witness) — it is exactly 0 on frame renders.
+        uniform_t = bool(render_kwargs.get("uniform_time")) \
+            and self.flow is not None
+        ut_viol = None
+        if uniform_t:
+            ut_viol = jnp.max(jnp.abs(tn_ray - tn_ray[0]))
+
+            def _premix(tt, THa, C_a):
+                tn0 = tn_ray[0]
+                pt = (tn0 + 1.0) * 0.5 * (THa - 1)
+                p0 = jnp.floor(pt)
+                ft = pt - p0
+                tb = (jnp.clip(p0, -1.0, THa - 1.0) + 1.0).astype(
+                    jnp.int32)
+                t_lo = ((p0 >= 0.0) & (p0 <= THa - 1.0)).astype(
+                    jnp.float32)
+                t_hi = ((p0 + 1.0 >= 0.0)
+                        & (p0 + 1.0 <= THa - 1.0)).astype(jnp.float32)
+                karr = jnp.arange(THa + 2, dtype=jnp.int32)
+                mk = (jnp.where(karr == tb, (1.0 - ft) * t_lo, 0.0)
+                      + jnp.where(karr == tb + 1, ft * t_hi, 0.0))
+                return jnp.tensordot(
+                    mk, tt.reshape(THa + 2, C_a, tt.shape[-1]), axes=1)
+
+            if dyn1:
+                if TH > 0:
+                    ttab_t = _premix(ttab_t, TH, C)
+                    TH = 0
+            else:
+                line_tabs = [
+                    _premix(tt, time_hs[a], dens_c[a] + app_c[a])
+                    if time_hs[a] else tt
+                    for a, tt in enumerate(line_tabs)]
+                time_hs = [0] * len(time_hs)
 
         if dyn1:
             if patch and fuse_patch:
@@ -960,7 +1098,8 @@ class FusedCFEval:
                     dens_c=dens_c, app_c=app_c, n_basis=n_basis,
                     shading=shading, density_shift=0.0,
                     distance_scale=net.distance_scale,
-                    tile=tile, s_major=True, preblended="fused_patch",
+                    tile=tile_fp, s_major=True,
+                    preblended="fused_patch",
                     anchors_list=anchors_list, patch_pxy=patch)
             else:
                 out = fused_shade_composite_multi(
@@ -993,6 +1132,10 @@ class FusedCFEval:
             rgb_map = rgb_map + (1.0 - acc_map[:, None])
         rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
         outputs = {"rgb": rgb_map}
+        if patch:
+            outputs["patch_coverage_viol"] = patch_viol
+        if ut_viol is not None:
+            outputs["uniform_time_viol"] = ut_viol
         if "distances" in render_kwargs.get("fields", []):
             outputs["distances"] = dist_map[:, None]
         return outputs

@@ -146,22 +146,27 @@ def _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, row0,
         prod = feat_s
     else:
         pz = (zn + 1.0) * 0.5 * (TW - 1)
-        pt = (tn + 1.0) * 0.5 * (TH - 1)
         zb, fz, z_lo, z_hi = _corner_weights(pz, TW)
-        tb, ft, t_lo, t_hi = _corner_weights(pt, TH)
 
         if "amm" in ablate:
-            zfeat = jnp.broadcast_to(fz * 0.5,
-                                     ((TH + 2) * C, blk)) + 0.25
+            zfeat = jnp.broadcast_to(
+                fz * 0.5, (((TH + 2) * C if TH else C), blk)) + 0.25
         else:
+            # TH == 0: UNIFORM-TIME PREMIX (round 5) — the caller
+            # already mixed the keyframe rows with the frame's shared
+            # t weights (fused_eval uniform_time), so the two-hot
+            # fetches C rows instead of (TH+2)*C: (TH+2)x fewer MXU
+            # FLOPs in the kernel's dominant matmul.
             zfeat = _twohot_matmul(ttab_ref, zb, (1.0 - fz) * z_lo,
                                    fz * z_hi, Rt, blk, acc_dtype,
-                                   (TH + 2) * C)
-        t0w = (1.0 - ft) * t_lo
-        t1w = ft * t_hi
-        if "tmix" in ablate:
+                                   (TH + 2) * C if TH else C)
+        if TH == 0 or "tmix" in ablate:
             feat_t = zfeat[:C]
         else:
+            pt = (tn + 1.0) * 0.5 * (TH - 1)
+            tb, ft, t_lo, t_hi = _corner_weights(pt, TH)
+            t0w = (1.0 - ft) * t_lo
+            t1w = ft * t_hi
             feat_t = jnp.zeros_like(feat_s)
             for k in range(TH + 2):
                 mk = (jnp.where(tb == k, t0w, 0.0)
@@ -450,7 +455,9 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         C4 = rows.shape[1]
         C = C4 // 4
     Rt = time_table_t.shape[1]          # padded z width (TWp)
-    assert time_table_t.shape[0] == (TH + 2) * C, time_table_t.shape
+    # TH == 0: uniform-time premixed table (fused_eval), [C, TWp]
+    assert time_table_t.shape[0] == ((TH + 2) * C if TH else C), \
+        time_table_t.shape
     blk = tile * S
     assert N % blk == 0, (N, blk)
     assert pack.shape == (PACK_ROWS, N), pack.shape
@@ -485,7 +492,8 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
                                lambda i, _p=p: (0, i + _p * q4),
                                memory_space=pltpu.VMEM)
                   for p in range(4)],
-                pl.BlockSpec(((TH + 2) * C, Rt), lambda i: (0, 0),
+                pl.BlockSpec(((TH + 2) * C if TH else C, Rt),
+                             lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3 * n_basis, C), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -534,7 +542,8 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
             rows_spec,
             pl.BlockSpec((PACK_ROWS, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(((TH + 2) * C, Rt), lambda i: (0, 0),
+            pl.BlockSpec(((TH + 2) * C if TH else C, Rt),
+                         lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * n_basis, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -679,7 +688,18 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
                                     use_weights_row, shading):
     """Multi-axis blend+shade fusion: one invocation reads one J-block
     of per-axis gathered patch rows + anchors and shades all four
-    phases (see _shade_kernel_fused_patch)."""
+    phases (see _shade_kernel_fused_patch).
+
+    AXIS-OUTER / PHASE-INNER (round-5 Mosaic VMEM fix): the round-4
+    phase-outer form held every axis's [P*C_a, blk] f32 patch
+    transpose live across all four phases simultaneously (~19 MB at
+    llff channel counts, tile=64) and failed the Mosaic compile on
+    BOTH llff and n3d patch legs (multiaxis_patch2.log, HTTP 500 at
+    every tile). This form walks axes in the outer loop so exactly ONE
+    axis's f32 patch buffer is live at a time, accumulating per-phase
+    density sums and per-phase app-basis partial dots (wb column
+    slices per axis — f32-add associativity class, parity-gated at
+    2e-4 vs the general path like every kernel change)."""
     n_ax = len(axes)
     rows_refs = refs[:n_ax]
     anc_refs = refs[n_ax:2 * n_ax]
@@ -688,38 +708,79 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
     wb_ref = refs[3 * n_ax + 4]
     out_ref = refs[3 * n_ax + 5]
 
-    patches = [r[:].astype(jnp.float32).T for r in rows_refs]
+    pks = [r[:] for r in pk_refs]                       # 4 x [16, blk]
+    wb = wb_ref[:]                                      # [3K, sum app_c]
+    dfeats = [jnp.zeros((1, blk), jnp.float32) for _ in range(4)]
+    apps = [jnp.zeros((3 * n_basis, blk), jnp.float32)
+            for _ in range(4)]
 
-    for p, pk_ref in enumerate(pk_refs):
-        pk = pk_ref[:]
-
-        def get_feat_p(a, pk):
-            ax = axes[a]
-            m0, m1 = _MAT_MODE[ax]
-            W, H = grid_dims[a]
-            C_a = dens_c[a] + app_c[a]
-            u = (pk[m0:m0 + 1] + 1.0) * 0.5 * (W - 1) \
-                - anc_refs[a][0:1]
-            v = (pk[m1:m1 + 1] + 1.0) * 0.5 * (H - 1) \
-                - anc_refs[a][1:2]
-            acc = jnp.zeros((C_a, blk), jnp.float32)
+    app_off = 0
+    for a, ax in enumerate(axes):
+        m0, m1 = _MAT_MODE[ax]
+        v = _VEC_MODE[ax]
+        W, H = grid_dims[a]
+        C_a = dens_c[a] + app_c[a]
+        L = line_lens[a]
+        TH = time_hs[a]
+        Rt = ttab_refs[a].shape[1]
+        patch_a = rows_refs[a][:].astype(jnp.float32).T  # [P*C_a, blk]
+        x0 = anc_refs[a][0:1]
+        y0 = anc_refs[a][1:2]
+        wb_a = wb[:, app_off:app_off + app_c[a]]
+        app_off += app_c[a]
+        for p in range(4):
+            pk = pks[p]
+            u = (pk[m0:m0 + 1] + 1.0) * 0.5 * (W - 1) - x0
+            vv = (pk[m1:m1 + 1] + 1.0) * 0.5 * (H - 1) - y0
+            feat_p = jnp.zeros((C_a, blk), jnp.float32)
             for ty in range(py):
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - ty))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(vv - ty))
                 for tx in range(px):
                     wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - tx))
                     t = ty * px + tx
-                    acc = acc + (wx * wy) * patches[a][
+                    feat_p = feat_p + (wx * wy) * patch_a[
                         t * C_a:(t + 1) * C_a]
-            return acc
+            # second factor (identical op order to _multi_core)
+            pz = (pk[v:v + 1] + 1.0) * 0.5 * (L - 1)
+            zb, fz, z_lo, z_hi = _corner_weights(pz, L)
+            zfeat = _twohot_matmul(ttab_refs[a], zb, (1.0 - fz) * z_lo,
+                                   fz * z_hi, Rt, blk, acc_dtype,
+                                   (TH + 2) * C_a if TH else C_a)
+            if TH == 0:
+                feat_l = zfeat
+            else:
+                tn = pk[3:4]
+                ptt = (tn + 1.0) * 0.5 * (TH - 1)
+                tb, ft, t_lo, t_hi = _corner_weights(ptt, TH)
+                t0w = (1.0 - ft) * t_lo
+                t1w = ft * t_hi
+                feat_l = jnp.zeros((C_a, blk), jnp.float32)
+                for k in range(TH + 2):
+                    mk = (jnp.where(tb == k, t0w, 0.0)
+                          + jnp.where(tb == k - 1, t1w, 0.0))
+                    feat_l = feat_l + zfeat[k * C_a:(k + 1) * C_a] * mk
 
-        _multi_core(pk, get_feat_p, ttab_refs, wb_ref, out_ref, 8 * p,
-                    axes=axes, S=S, blk=blk, line_lens=line_lens,
-                    time_hs=time_hs, dens_c=dens_c, app_c=app_c,
-                    n_basis=n_basis, sh_deg=sh_deg,
-                    density_shift=density_shift,
-                    distance_scale=distance_scale, acc_dtype=acc_dtype,
-                    s_major=s_major, use_weights_row=use_weights_row,
-                    shading=shading)
+            prod = feat_p * feat_l
+            dfeats[p] = dfeats[p] + jnp.sum(
+                prod[:dens_c[a]], 0, keepdims=True)
+            apps[p] = apps[p] + jax.lax.dot_general(
+                wb_a, prod[dens_c[a]:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    for p in range(4):
+        pk = pks[p]
+        dist = pk[4:5]
+        valid = ((jnp.abs(pk[0:1]) <= 1.0) & (jnp.abs(pk[1:2]) <= 1.0)
+                 & (jnp.abs(pk[2:3]) <= 1.0)
+                 & (dist > 0.0)).astype(jnp.float32)
+        dfeat = dfeats[p]
+        if use_weights_row:
+            dfeat = dfeat * pk[14:15]
+        sigma = jnp.maximum(dfeat + density_shift, 0.0) * valid
+        _shade_tail(out_ref, pk, sigma, apps[p], dist, S=S, blk=blk,
+                    n_basis=n_basis, sh_deg=sh_deg, shading=shading,
+                    distance_scale=distance_scale, s_major=s_major,
+                    row0=8 * p)
 
 
 def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,

@@ -800,16 +800,16 @@ class TestCoherentGather:
         assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
         assert len(calls) == 3, len(calls)
 
-    def test_patch_multi_axis_default_route_is_blend_kernel(
-            self, monkeypatch):
-        """STRUCTURAL GATE (round-5): the multi-axis blend+shade fusion
-        fails the Mosaic compile on real TPU (round-4 regression —
-        compile-helper 500 on llff AND n3d patch legs at every tile),
-        so the DEFAULT multi-axis patch route must be the two-kernel
-        path (patch_blend + preblended "phase_major" — the HW-measured
-        published route). The fused variant is opt-in via
-        HYPERREEL_FUSED_PATCH_MULTI=1 and must match it."""
-        import copy
+    def test_patch_multi_axis_structural_gate(self, monkeypatch):
+        """STRUCTURAL GATE (round-5): the multi-axis fused-patch
+        DEFAULT is the two-kernel route (patch_blend + preblended
+        "phase_major") — the axis-outer fused kernel lowers on real
+        TPU but MISCOMPILES (llff 9.4e-2 / n3d 1.6e-1 parity,
+        multiaxis_patch3.log) while this CPU interpret-mode check
+        passes, pinning the bug to Mosaic, not the math. The fused
+        variant stays opt-in (HYPERREEL_FUSED_PATCH_MULTI=1) with its
+        own VMEM-estimated tile (fused_eval tile_fp) and must agree
+        with the default route at exact-class here."""
         import hyperreel_tpu.ops.pallas.patch_blend as PBL
         blend_calls = []
         orig = PBL.patch_blend
@@ -837,13 +837,125 @@ class TestCoherentGather:
         monkeypatch.delenv("HYPERREEL_FUSED_PATCH_MULTI", raising=False)
         a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
         assert len(blend_calls) == 3, \
-            "multi-axis default must take the blend-kernel route"
+            "multi-axis default must take the two-kernel route"
         monkeypatch.setenv("HYPERREEL_FUSED_PATCH_MULTI", "1")
         blend_calls.clear()
         b = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
         assert not blend_calls, \
-            "opt-in fusion must bypass the blend kernel"
+            "MULTI=1 opt-in must bypass the blend kernel"
         assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def test_patch_coverage_witness(self, monkeypatch):
+        """EXACTNESS CONTRACT (round-5, VERDICT item 7): the patch
+        route returns an in-graph coverage witness
+        (outputs["patch_coverage_viol"]). Scanline rays at high pixel
+        density must witness ZERO violations; low-density scattered
+        rays (block footprints spanning many texels) must witness a
+        POSITIVE fraction — bench reads this scalar and falls back to
+        the quad path rather than timing an under-covered shape as
+        exact (HW: (2,2) is 2.9e-3-inexact at bench density,
+        verify_pm3.log)."""
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        m = build_model(with_coherent_gather(self._dyn_cfg(), 4, 3),
+                        dataset_info=ds.info())
+        params = m.init(jax.random.PRNGKey(0))
+        ctx = make_ctx(it=5000, training=False)
+        out = m.apply(params, self._scanline_rays(), ctx)
+        assert "patch_coverage_viol" in out
+        assert float(out["patch_coverage_viol"]) == 0.0
+
+        # scattered rays: wide 4-ray block footprints -> violations
+        rng = np.random.default_rng(3)
+        n = 256
+        d = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+        d[:, 2] = 1.0
+        o = np.zeros_like(d)
+        o[:, 2] = -1.5
+        cam = np.zeros((n, 1), np.float32)
+        t = np.full((n, 1), 0.3, np.float32)
+        scattered = jnp.asarray(np.concatenate([o, d, cam, t], -1))
+        out2 = m.apply(params, scattered, ctx)
+        assert float(out2["patch_coverage_viol"]) > 0.0
+
+    def test_uniform_time_premix_parity_dyn1(self):
+        """UNIFORM-TIME PREMIX (round-5): on a frame render (every ray
+        shares one t) the keyframe time mix hoists out of the shade
+        kernel — the [(TH+2)*C, Rt] time table premixes to [C, Rt]
+        in-graph and the kernel runs TH=0, cutting its dominant
+        z-two-hot matmul's FLOPs by (TH+2)x. Bilinear time mixing is
+        linear in the table rows and the z two-hot is linear, so they
+        commute; premix corner math is bit-identical to
+        _corner_weights. Must match the per-sample mix at exact-class
+        and witness uniform_time_viol == 0."""
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        m = build_model(self._dyn_cfg(), dataset_info=ds.info())
+        assert m._cf_eval is not None
+        params = m.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        a = m.apply(params, rays, ctx, {"uniform_time": True})
+        b = np.asarray(m.apply(params, rays, ctx)["rgb"])
+        assert float(a["uniform_time_viol"]) == 0.0
+        d = np.abs(np.asarray(a["rgb"]) - b).max()
+        assert d < 2e-4, d
+
+    def test_uniform_time_premix_parity_multi_axis(self):
+        """Premix parity on the [8, 4, 4] dynamic keyframe family
+        (immersive/neural_3d class): per-axis time planes premix to
+        pure 1D line tables, time_hs -> 0."""
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = self._dyn_cfg()
+        cfg["color"]["net"]["n_lamb_sigma"] = [4, 2, 2]
+        cfg["color"]["net"]["n_lamb_sh"] = [4, 2, 2]
+        m = build_model(cfg, dataset_info=ds.info())
+        assert m._cf_eval is not None
+        params = m.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        a = m.apply(params, rays, ctx, {"uniform_time": True})
+        b = np.asarray(m.apply(params, rays, ctx)["rgb"])
+        assert float(a["uniform_time_viol"]) == 0.0
+        d = np.abs(np.asarray(a["rgb"]) - b).max()
+        assert d < 2e-4, d
+
+    def test_uniform_time_premix_parity_patch(self):
+        """Premix composed with the coherent patch route — the BENCH
+        configuration (patch (3,2) + fused blend+shade + premix). The
+        premixed table changes the fused kernel's time-table BlockSpec
+        to [C, TWp] (shade.py), so this pins the full composition to
+        the un-premixed patch route AND the general path."""
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = with_coherent_gather(self._dyn_cfg(), 3, 2)
+        m = build_model(cfg, dataset_info=ds.info())
+        params = m.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        a = m.apply(params, rays, ctx, {"uniform_time": True})
+        b = np.asarray(m.apply(params, rays, ctx)["rgb"])
+        assert float(a["uniform_time_viol"]) == 0.0
+        d = np.abs(np.asarray(a["rgb"]) - b).max()
+        assert d < 2e-4, d
+
+    def test_uniform_time_witness_nonzero_on_mixed_t(self):
+        """Rays that disagree on t must witness uniform_time_viol > 0
+        (bench reads this and disables the premix rather than render
+        frames mixed at the wrong time)."""
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        m = build_model(self._dyn_cfg(), dataset_info=ds.info())
+        params = m.init(jax.random.PRNGKey(0))
+        rays = np.array(self._scanline_rays())
+        rays[rays.shape[0] // 2:, 7] = 0.7    # second half: t=0.7
+        ctx = make_ctx(it=5000, training=False)
+        out = m.apply(params, jnp.asarray(rays), ctx,
+                      {"uniform_time": True})
+        assert float(out["uniform_time_viol"]) > 0.0
 
     def test_prepared_includes_patch_table(self):
         from hyperreel_tpu.configs.presets import with_coherent_gather

@@ -177,3 +177,70 @@ class TestInt8Tables:
         b = np.asarray(m_i8.apply(params, rays, ctx)["rgb"])
         assert np.abs(a - b).max() < 5e-3
         assert np.all(np.isfinite(b))
+
+
+class TestFastScatter:
+    """Sorted window-matmul scatter-add (grid_sample._scatter_add_cf_cols,
+    round 5): the HBM-scatter replacement behind the quad backward. Must
+    equal np.add.at at every index density, including tiles that
+    overflow the window (lax.cond fallback) and N not a multiple of M."""
+
+    def _check(self, idx_h, C4=8, R=3000, seed=0):
+        from hyperreel_tpu.ops.grid_sample import _scatter_add_cf_cols
+        rng = np.random.default_rng(seed)
+        n = len(idx_h)
+        rows = rng.standard_normal((C4, n)).astype(np.float32)
+        ref = np.zeros((C4, R), np.float32)
+        np.add.at(ref.T, idx_h, rows.T)
+        got = np.asarray(jax.jit(
+            lambda i, r: _scatter_add_cf_cols(i, r, R)
+        )(jnp.asarray(idx_h.astype(np.int32)), jnp.asarray(rows)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_uniform_random(self):
+        rng = np.random.default_rng(1)
+        self._check(rng.integers(0, 3000, 4096))
+
+    def test_overflow_tiles_mixed_density(self):
+        # clustered + far-apart indices: sorted tiles span > K columns,
+        # exercising the per-tile XLA-scatter fallback branch
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 8, 2048)           # dense cluster
+        b = rng.integers(8, 3000, 256) * 1     # sparse spread
+        c = rng.integers(0, 3000, 1792)
+        self._check(np.concatenate([a, b, c]))
+
+    def test_n_not_multiple_of_tile(self):
+        rng = np.random.default_rng(3)
+        self._check(rng.integers(0, 3000, 4096 - 333))
+
+    def test_heavy_duplicates(self):
+        rng = np.random.default_rng(4)
+        self._check(rng.integers(0, 17, 4096))
+
+    def test_quad2d_backward_fast_path_matches_xla_scatter(
+            self, monkeypatch):
+        """Force the fast path through the real _quad2d_bwd (threshold
+        bypassed) and compare grid gradients vs the plain scatter."""
+        import hyperreel_tpu.ops.grid_sample as GS
+        rng = np.random.default_rng(5)
+        H = W = 41
+        C = 6
+        n = 2500
+        grid = jnp.asarray(
+            rng.standard_normal((H, W, C)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(-1.05, 1.05, (n, 2)).astype(np.float32))
+
+        def loss(g):
+            out = GS.grid_sample_2d_cf_quad(g, coords)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size)
+                                         .reshape(out.shape)))
+
+        monkeypatch.setenv("HYPERREEL_FAST_SCATTER", "0")
+        ref = np.asarray(jax.grad(loss)(grid))
+        monkeypatch.setenv("HYPERREEL_FAST_SCATTER", "1")
+        monkeypatch.setattr(GS, "_FAST_SCATTER_MIN_TABLE_BYTES", 0)
+        monkeypatch.setattr(GS, "_FAST_SCATTER_M", 512)
+        got = np.asarray(jax.grad(loss)(grid))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
