@@ -132,8 +132,8 @@ def main():
                                     it=state.it)["rgb"]
         val = float(psnr(np.asarray(pred), np.asarray(hold["rgb"])))
 
-        cfg_f = with_coherent_gather(
-            json.loads(json.dumps(cfg)), 3, 2)
+        import copy
+        cfg_f = with_coherent_gather(copy.deepcopy(cfg), 3, 2)
         cfg_f["color"]["net"]["fused_render"] = True
         m_f = build_model(cfg_f, dataset_info=ds.info(),
                           compute_dtype=jnp.bfloat16)

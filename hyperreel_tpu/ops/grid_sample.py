@@ -19,13 +19,16 @@ import jax
 import jax.numpy as jnp
 
 # Sorted window-matmul scatter tile sizes (HW-probed on v5e,
-# /tmp/hw_queue/scatter_probe.log round 5): M samples per tile, K-column
-# lane-aligned accumulation window. K must comfortably exceed the
-# typical sorted-tile span M * R / N (uniform grid-800 flagship: ~990)
-# plus the <=127 alignment slack; a tile that still overflows falls
-# back to a per-tile XLA scatter, so exactness never depends on K.
-_FAST_SCATTER_M = 512
-_FAST_SCATTER_K = 2048
+# /tmp/hw_queue/scatter_probe{,2}.log round 5): M samples per tile,
+# K-column lane-aligned accumulation window. K must comfortably exceed
+# the typical sorted-tile span M * R / N (uniform grid-800 flagship:
+# ~990 at M=512, ~2x that at M=1024) plus the <=127 alignment slack; a
+# tile that still overflows falls back to a per-tile XLA scatter, so
+# exactness never depends on K. M=1024/K=4096 measured ~7% faster than
+# 512/2048 (v6b 49.9 vs v6 46.6 M upd/s) and halves the scan length
+# (while.31 = 15 ms/step of the grid-800 train step).
+_FAST_SCATTER_M = 1024
+_FAST_SCATTER_K = 4096
 # Use the window-matmul path once the scatter target exceeds what the
 # TPU backend keeps VMEM-resident (HBM-resident scatter-add serializes
 # at ~190 ns/index; a [64, 2520] VMEM-sized target scatters ~30x
@@ -216,16 +219,25 @@ def _quad2d_ref(grid_hwc, coords):
 
 
 def _quad2d_fwd(grid_hwc, coords):
-    return _grid_sample_2d_cf_quad_impl(grid_hwc, coords), (grid_hwc, coords)
+    out, q = _grid_sample_2d_cf_quad_impl(grid_hwc, coords, with_q=True)
+    # residual q: the forward's gathered corner rows, stored at table
+    # dtype (lossless — they came FROM the table). The backward reads
+    # them instead of RE-gathering: the re-gather was the second
+    # 147 ms/8-step fusion of the grid-800 train step, and the
+    # residual round-trip is ~0.3 ms of HBM traffic (quadbwd.log:
+    # full quad grad 373 -> 50 ms at the train shape, coord-grad
+    # parity EXACT for this elementwise-sum contraction).
+    return out, (grid_hwc, coords, q)
 
 
 def _quad2d_bwd(res, g):
     """Packed-scatter backward: ONE channels-first scatter into the padded
     quad table followed by a dense shift-and-add fold, instead of four
     corner scatters (scatters are row-rate-bound like gathers). The coords
-    gradient recomputes one quad gather. Verified against jax.vjp of the
-    unpacked reference sampler (tests/test_packed_tables.py)."""
-    grid_hwc, coords = res
+    gradient reuses the forward's gathered corner rows (residual q) —
+    no re-gather. Verified against jax.vjp of the unpacked reference
+    sampler (tests/test_packed_tables.py)."""
+    grid_hwc, coords, q = res
     H, W, C = grid_hwc.shape
     N = coords.shape[0]
 
@@ -276,25 +288,20 @@ def _quad2d_bwd(res, g):
                + pg[3, :, 0:H, 0:W])
     g_grid = jnp.moveaxis(g_plane, 0, -1).astype(grid_hwc.dtype)
 
-    # ---- coords gradient: recompute one quad gather for corner values
-    p = jnp.pad(grid_hwc, ((1, 1), (1, 1), (0, 0)))
-    pack = jnp.concatenate(
-        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1)
-    if grid_hwc.dtype == jnp.bfloat16:
-        words = jax.lax.bitcast_convert_type(
-            pack.reshape((H + 1) * (W + 1), 2 * C, 2), jnp.uint32)
-        vals = jax.lax.bitcast_convert_type(
-            words.T[:, idx], jnp.bfloat16).astype(jnp.float32)  # [2C, N, 2]
-        v = vals.reshape(4, C // 2, N, 2)
-    else:
-        flat_cf = pack.reshape((H + 1) * (W + 1), 4 * C).T
-        v = jnp.moveaxis(flat_cf[:, idx].reshape(4, C // 2, 2, N), 2, 3)
-    # per-corner inner products with the cotangent
-    s = jnp.sum(v * g[None], axis=(1, 3))  # [4, N]
-    s00 = s[0] * i00
-    s01 = s[1] * i01
-    s10 = s[2] * i10
-    s11 = s[3] * i11
+    # ---- coords gradient from the RESIDUAL corner rows (no re-gather).
+    # Contraction stays N-major end to end (q is the gather's native row
+    # order; g transposes [C//2, N, 2] -> [N, C//2, 2] with the minor
+    # dim intact — NOT the catastrophic minor-dim transpose). The
+    # elementwise-sum form is grad-EXACT vs the re-gather path; a
+    # batch-N dot_general is NOT (bf16 single-pass truncation, 2e-3 —
+    # quadbwd.log).
+    g_nm = jnp.moveaxis(g, 1, 0)                      # [N, C//2, 2]
+    s = jnp.sum(q.astype(jnp.float32) * g_nm[:, None],
+                axis=(2, 3))                          # [N, 4]
+    s00 = s[:, 0] * i00
+    s01 = s[:, 1] * i01
+    s10 = s[:, 2] * i10
+    s11 = s[:, 3] * i11
     dwx = (-(1.0 - wy1) * s00 + (1.0 - wy1) * s01
            - wy1 * s10 + wy1 * s11)
     dwy = (-(1.0 - wx1) * s00 - wx1 * s01
@@ -322,22 +329,56 @@ def _quad1d_ref(line_lc, coords):
 
 
 def _quad1d_fwd(line_lc, coords):
-    return _grid_sample_1d_cf_quad_impl(line_lc, coords), (line_lc, coords)
+    out, q = _grid_sample_1d_cf_quad_impl(line_lc, coords, with_q=True)
+    return out, (line_lc, coords, q)
 
 
 def _quad1d_bwd(res, g):
-    line_lc, coords = res
-    _, vjp = jax.vjp(_quad1d_ref, line_lc.astype(jnp.float32), coords)
-    g_line, g_coords = vjp(g)
-    return g_line.astype(line_lc.dtype), g_coords
+    """1D analog of _quad2d_bwd: one packed scatter into [2C, L+1] +
+    shift-add fold for the line gradient (the line table is small
+    enough to stay VMEM-resident, so the plain XLA scatter is fine);
+    coord gradient from the residual neighbor rows — the previous
+    jax.vjp(reference-sampler) route re-ran TWO corner gathers and
+    four corner scatters per line."""
+    line_lc, coords, q = res
+    L, C = line_lc.shape
+    N = coords.shape[0]
+    z = _unnormalize(coords, L)
+    z0 = jnp.floor(z)
+    wz1 = z - z0
+    zi = (jnp.clip(z0, -1, L - 1) + 1).astype(jnp.int32)
+    in0 = ((z0 >= 0.0) & (z0 <= L - 1.0)).astype(jnp.float32)
+    in1 = ((z0 + 1.0 >= 0.0) & (z0 + 1.0 <= L - 1.0)).astype(
+        jnp.float32)
+    w0 = (1.0 - wz1) * in0
+    w1 = wz1 * in1
+
+    g_cf = jnp.moveaxis(g, 2, 1).reshape(C, N)
+    g_rows = jnp.concatenate([g_cf * w0[None], g_cf * w1[None]], 0)
+    pack_g = jnp.zeros((2 * C, L + 1), jnp.float32).at[:, zi].add(
+        g_rows)
+    pg = pack_g.reshape(2, C, L + 1)
+    # pack[zp] = (p[zp], p[zp+1]) over the 1-padded line: neighbor 0 at
+    # pack row zp reads line[zp-1], neighbor 1 reads line[zp]
+    g_line = pg[0, :, 1:L + 1] + pg[1, :, 0:L]
+    g_line = jnp.moveaxis(g_line, 0, -1).astype(line_lc.dtype)
+
+    g_nm = jnp.moveaxis(g, 1, 0)                      # [N, C//2, 2]
+    s = jnp.sum(q.astype(jnp.float32) * g_nm[:, None],
+                axis=(2, 3))                          # [N, 2]
+    dwz = -s[:, 0] * in0 + s[:, 1] * in1
+    return g_line, dwz * 0.5 * (L - 1)
 
 
 _quad1d_vjp.defvjp(_quad1d_fwd, _quad1d_bwd)
 
 
-def _grid_sample_2d_cf_quad_impl(grid_hwc, coords):
+def _grid_sample_2d_cf_quad_impl(grid_hwc, coords, with_q=False):
     """One-gather bilinear sampling: the table stores each texel's 2x2
     neighborhood, so a single gathered row carries all four corners.
+
+    with_q=True additionally returns the gathered corner rows q
+    ([N, 4, C//2, 2] at table dtype — lossless) for VJP residual reuse.
 
     Device traces show TPU gather fusions cost ~constant time per gathered
     ROW (3.77 ms for 2.1M rows on v5e regardless of 32 B vs 64 B rows), so
@@ -401,12 +442,17 @@ def _grid_sample_2d_cf_quad_impl(grid_hwc, coords):
         rows = pack.reshape(R, 4 * C)[idx]               # [N, 4C] gather
         q = rows.reshape(N, 4, C // 2, 2)
     out_row = jnp.sum(q * w4[:, :, None, None], axis=1)  # [N, C//2, 2]
-    return jnp.moveaxis(out_row, 0, 1)                   # [C//2, N, 2]
+    out = jnp.moveaxis(out_row, 0, 1)                    # [C//2, N, 2]
+    if with_q:
+        return out, q.astype(grid_hwc.dtype)
+    return out
 
 
-def _grid_sample_1d_cf_quad_impl(line_lc, coords):
+def _grid_sample_1d_cf_quad_impl(line_lc, coords, with_q=False):
     """One-gather linear line sampling: rows carry both neighbors.
-    line [L, C] (bf16 or f32), C even; coords [N] -> f32 [C//2, N, 2]."""
+    line [L, C] (bf16 or f32), C even; coords [N] -> f32 [C//2, N, 2].
+    with_q=True additionally returns the gathered neighbor rows q
+    ([N, 2, C//2, 2] at table dtype) for VJP residual reuse."""
     L, C = line_lc.shape
     assert C % 2 == 0
     z = _unnormalize(coords, L)
@@ -435,7 +481,10 @@ def _grid_sample_1d_cf_quad_impl(line_lc, coords):
         rows = pack[zi]                                  # [N, 2C] gather
         q = rows.reshape(N, 2, C // 2, 2)
     out_row = jnp.sum(q * w2[:, :, None, None], axis=1)  # [N, C//2, 2]
-    return jnp.moveaxis(out_row, 0, 1)                   # [C//2, N, 2]
+    out = jnp.moveaxis(out_row, 0, 1)                    # [C//2, N, 2]
+    if with_q:
+        return out, q.astype(line_lc.dtype)
+    return out
 
 
 def grid_sample_1d_cf_packed(line_lc, coords):

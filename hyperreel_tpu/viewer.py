@@ -256,6 +256,13 @@ class InteractiveRenderer:
         jj = jnp.asarray(jj.reshape(k, cs))
         model = self.patch_model if use_patch else self.model
         base_rk = {"rays_phase_major": True} if use_patch else {}
+        if ray_width == 8:
+            # a viewer frame shares ONE t (scalar broadcast below), so
+            # the uniform-time premix always applies: the keyframe time
+            # mix hoists out of the shade kernel ((TH+2)x fewer MXU
+            # FLOPs — fused_eval uniform_time, round 5). The witness is
+            # structurally 0 here; non-CF models ignore the kwarg.
+            base_rk["uniform_time"] = True
 
         def fn(params, prepared, K, pose, t, cam):
             ctx = make_ctx(it=self.it, training=False)
