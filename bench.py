@@ -61,6 +61,12 @@ def main():
     ps_env = os.environ.get("BENCH_PATCH_SHAPE", "3,2")
     ap.add_argument("--patch-shape", type=int, nargs=2, default=(
         tuple(int(v) for v in ps_env.split(",")) if ps_env else None))
+    # coherent block size: rays per gathered patch row. 8 halves the
+    # per-row gather floor again (round-5; dyn1 fused route only) but
+    # needs a wider patch, e.g. BENCH_PATCH_SHAPE=5,2 — the coverage
+    # witness gates exactness either way.
+    ap.add_argument("--patch-block", type=int,
+                    default=int(os.environ.get("BENCH_PATCH_BLOCK", 4)))
     args = ap.parse_args()
 
     # prepared=True: per-checkpoint tables (quad/patch/time) are built
@@ -77,13 +83,14 @@ def main():
     uniform_t = os.environ.get("BENCH_UNIFORM_T", "1") not in (
         "0", "false")
     coherent = args.coherent_gather
+    R = args.patch_block
     fn, (params, rays, it, rng) = entry(
         inference_samples=args.inference_samples or None,
         coherent_gather=coherent,
         compact_samples=args.compact_samples or None,
         prepared=True,
         patch_shape=tuple(args.patch_shape) if args.patch_shape else None,
-        coverage_out=coherent, uniform_time=uniform_t)
+        coverage_out=coherent, uniform_time=uniform_t, patch_block=R)
 
     # megapixel frame (reference demo pushes 1,048,576 rays/forward,
     # scripts/demo_technicolor.sh:21-23) rendered as lax.map over chunks;
@@ -108,14 +115,14 @@ def main():
     frame_np = frame_np.reshape(k, chunk, -1)
     frame_np_quad = frame_np
     if coherent:
-        # phase-major ray order per chunk (original ray 4j+p at position
-        # p*chunk/4 + j): a free host-side reindex at ray generation that
-        # replaces two in-graph permutation copies (entry()'s
-        # rays_phase_major contract). Outputs come back in this order;
-        # frame assembly is a host-side index write that pipelines off
-        # the device clock exactly like the PNG encode.
+        # phase-major ray order per chunk (original ray R*j+p at
+        # position p*chunk/R + j): a free host-side reindex at ray
+        # generation that replaces two in-graph permutation copies
+        # (entry()'s rays_phase_major contract). Outputs come back in
+        # this order; frame assembly is a host-side index write that
+        # pipelines off the device clock exactly like the PNG encode.
         frame_np = np.ascontiguousarray(
-            frame_np.reshape(k, chunk // 4, 4, -1).transpose(0, 2, 1, 3)
+            frame_np.reshape(k, chunk // R, R, -1).transpose(0, 2, 1, 3)
         ).reshape(k, chunk, -1)
     frame = jnp.asarray(frame_np)
 
@@ -182,7 +189,8 @@ def main():
                 prepared=True,
                 patch_shape=(tuple(args.patch_shape)
                              if coherent and args.patch_shape else None),
-                coverage_out=coherent, uniform_time=uniform_t)
+                coverage_out=coherent, uniform_time=uniform_t,
+                patch_block=R)
             jitted = jax.jit(render_frame)
             out = jitted(params, frame, it, rng)
             jax.block_until_ready(out)

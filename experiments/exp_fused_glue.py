@@ -46,7 +46,8 @@ def build():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as GE
     fn, (params, _rays, it, rng) = GE.entry(
-        coherent_gather=True, prepared=True, patch_shape=(3, 2))
+        coherent_gather=True, prepared=True, patch_shape=(3, 2),
+        uniform_time=True)
     return fn, params, it, rng
 
 

@@ -96,8 +96,16 @@ def main():
 
     base_cfg = _mid_scale(
         convert_epochs_to_iters(preset(), iters_per_epoch=200))
-    base_cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
-        "invalid_sort_far"] = True
+    # invalid_sort_far only for the compact rows: compact-k requires it
+    # (first-k after an invalid-last sort), but it is CF-INCOMPATIBLE
+    # with contraction (fused_eval.cf_eligible: the far sentinel would
+    # contract onto the radius-2 sphere) and BOTH llff and n3d presets
+    # contract (mipnerf) — so compact rows for these families ride the
+    # general path; full/stride rows ride CF + patch.
+    import copy as _copy
+    compact_base = _copy.deepcopy(base_cfg)
+    compact_base["embedding"]["embeddings"]["ray_intersect_0"][
+        "intersect"]["invalid_sort_far"] = True
     model = build_model(base_cfg, dataset_info=ds.info(),
                         compute_dtype=jnp.bfloat16)
     trainer = Trainer(model, _training_cfg(),
@@ -183,7 +191,7 @@ def main():
     assert v0 == 0.0 and v1 > 0.0, (v0, v1)
 
     for k in (z_full // 2, z_full // 4):
-        measure(with_compact_samples(base_cfg, k), "compact", k)
+        measure(with_compact_samples(compact_base, k), "compact", k)
     for stride in (2, 4):
         measure(with_inference_samples(base_cfg, z_full // stride),
                 "stride", z_full // stride)

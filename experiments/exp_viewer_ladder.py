@@ -37,7 +37,7 @@ def build(mode):
         compute_dtype=jnp.bfloat16)
     patch = None
     if "patch" in mode:
-        pcfg = with_coherent_gather(cfg)
+        pcfg = with_coherent_gather(cfg, 3, 2)  # the shipped default
         patch = build_model(pcfg, dataset_info={
             "num_keyframes": 4, "num_frames": 50, "num_views": 16},
             compute_dtype=jnp.bfloat16)

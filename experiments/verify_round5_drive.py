@@ -142,6 +142,37 @@ def main():
     log(f"varied-t witness: {utv2:.2e} (expect > 0)")
     assert utv2 > 0.0
 
+    # ---- 4. R=8 coherent blocks (round-5): (5,2) patch, one row per
+    # 8 consecutive rays. Parity vs the R=4 route + witness 0 on the
+    # scanline chunk; both fused (tile-shrunk) and two-kernel (keeps
+    # tile 128) variants.
+    fn8, (p8, _r3, it, rg) = GE.entry(
+        coherent_gather=True, prepared=True, patch_shape=(5, 2),
+        coverage_out=True, uniform_time=True, patch_block=8)
+    pm8 = np.asarray(sr).reshape(n // 8, 8, -1).transpose(
+        1, 0, 2).reshape(n, -1)
+    rgb8_pm, v8, _ = jax.jit(fn8)(p8, jnp.asarray(pm8), it, rg)
+    v8 = float(v8)
+    un8 = np.empty_like(np.asarray(rgb8_pm))
+    perm8 = np.arange(n).reshape(n // 8, 8).T.reshape(n)
+    un8[perm8] = np.asarray(rgb8_pm)
+    un_u = np.empty_like(np.asarray(rgb_u))
+    perm4 = np.arange(n).reshape(n // 4, 4).T.reshape(n)
+    un_u[perm4] = np.asarray(rgb_u)
+    err8 = float(np.abs(un8 - un_u).max())
+    log(f"R=8 fused: witness {v8:.2e} (expect 0), |R8 - R4| {err8:.2e}")
+    assert v8 == 0.0 and err8 < 2e-4, (v8, err8)
+    os.environ["HYPERREEL_FUSED_PATCH"] = "0"
+    fn8b, (p8b, _r4_, it, rg) = GE.entry(
+        coherent_gather=True, prepared=True, patch_shape=(5, 2),
+        coverage_out=True, uniform_time=True, patch_block=8)
+    rgb8b, v8b, _ = jax.jit(fn8b)(p8b, jnp.asarray(pm8), it, rg)
+    os.environ.pop("HYPERREEL_FUSED_PATCH", None)
+    err8b = float(np.abs(np.asarray(rgb8b) - np.asarray(rgb8_pm)).max())
+    log(f"R=8 two-kernel: witness {float(v8b):.2e}, "
+        f"|2k - fused| {err8b:.2e}")
+    assert err8b < 2e-4, err8b
+
     log("ALL OK")
 
 

@@ -1307,15 +1307,19 @@ def with_compact_samples(cfg, n, always=False):
     return cfg
 
 
-def with_coherent_gather(cfg, px=4, py=3):
+def with_coherent_gather(cfg, px=4, py=3, block=4):
     """Enable the coherent patch-gather render path (one (px x py)-texel
-    row gathered per 4-consecutive-ray block — ops/patch_gather.py).
+    row gathered per `block`-consecutive-ray block — ops/patch_gather.py).
     EXACT only for scanline-coherent frame renders whose block footprints
     fit the patch (high pixel density; see exp_patch_coverage*.py);
-    out-of-patch corners degrade to the zero-padding value. Eval-only:
+    out-of-patch corners degrade to the zero-padding value. The in-graph
+    coverage witness (outputs["patch_coverage_viol"]) reports violations
+    per configuration. block=8 needs a wider patch (e.g. px=5) at
+    scanline pixel order, or (3,3) with 2x4-pixel host blocks. Eval-only:
     training and the general path ignore the flag. Returns a new config."""
     cfg = copy.deepcopy(cfg)
-    cfg["color"]["net"]["coherent_gather"] = [int(px), int(py)]
+    cfg["color"]["net"]["coherent_gather"] = [int(px), int(py),
+                                              int(block)]
     return cfg
 
 

@@ -250,6 +250,12 @@ class FusedCFEval:
         # zero features per out-of-patch corner otherwise
         pc = self.net.cfg.get("coherent_gather")
         self.patch_cfg = (int(pc[0]), int(pc[1])) if pc else None
+        # coherent block size R: rays per gathered patch row (4
+        # default; 8 halves the gather rows again — the per-row rate
+        # is flat in row bytes, gather_align.log — at the price of a
+        # wider patch for coverage). R=8 rides the dyn1 fused
+        # blend+shade route only (the two-kernel blend stays R=4).
+        self.patch_block = int(pc[2]) if pc and len(pc) > 2 else 4
 
     # -- channels-first MLP -------------------------------------------------
 
@@ -564,16 +570,75 @@ class FusedCFEval:
         # everywhere else, so if patch routing falls through the flag
         # is a no-op (output order always matches input order).
         pm_rays = bool(render_kwargs.get("rays_phase_major"))
+        # coherent block size: R=8 halves the patch-gather rows again
+        # but only the dyn1 fused blend+shade kernel takes R blocks
+        # (the two-kernel blend route stays R=4), so R=8 engages only
+        # when that route structurally will
+        fuse_env = os.environ.get(
+            "HYPERREEL_FUSED_PATCH", "1") not in ("0", "false")
+        Rb = 4
+        if self.patch_block == 8 and dyn1:
+            # both dyn1 routes take R blocks: the fused kernel shades
+            # R phases per J-block; the two-kernel route blends
+            # [R*C, J] and the shade reads R row-blocks (phase_major)
+            Rb = 8
         if self.patch_cfg is not None and ptabs is not None:
+            # THE FUSED VARIANT MUST SHARE THE CHUNK TILE: the pack's
+            # S-major lane order is baked at `tile` (tbo below), and
+            # the kernel decodes lanes via tile_r = blk // S — reading
+            # pack blocks at any OTHER width silently mis-decodes
+            # (s, r) and composites the wrong lanes. That, not Mosaic,
+            # was the round-4/5 multi-axis fused-patch "miscompile":
+            # forcing a mismatched tile on CPU interpret reproduces
+            # parity 0.27 exactly (round-5 repro). So the fused
+            # variant's VMEM demand is folded into the CHUNK tile
+            # choice here, never into a variant-local tile.
+            ppx_, ppy_ = self.patch_cfg[:2]
+            P_t = ppx_ * ppy_
+            # the estimate applies only when the fused variant will
+            # actually run: dyn1 rides HYPERREEL_FUSED_PATCH (default
+            # on); multi-axis is opt-in via HYPERREEL_FUSED_PATCH_MULTI
+            # (default two-kernel — wrongly blamed on Mosaic until the
+            # lane-decode bug above was found; HW re-verification
+            # pending)
+            will_fuse = fuse_env if dyn1 else (
+                os.environ.get("HYPERREEL_FUSED_PATCH_MULTI") == "1")
+            fp_lane = 0
+            if will_fuse:
+                # per-(blk lane) bytes inside _shade_kernel_fused_patch
+                # (dyn1) / _shade_kernel_multi_fused_patch: bf16 patch
+                # block (double-buffered) + ONE f32 patch transpose +
+                # R f32 pack blocks + two two-hot strips + zfeat +
+                # feats + out accumulators. Calibrated vs the measured
+                # viewer OOM ((4,3) C=16 blk=4096 -> 16.34 MB demand;
+                # this estimate x1.25 gives 16.8) and the compiled
+                # bench point ((3,2) -> est 14.9 <= cap, real <= 16).
+                if dyn1:
+                    cs_ = [meta["C"]]
+                    tt_rows = (meta["TH"] + 2) * meta["C"]
+                else:
+                    cs_ = [meta["dens_c"][a] + meta["app_c"][a]
+                           for a in range(len(meta["dens_c"]))]
+                    tt_rows = max(
+                        ((th + 2) * c if th else c)
+                        for th, c in zip(meta["time_hs"], cs_))
+                fp_lane = (sum(P_t * c * 2 for c in cs_) * 2
+                           + max(P_t * c * 4 for c in cs_)
+                           + Rb * 16 * 4 + 1024 + tt_rows * 4
+                           + 2 * max(cs_) * 4 + 3 * n_basis * 8
+                           + 8 * Rb * 4)
+                fp_lane = int(fp_lane * 1.25)
             pt = tile
-            while pt > 4 and B % (4 * pt) != 0:
+            while pt > 4 and (
+                    B % (Rb * pt) != 0
+                    or pt * S_shade * fp_lane > 31 * (1 << 19)):
                 pt //= 2
-            if pt > 4 and B % (4 * pt) == 0:
+            if pt > 4 and B % (Rb * pt) == 0:
                 tile = pt
-                patch = self.patch_cfg
+                patch = self.patch_cfg[:2]
         if patch and not pm_rays:
             D_in = rays.shape[1]
-            rays = rays.reshape(B // 4, 4, D_in).transpose(
+            rays = rays.reshape(B // Rb, Rb, D_in).transpose(
                 1, 0, 2).reshape(B, D_in)
 
         # the pack-build kernel's [S, T] -> [1, S*T] reshape only lowers
@@ -886,19 +951,22 @@ class FusedCFEval:
                       & (jnp.abs(pack[1]) <= 1.0)
                       & (jnp.abs(pack[2]) <= 1.0) & (pack[4] > 0.0))
 
-            def _r4(r, op):
-                qq = r.shape[0] // 4
-                return op(op(r[:qq], r[qq:2 * qq]),
-                          op(r[2 * qq:3 * qq], r[3 * qq:]))
+            def _rN(r, op):
+                qq = r.shape[0] // Rb
+                acc = None
+                for p in range(Rb):
+                    s = r[p * qq:(p + 1) * qq]
+                    acc = s if acc is None else op(acc, s)
+                return acc
 
             viol_blocks = None
             for (Wa, Ha, m0a, m1a) in axis_specs:
                 for mm, size, budget in ((m0a, Wa, ppx), (m1a, Ha, ppy)):
                     t = (pack[mm] + 1.0) * 0.5 * (size - 1)
                     f = jnp.floor(t)
-                    lo = _r4(jnp.where(ok_row, f, jnp.float32(3e38)),
+                    lo = _rN(jnp.where(ok_row, f, jnp.float32(3e38)),
                              jnp.minimum)
-                    hi = _r4(jnp.where(ok_row, f, jnp.float32(-3e38)),
+                    hi = _rN(jnp.where(ok_row, f, jnp.float32(-3e38)),
                              jnp.maximum)
                     va = hi - lo > budget - 2
                     viol_blocks = va if viol_blocks is None \
@@ -915,84 +983,39 @@ class FusedCFEval:
                 # scale passes + a while-loop reshape + the [8, J]
                 # concat's update-slices, ~2.3 ms/chunk) has no HBM
                 # footprint at all now (round-4 HLO attribution)
-                pidx, anchors = patch_anchor_idx(pack[m0], pack[m1], W, H)
+                pidx, anchors = patch_anchor_idx(pack[m0], pack[m1],
+                                                 W, H, R=Rb)
                 J = pidx.shape[0]
                 blkj = 1024
                 while J % blkj:
                     blkj //= 2
-                # raw phase-major [4*C_a, J] output: the shade kernel
+                # raw phase-major [R*C_a, J] output: the shade kernel
                 # consumes it directly via a BlockSpec index map
                 # (preblended="phase_major") — no relayout copy
                 return patch_blend(
                     ptabs[a][pidx], anchors, pack, m0=m0, m1=m1,
                     W=W, H=H, px=ppx, py=ppy, C=C_a,
-                    blkj=blkj, out_dtype=jnp.bfloat16)
+                    blkj=blkj, out_dtype=jnp.bfloat16, R=Rb)
 
-            fuse_patch = os.environ.get(
-                "HYPERREEL_FUSED_PATCH", "1") not in ("0", "false")
-            tile_fp = tile
-            if fuse_patch and not dyn1:
-                # STRUCTURAL GATE (round-5): the round-4 phase-outer
-                # multi-axis blend+shade fusion failed the Mosaic
-                # compile on real TPU (multiaxis_patch2.log: HTTP 500
-                # on llff AND n3d patch legs) because it held every
-                # axis's [P*C_a, blk] f32 patch transpose live at once.
-                # The kernel is now axis-outer (shade.py), and this
-                # VARIANT-SPECIFIC VMEM estimate picks the fused call's
-                # OWN tile (the chunk-global `tile` stays untouched for
-                # the other kernels): bf16 patch-row input blocks for
-                # all axes (double-buffered) + ONE axis's f32 patch
-                # transpose + the largest per-axis second-factor
-                # scratch + 4-phase accumulators. If no tile >= 8
-                # satisfies the cap, fall back to the two-kernel route
-                # (patch_blend + "phase_major") — a route that always
-                # lowers. HYPERREEL_FUSED_PATCH_MULTI=0/1 overrides the
-                # gate both ways for A/B.
-                P_t = patch[0] * patch[1]
-                cs = [dens_c[a] + app_c[a]
-                      for a in range(len(axis_specs))]
-                fp_scratch = (sum(P_t * c * 2 for c in cs) * 2
-                              + max(P_t * c * 4 for c in cs)
-                              + max(meta["scratch_axes"])
-                              + 4 * (1 + 3 * n_basis) * 4 + 512
-                              + 3 * max(cs) * 4)
-                # own override (HYPERREEL_EVAL_TILE must NOT leak here:
-                # forcing the chunk tile to 128 for the pack-build
-                # kernel is routine, but 128 would re-break this
-                # variant's compile)
-                force_fp = os.environ.get("HYPERREEL_FUSED_PATCH_TILE")
-                if force_fp and B % int(force_fp) == 0:
-                    tile_fp = int(force_fp)
-                else:
-                    tile_fp = 128
-                    while tile_fp > 1 and (
-                            B % tile_fp != 0
-                            or tile_fp * S_shade * fp_scratch
-                            > 17 * (1 << 20)):
-                        tile_fp //= 2
-                while tile_fp > 4 and B % (4 * tile_fp) != 0:
-                    tile_fp //= 2
-                ov = os.environ.get("HYPERREEL_FUSED_PATCH_MULTI")
-                if ov is not None:
-                    fuse_patch = ov not in ("0", "false")
-                else:
-                    # DEFAULT OFF (round-5 HW evidence): the axis-outer
-                    # rewrite LOWERS now (vs round-4's HTTP 500) but
-                    # MISCOMPILES on real TPU — llff parity 9.4e-2 /
-                    # n3d 1.6e-1 at every tile (multiaxis_patch3.log)
-                    # while CPU interpret parity passes at 2e-4
-                    # (test_patch_multi_axis_structural_gate), so the
-                    # math is right and Mosaic's lowering of the
-                    # in-kernel [blk, P*C_a] patch transpose is not.
-                    # The two-kernel route is HW-exact at 7.7e-5 AND
-                    # at the published throughput (llff 5.86 / n3d
-                    # 3.32 Mrays/s tile128, multiaxis_patch3_nofuse
-                    # .log) — and the miscompiled fused variant was
-                    # barely faster (6.28 / 2.39). Stays opt-in for HW
-                    # A/B until a Mosaic-exact form exists.
-                    fuse_patch = False
-                fuse_patch = fuse_patch and (
-                    tile_fp >= 8 and B % (4 * tile_fp) == 0)
+            fuse_patch = fuse_env
+            if not dyn1:
+                # Multi-axis fused-patch is OPT-IN
+                # (HYPERREEL_FUSED_PATCH_MULTI=1). HISTORY: rounds 4-5
+                # blamed its wrong HW output (llff 9.4e-2) on a Mosaic
+                # miscompile; the actual bug was a variant-local tile
+                # (tile_fp) differing from the CHUNK tile the pack's
+                # S-major lane order was baked at — the kernel decodes
+                # lanes via tile_r = blk // S, so mismatched widths
+                # silently composite the wrong lanes. A CPU-interpret
+                # repro with a forced mismatched tile reproduces
+                # parity 0.27; matched tiles are exact. The fused call
+                # now ALWAYS shares the chunk tile (whose choice
+                # accounts for the fused VMEM demand, fp_lane above).
+                # Default stays the HW-proven two-kernel route until
+                # the matched-tile fused variant re-verifies on HW at
+                # >= its throughput (llff 5.86 / n3d 3.32 Mrays/s).
+                fuse_patch = os.environ.get(
+                    "HYPERREEL_FUSED_PATCH_MULTI") == "1"
             if fuse_patch:
                 # blend+shade FUSION (shade.py _shade_kernel_fused_patch
                 # / _shade_kernel_multi_fused_patch): hand the gathered
@@ -1006,7 +1029,7 @@ class FusedCFEval:
                 for a in range(1 if dyn1 else len(axis_specs)):
                     Wa, Ha, m0a, m1a = axis_specs[a]
                     pidx, anc = patch_anchor_idx(
-                        pack[m0a], pack[m1a], Wa, Ha)
+                        pack[m0a], pack[m1a], Wa, Ha, R=Rb)
                     rows_list.append(ptabs[a][pidx])
                     anchors_list.append(anc)
                 p_anchors = anchors_list[0]
@@ -1077,7 +1100,8 @@ class FusedCFEval:
                     distance_scale=net.distance_scale,
                     tile=tile, s_major=True, preblended="fused_patch",
                     anchors=p_anchors, patch_pxy=patch,
-                    m0=axis_specs[0][2], m1=axis_specs[0][3])
+                    m0=axis_specs[0][2], m1=axis_specs[0][3],
+                    patch_block=Rb)
             else:
                 out = fused_shade_composite(
                     rows_list[0], pack, ttab_t, wb_t,
@@ -1086,7 +1110,8 @@ class FusedCFEval:
                     density_shift=0.0,
                     distance_scale=net.distance_scale,
                     tile=tile, s_major=True,
-                    preblended="phase_major" if patch else False)
+                    preblended="phase_major" if patch else False,
+                    patch_block=Rb)
         else:
             from hyperreel_tpu.ops.pallas.shade import (
                 fused_shade_composite_multi)
@@ -1098,7 +1123,7 @@ class FusedCFEval:
                     dens_c=dens_c, app_c=app_c, n_basis=n_basis,
                     shading=shading, density_shift=0.0,
                     distance_scale=net.distance_scale,
-                    tile=tile_fp, s_major=True,
+                    tile=tile, s_major=True,
                     preblended="fused_patch",
                     anchors_list=anchors_list, patch_pxy=patch)
             else:
@@ -1114,12 +1139,13 @@ class FusedCFEval:
 
         if patch and not pm_rays:
             # un-permute back to original ray order (the entry
-            # permutation put original ray 4j+p at position p*B/4 + j):
-            # ONE op on the [B, 5] transposed outputs — a leading-axis
-            # sublane copy, not a minor-dim lane interleave; fusing
-            # rgb/acc/dist into one avoids 3x the while-loop overhead
+            # permutation put original ray Rb*j+p at position
+            # p*B/Rb + j): ONE op on the [B, 5] transposed outputs — a
+            # leading-axis sublane copy, not a minor-dim lane
+            # interleave; fusing rgb/acc/dist into one avoids 3x the
+            # while-loop overhead
             outT = out[:5].T
-            outT = outT.reshape(4, B // 4, 5).transpose(
+            outT = outT.reshape(Rb, B // Rb, 5).transpose(
                 1, 0, 2).reshape(B, 5)
             rgb_map = outT[:, :3]
             acc_map = outT[:, 3]

@@ -48,13 +48,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _patch_blend_kernel(rows_ref, anc_ref, pk0_ref, pk1_ref, pk2_ref,
-                        pk3_ref, o_ref, *, s):
+def _patch_blend_kernel(*refs, s):
     px, py, C = s.px, s.py, s.C
+    rows_ref, anc_ref = refs[0], refs[1]
+    pk_refs, o_ref = refs[2:2 + s.R], refs[2 + s.R]
     patch = rows_ref[:].astype(jnp.float32).T          # [P*C, blkj]
     x0 = anc_ref[0:1]                                  # [1, blkj]
     y0 = anc_ref[1:2]
-    for p, pk in enumerate((pk0_ref, pk1_ref, pk2_ref, pk3_ref)):
+    for p, pk in enumerate(pk_refs):
         # in-kernel texel scale + anchor offset (bit-identical op order
         # to the former XLA-side ((xn+1)*0.5)*(W-1) pass)
         u = (pk[s.m0:s.m0 + 1] + 1.0) * 0.5 * (s.W - 1) - x0
@@ -70,19 +71,22 @@ def _patch_blend_kernel(rows_ref, anc_ref, pk0_ref, pk1_ref, pk2_ref,
 
 
 def patch_blend(rows, anchors, pack, *, m0, m1, W, H, px, py, C,
-                blkj=1024, out_dtype=jnp.float32, interpret=None):
-    """Run the patch-blend kernel; returns feats [4*C, J]."""
+                blkj=1024, out_dtype=jnp.float32, interpret=None,
+                R=4):
+    """Run the patch-blend kernel; returns feats [R*C, J] (R = the
+    coherent block size — rays per gathered patch row)."""
     J, PC = rows.shape
     assert PC == px * py * C, (PC, px, py, C)
     assert anchors.shape == (2, J), anchors.shape
     R16, N = pack.shape
-    assert N == 4 * J, (N, J)
+    assert N == R * J, (N, R, J)
     assert J % blkj == 0, (J, blkj)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kern = functools.partial(
         _patch_blend_kernel,
-        s=SimpleNamespace(px=px, py=py, C=C, m0=m0, m1=m1, W=W, H=H))
+        s=SimpleNamespace(px=px, py=py, C=C, m0=m0, m1=m1, W=W, H=H,
+                          R=R))
     nb = J // blkj
 
     def pk_spec(p):
@@ -94,22 +98,22 @@ def patch_blend(rows, anchors, pack, *, m0, m1, W, H, px, py, C,
         in_specs=[
             pl.BlockSpec((blkj, PC), lambda i: (i, 0)),
             pl.BlockSpec((2, blkj), lambda i: (0, i)),
-            pk_spec(0), pk_spec(1), pk_spec(2), pk_spec(3),
+            *[pk_spec(p) for p in range(R)],
         ],
-        out_specs=pl.BlockSpec((4 * C, blkj), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((4 * C, J), out_dtype),
+        out_specs=pl.BlockSpec((R * C, blkj), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((R * C, J), out_dtype),
         interpret=interpret,
-    )(rows, anchors, pack, pack, pack, pack)
+    )(rows, anchors, *([pack] * R))
 
 
-def patch_anchor_idx(x_row, y_row, W, H):
-    """XLA-side anchors for the patch gather — QUARTER-MAJOR.
+def patch_anchor_idx(x_row, y_row, W, H, R=4):
+    """XLA-side anchors for the patch gather — PHASE-MAJOR.
 
     x_row, y_row: [N] NORMALIZED plane coords in the phase-major lane
-    order (original ray 4j + p at position p*B/4 + j; the four rays of
-    each coherent block occupy the same column of four contiguous
-    quarter sections). The phase min is an elementwise min of 4
-    CONTIGUOUS slices — the former [N] -> [4, N/4] reshape lowered to
+    order (original ray R*j + p at position p*B/R + j; the R rays of
+    each coherent block occupy the same column of R contiguous
+    phase sections). The phase min is an elementwise min of R
+    CONTIGUOUS slices — the former [N] -> [R, N/R] reshape lowered to
     a ~0.45 ms while-loop each for x and y (round-4 HLO attribution).
     The texel scale is applied AFTER the min (monotone, so min
     commutes bit-exactly) over [J] instead of [N].
@@ -117,15 +121,18 @@ def patch_anchor_idx(x_row, y_row, W, H):
     Returns (idx [J] int32 rows of the patch table,
              anchors [2, J] f32 texel (x0, y0))."""
     n = x_row.shape[0]
-    q = n // 4
+    q = n // R
 
-    def min4(r):
-        return jnp.minimum(jnp.minimum(r[0:q], r[q:2 * q]),
-                           jnp.minimum(r[2 * q:3 * q], r[3 * q:]))
+    def minR(r):
+        acc = None
+        for p in range(R):
+            s = r[p * q:(p + 1) * q]
+            acc = s if acc is None else jnp.minimum(acc, s)
+        return acc
 
-    x0 = jnp.clip(jnp.floor((min4(x_row) + 1.0) * 0.5 * (W - 1)),
+    x0 = jnp.clip(jnp.floor((minR(x_row) + 1.0) * 0.5 * (W - 1)),
                   -1, W - 1)
-    y0 = jnp.clip(jnp.floor((min4(y_row) + 1.0) * 0.5 * (H - 1)),
+    y0 = jnp.clip(jnp.floor((minR(y_row) + 1.0) * 0.5 * (H - 1)),
                   -1, H - 1)
     idx = ((y0 + 1) * (W + 1) + (x0 + 1)).astype(jnp.int32)
     return idx, jnp.stack([x0, y0], 0)

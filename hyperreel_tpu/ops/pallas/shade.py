@@ -239,23 +239,27 @@ def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
                 shading=shading, ablate=ablate)
 
 
-def _shade_kernel_fused_patch(rows_ref, anc_ref, pk0_ref, pk1_ref,
-                              pk2_ref, pk3_ref, ttab_ref, wb_ref,
-                              out_ref, *, S, blk, W, H, TW, TH, Rt, C,
+def _shade_kernel_fused_patch(*refs, S, blk, W, H, TW, TH, Rt, C,
                               px, py, m0, m1, n_density, n_basis,
                               sh_deg, density_shift, distance_scale,
                               acc_dtype, s_major, use_weights_row,
-                              shading, ablate=()):
+                              shading, R=4, ablate=()):
     """Fused patch-blend + shade: one invocation consumes one J-block of
-    gathered patch rows and shades ALL FOUR phases that share it,
-    writing phase p's per-ray totals to out rows [8p, 8p+8). Replaces
-    the separate patch-blend kernel: the [4C, J] f32 feature round trip
-    through HBM and blend's duplicate pack reads vanish (~3 ms/chunk of
-    pure I/O at flagship channel counts, round-4b accounting)."""
+    gathered patch rows and shades ALL R phases that share it (R = the
+    coherent block size, 4 or 8), writing phase p's per-ray totals to
+    out rows [8p, 8p+8). Replaces the separate patch-blend kernel: the
+    [R*C, J] f32 feature round trip through HBM and blend's duplicate
+    pack reads vanish (~3 ms/chunk of pure I/O at flagship channel
+    counts, round-4b accounting). R=8 halves the patch-gather rows
+    again (the per-row gather floor is flat in row bytes —
+    gather_align.log) at the price of a wider patch for coverage."""
+    rows_ref, anc_ref = refs[0], refs[1]
+    pk_refs = refs[2:2 + R]
+    ttab_ref, wb_ref, out_ref = refs[2 + R], refs[3 + R], refs[4 + R]
     patch = rows_ref[:].astype(jnp.float32).T          # [P*C, blk]
     x0 = anc_ref[0:1]                                  # [1, blk]
     y0 = anc_ref[1:2]
-    for p, pk_ref in enumerate((pk0_ref, pk1_ref, pk2_ref, pk3_ref)):
+    for p, pk_ref in enumerate(pk_refs):
         pk = pk_ref[:]
         # in-kernel texel scale + anchor offset (bit-identical op order
         # to the patch-blend kernel, ops/pallas/patch_blend.py)
@@ -402,7 +406,8 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
                           acc_dtype=jnp.bfloat16, interpret=None,
                           s_major=False, use_weights_row=False,
                           shading="sh", preblended=False, ablate=(),
-                          anchors=None, patch_pxy=None, m0=0, m1=1):
+                          anchors=None, patch_pxy=None, m0=0, m1=1,
+                          patch_block=4):
     """Args:
       rows:   [N, 4C] bf16 gathered space quad rows (corner-major), or
               with preblended=True a [C, N] channels-first pre-blended
@@ -446,8 +451,8 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         C = rows.shape[1] // (px * py)
         N = pack.shape[1]
     elif preblended == "phase_major":
-        C = rows.shape[0] // 4
-        N = rows.shape[1] * 4
+        C = rows.shape[0] // patch_block
+        N = rows.shape[1] * patch_block
     elif preblended:
         C, N = rows.shape
     else:
@@ -469,9 +474,10 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
         if shading == "sh" else 0
 
     if preblended == "fused_patch":
-        q4 = (N // blk) // 4
-        assert (N // blk) % 4 == 0 and rows.shape[0] == N // 4, \
-            (N, blk, rows.shape)
+        R = patch_block
+        qR = (N // blk) // R
+        assert (N // blk) % R == 0 and rows.shape[0] == N // R, \
+            (N, blk, R, rows.shape)
         kern = functools.partial(
             _shade_kernel_fused_patch, S=S, blk=blk, W=W, H=H, TW=TW,
             TH=TH, Rt=Rt, C=C, px=px, py=py, m0=m0, m1=m1,
@@ -479,35 +485,36 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
             density_shift=float(density_shift),
             distance_scale=float(distance_scale), acc_dtype=acc_dtype,
             s_major=s_major, use_weights_row=use_weights_row,
-            shading=shading, ablate=tuple(ablate))
+            shading=shading, R=R, ablate=tuple(ablate))
         out = pl.pallas_call(
             kern,
-            grid=(q4,),
+            grid=(qR,),
             in_specs=[
                 pl.BlockSpec((blk, px * py * C), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 *[pl.BlockSpec((PACK_ROWS, blk),
-                               lambda i, _p=p: (0, i + _p * q4),
+                               lambda i, _p=p: (0, i + _p * qR),
                                memory_space=pltpu.VMEM)
-                  for p in range(4)],
+                  for p in range(R)],
                 pl.BlockSpec(((TH + 2) * C if TH else C, Rt),
                              lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3 * n_basis, C), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((32, pt), lambda i: (0, i),
+            out_specs=pl.BlockSpec((8 * R, pt), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((32, q4 * pt), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((8 * R, qR * pt),
+                                           jnp.float32),
             interpret=interpret,
-        )(rows, anchors, pack, pack, pack, pack, time_table_t, wb_t)
+        )(rows, anchors, *([pack] * R), time_table_t, wb_t)
         # rows 8p hold phase p's totals for J-block i at column block i;
         # rearrange to the phase-major per-ray order (tiny [8, N/S]-
         # class copy)
-        out = out.reshape(4, 8, q4, pt).transpose(1, 0, 2, 3).reshape(
-            8, 4 * q4 * pt)
+        out = out.reshape(R, 8, qR, pt).transpose(1, 0, 2, 3).reshape(
+            8, R * qR * pt)
         if pt != tile:
             out = out.reshape(8, N // blk, pt)[:, :, :tile].reshape(
                 8, N // S)
@@ -523,11 +530,11 @@ def fused_shade_composite(rows, pack, time_table_t, wb_t, *,
 
     grid = (N // blk,)
     if preblended == "phase_major":
-        q4 = grid[0] // 4
-        assert grid[0] % 4 == 0 and rows.shape[1] % blk == 0, \
-            (grid, rows.shape, blk)
+        qR = grid[0] // patch_block
+        assert grid[0] % patch_block == 0 \
+            and rows.shape[1] % blk == 0, (grid, rows.shape, blk)
         rows_spec = pl.BlockSpec((C, blk),
-                                 lambda i: (i // q4, i % q4),
+                                 lambda i: (i // qR, i % qR),
                                  memory_space=pltpu.VMEM)
     elif preblended:
         rows_spec = pl.BlockSpec((C, blk), lambda i: (0, i),
@@ -690,7 +697,7 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
     of per-axis gathered patch rows + anchors and shades all four
     phases (see _shade_kernel_fused_patch).
 
-    AXIS-OUTER / PHASE-INNER (round-5 Mosaic VMEM fix): the round-4
+    AXIS-OUTER / PHASE-INNER (round-5 VMEM fix): the round-4
     phase-outer form held every axis's [P*C_a, blk] f32 patch
     transpose live across all four phases simultaneously (~19 MB at
     llff channel counts, tile=64) and failed the Mosaic compile on
@@ -699,7 +706,14 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
     axis's f32 patch buffer is live at a time, accumulating per-phase
     density sums and per-phase app-basis partial dots (wb column
     slices per axis — f32-add associativity class, parity-gated at
-    2e-4 vs the general path like every kernel change)."""
+    2e-4 vs the general path like every kernel change).
+
+    CALLER CONTRACT: the call's `tile` MUST equal the chunk tile the
+    pack was laid out with — the kernel decodes lanes via
+    tile_r = blk // S against the baked S-major order. The round-5
+    variant-local tile_fp violated this and produced the llff 9.4e-2
+    HW parity failures originally misattributed to a Mosaic
+    miscompile (CPU repro: forced mismatch = 0.27)."""
     n_ax = len(axes)
     rows_refs = refs[:n_ax]
     anc_refs = refs[n_ax:2 * n_ax]

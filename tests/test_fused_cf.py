@@ -801,15 +801,17 @@ class TestCoherentGather:
         assert len(calls) == 3, len(calls)
 
     def test_patch_multi_axis_structural_gate(self, monkeypatch):
-        """STRUCTURAL GATE (round-5): the multi-axis fused-patch
-        DEFAULT is the two-kernel route (patch_blend + preblended
-        "phase_major") — the axis-outer fused kernel lowers on real
-        TPU but MISCOMPILES (llff 9.4e-2 / n3d 1.6e-1 parity,
-        multiaxis_patch3.log) while this CPU interpret-mode check
-        passes, pinning the bug to Mosaic, not the math. The fused
-        variant stays opt-in (HYPERREEL_FUSED_PATCH_MULTI=1) with its
-        own VMEM-estimated tile (fused_eval tile_fp) and must agree
-        with the default route at exact-class here."""
+        """STRUCTURAL GATE: the multi-axis fused-patch DEFAULT is the
+        two-kernel route (patch_blend + preblended "phase_major"); the
+        fused variant is opt-in (HYPERREEL_FUSED_PATCH_MULTI=1) and
+        must agree at exact-class. ROOT CAUSE of the round-4/5 HW
+        parity failures (llff 9.4e-2, wrongly blamed on Mosaic): the
+        fused call used a variant-local tile while the pack's S-major
+        lane order was baked at the CHUNK tile — the kernel decodes
+        lanes via tile_r = blk // S, so mismatched widths composite
+        the wrong lanes (CPU repro: forced mismatch = parity 0.27).
+        The fused call now always shares the chunk tile, whose choice
+        folds in the fused VMEM demand (fused_eval fp_lane)."""
         import hyperreel_tpu.ops.pallas.patch_blend as PBL
         blend_calls = []
         orig = PBL.patch_blend
@@ -920,6 +922,87 @@ class TestCoherentGather:
         b = np.asarray(m.apply(params, rays, ctx)["rgb"])
         assert float(a["uniform_time_viol"]) == 0.0
         d = np.abs(np.asarray(a["rgb"]) - b).max()
+        assert d < 2e-4, d
+
+    def test_patch_block8_parity(self):
+        """R=8 coherent blocks (round-5): ONE patch row serves 8
+        consecutive rays on the dyn1 fused blend+shade route — halves
+        the per-row gather floor again (flat in row bytes,
+        gather_align.log). The (5,2) patch budgets the wider 8-pixel
+        footprint. Parity vs the general path AND the R=4 (3,2) route
+        at exact-class; witness 0 on scanline rays, > 0 on scattered;
+        composes with the uniform-time premix (the bench candidate)."""
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        base = self._dyn_cfg()
+        m_g = build_model(
+            {**base, "color": {**base["color"], "net": {
+                **base["color"]["net"], "fused_render": False,
+                "fused_render_cf": False}}}, dataset_info=ds.info())
+        m4 = build_model(with_coherent_gather(base, 3, 2),
+                         dataset_info=ds.info())
+        m8 = build_model(with_coherent_gather(base, 5, 2, block=8),
+                         dataset_info=ds.info())
+        assert m8._cf_eval is not None
+        assert m8._cf_eval.patch_block == 8
+        params = m8.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        ref = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        o4 = m4.apply(params, rays, ctx)
+        o8 = m8.apply(params, rays, ctx)
+        assert float(o8["patch_coverage_viol"]) == 0.0
+        d_g = np.abs(np.asarray(o8["rgb"]) - ref).max()
+        d_44 = np.abs(np.asarray(o8["rgb"])
+                      - np.asarray(o4["rgb"])).max()
+        assert d_g < 2e-4, d_g
+        assert d_44 < 2e-4, d_44
+
+        # premix composition (the bench-candidate configuration)
+        o8u = m8.apply(params, rays, ctx, {"uniform_time": True})
+        assert float(o8u["uniform_time_viol"]) == 0.0
+        d_u = np.abs(np.asarray(o8u["rgb"]) - ref).max()
+        assert d_u < 2e-4, d_u
+
+        # phase-major contract at R=8: pre-permuted rays, host
+        # un-permute must match bit-exactly
+        n = rays.shape[0]
+        perm = np.arange(n).reshape(n // 8, 8).T.reshape(n)
+        pm = np.asarray(rays)[perm]
+        got_pm = np.asarray(m8.apply(
+            params, jnp.asarray(pm), ctx,
+            {"rays_phase_major": True})["rgb"])
+        un = np.empty_like(got_pm)
+        un[perm] = got_pm
+        assert np.abs(un - np.asarray(o8["rgb"])).max() < 1e-6
+
+        # scattered rays must witness violations
+        rng = np.random.default_rng(3)
+        sc = np.array(self._scanline_rays())
+        sc[:, 3:5] = rng.uniform(-0.4, 0.4, (n, 2)).astype(np.float32)
+        o_sc = m8.apply(params, jnp.asarray(sc), ctx)
+        assert float(o_sc["patch_coverage_viol"]) > 0.0
+
+    def test_patch_block8_two_kernel_route(self, monkeypatch):
+        """R=8 on the TWO-KERNEL route (HYPERREEL_FUSED_PATCH=0):
+        patch_blend emits [8C, J] and the shade kernel reads 8
+        phase row-blocks — this route keeps the chunk tile (and the
+        pack-build kernel) because the blend's block width is
+        decoupled from the pack lane order."""
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        base = self._dyn_cfg()
+        m8 = build_model(with_coherent_gather(base, 5, 2, block=8),
+                         dataset_info=ds.info())
+        params = m8.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m8.apply(params, rays, ctx)["rgb"])  # fused
+        monkeypatch.setenv("HYPERREEL_FUSED_PATCH", "0")
+        b = np.asarray(m8.apply(params, rays, ctx)["rgb"])  # 2-kernel
+        d = np.abs(a - b).max()
         assert d < 2e-4, d
 
     def test_uniform_time_premix_parity_patch(self):
