@@ -160,6 +160,9 @@ class InteractiveRenderer:
             self._patch_diag = float(
                 np.linalg.norm(aabb[1] - aabb[0]))
             self._patch_px = cf.patch_cfg[0]
+            # coherent block size (rays per gathered patch row): the
+            # pm constants and un-permutes below must match it
+            self._patch_R = cf.patch_block
 
     def _patch_bound(self, focal_px, pose):
         """Analytic coverage bound: worst-case x-texel spread of a
@@ -170,7 +173,7 @@ class InteractiveRenderer:
         a fail falls through to the empirical probe."""
         t_max = float(np.linalg.norm(np.asarray(pose)[:3, 3])) \
             + self._patch_diag
-        spread = 3.0 * t_max / float(focal_px) \
+        spread = (self._patch_R - 1.0) * t_max / float(focal_px) \
             * (self._patch_res - 1) / self._patch_extent
         return spread <= self._patch_px - 3
 
@@ -198,11 +201,13 @@ class InteractiveRenderer:
         quad = np.asarray(self._fwd(
             self.params, self._prepared,
             jnp.asarray(probe[None])))[0]
-        pm = probe.reshape(n // 4, 4, -1).transpose(1, 0, 2).reshape(n, -1)
+        Rb = self._patch_R
+        pm = probe.reshape(n // Rb, Rb, -1).transpose(
+            1, 0, 2).reshape(n, -1)
         patch = np.asarray(self._patch_fwd(
             self.params, self._patch_prepared, jnp.asarray(pm[None])))[0]
-        patch = patch.reshape(4, n // 4, -1).transpose(1, 0, 2).reshape(
-            n, -1)
+        patch = patch.reshape(Rb, n // Rb, -1).transpose(
+            1, 0, 2).reshape(n, -1)
         ok = bool(np.abs(patch - quad).max() < 1e-3)
         self._patch_gate_cache[key] = ok
         return ok
@@ -249,7 +254,8 @@ class InteractiveRenderer:
             jj = np.concatenate([jj, np.repeat(jj[-1:], pad)])
         if use_patch:
             # phase-major per chunk as a CONSTANT reindex of the grid
-            pm = (np.arange(k * cs).reshape(k, cs // 4, 4)
+            Rb = self._patch_R
+            pm = (np.arange(k * cs).reshape(k, cs // Rb, Rb)
                   .transpose(0, 2, 1).reshape(-1))
             ii, jj = ii[pm], jj[pm]
         ii = jnp.asarray(ii.reshape(k, cs))
@@ -357,7 +363,8 @@ class InteractiveRenderer:
             jnp.asarray(t, jnp.float32),
             jnp.asarray(cam_id, jnp.float32)))
         if use_patch:
-            out_u8 = out_u8.reshape(k, 4, cs // 4, 3).transpose(
+            Rb = self._patch_R
+            out_u8 = out_u8.reshape(k, Rb, cs // Rb, 3).transpose(
                 0, 2, 1, 3).reshape(-1, 3)
         else:
             out_u8 = out_u8.reshape(-1, 3)
