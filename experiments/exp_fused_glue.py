@@ -11,12 +11,19 @@ import collections
 import glob
 import gzip
 import json
+import os
 import re
 import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# patch shape / coherent block via the bench env knobs so the R=8
+# route ((5,2) block=8) traces with the same harness
+_PS = tuple(int(x) for x in os.environ.get(
+    "BENCH_PATCH_SHAPE", "3,2").split(","))
+_PB = int(os.environ.get("BENCH_PATCH_BLOCK", 4))
 
 
 def log(*a):
@@ -38,7 +45,8 @@ def bench_chunk(chunk=1 << 18):
     fr = np.concatenate([o, d, cam, t], -1).astype(np.float32)
     fr = fr[:chunk]
     fr = np.ascontiguousarray(
-        fr.reshape(chunk // 4, 4, -1).transpose(1, 0, 2)).reshape(chunk, -1)
+        fr.reshape(chunk // _PB, _PB, -1).transpose(1, 0, 2)
+    ).reshape(chunk, -1)
     return jnp.asarray(fr)
 
 
@@ -46,8 +54,8 @@ def build():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as GE
     fn, (params, _rays, it, rng) = GE.entry(
-        coherent_gather=True, prepared=True, patch_shape=(3, 2),
-        uniform_time=True)
+        coherent_gather=True, prepared=True, patch_shape=_PS,
+        patch_block=_PB, uniform_time=True)
     return fn, params, it, rng
 
 

@@ -125,7 +125,7 @@ def main():
 
     frame_np, n = make_frame(dynamic)
 
-    def measure(cfg, label, k):
+    def measure(cfg, label, k, patch=(3, 2), block=4):
         """Holdout PSNR on the GENERAL path + streaming throughput on
         the fast route (fused + patch) with trained params grafted."""
         m_k = build_model(cfg, dataset_info=ds.info(),
@@ -141,7 +141,8 @@ def main():
         val = float(psnr(np.asarray(pred), np.asarray(hold["rgb"])))
 
         import copy
-        cfg_f = with_coherent_gather(copy.deepcopy(cfg), 3, 2)
+        cfg_f = with_coherent_gather(copy.deepcopy(cfg), *patch,
+                                     block=block)
         cfg_f["color"]["net"]["fused_render"] = True
         m_f = build_model(cfg_f, dataset_info=ds.info(),
                           compute_dtype=jnp.bfloat16)
@@ -172,11 +173,18 @@ def main():
         float(outs[-1][0, 0, 0])
         dt = (time.perf_counter() - t0) / n_timed
         log(json.dumps({"family": family, "mode": label, "k": k,
+                        "patch": list(patch), "block": block,
                         "holdout_psnr": round(val, 2),
                         "rays_per_sec": round(n / dt, 1)}))
         return m_f, params_f
 
     m_f, params_f = measure(base_cfg, "full", z_full)
+    # R=8 coherent blocks (round 5): one patch row per axis serves 8
+    # consecutive rays — halves the multi families' 3-axis gather
+    # floor. Wider (5,3) patch for the 8-pixel footprint; the in-graph
+    # witness gates exactness before the timing is trusted.
+    m_f8, params_f8 = measure(base_cfg, "full-r8", z_full,
+                              patch=(5, 3), block=8)
 
     # coverage-witness gate per family (the viewer probe's contract):
     # scanline 4-blocks -> viol 0; scattered -> viol > 0
@@ -189,6 +197,9 @@ def main():
     log(f"[{family}] witness gate: scanline {v0:.2e} (expect 0), "
         f"scattered {v1:.2e} (expect > 0)")
     assert v0 == 0.0 and v1 > 0.0, (v0, v1)
+    v8 = float(m_f8.apply(params_f8, sl, ctx)["patch_coverage_viol"])
+    log(f"[{family}] R=8 (5,3) witness: scanline {v8:.2e} (expect 0)")
+    assert v8 == 0.0, v8
 
     for k in (z_full // 2, z_full // 4):
         measure(with_compact_samples(compact_base, k), "compact", k)

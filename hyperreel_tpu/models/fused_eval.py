@@ -330,12 +330,16 @@ class FusedCFEval:
             return {"dyn1": True, "C": C, "nd": net.density_n_comp[0],
                     "TW": TW, "TH": TH, "twp": twp,
                     "axis_specs": [(W, H, 0, 1)],
-                    "scratch": twp * 6 + (TH + 2) * C * 4}
+                    "scratch": twp * 6 + (TH + 2) * C * 4,
+                    # uniform-time premix shrinks the kernel's time
+                    # table (TH+2)x -> the VMEM budget follows
+                    "scratch_ut": twp * 6 + C * 4}
         from hyperreel_tpu.models.tensorf import MAT_MODE, MAT_MODE_SPACE
         dynamic = self.flow is not None
         axis_specs, line_lens, time_hs = [], [], []
         dens_c, app_c = [], []
         scratch = 0
+        scratch_ut = 0
         scratch_axes = []
         for i in net.active_density:
             fam = "space" if dynamic else "plane"
@@ -350,20 +354,23 @@ class FusedCFEval:
                 line_lens.append(TW)
                 time_hs.append(TH)
                 sa = twp * 6 + (TH + 2) * C_a * 4
+                sa_ut = twp * 6 + C_a * 4
             else:
                 L = cparams["density"][f"line_{i}"].shape[0]
                 lp = ((L + 2 + 127) // 128) * 128
                 line_lens.append(L)
                 time_hs.append(0)
                 sa = lp * 6 + C_a * 4
+                sa_ut = sa
             scratch += sa
+            scratch_ut += sa_ut
             scratch_axes.append(sa)
             dens_c.append(net.density_n_comp[i])
             app_c.append(net.app_n_comp[i])
         return {"dyn1": False, "axis_specs": axis_specs,
                 "line_lens": line_lens, "time_hs": time_hs,
                 "dens_c": dens_c, "app_c": app_c, "scratch": scratch,
-                "scratch_axes": scratch_axes}
+                "scratch_ut": scratch_ut, "scratch_axes": scratch_axes}
 
     def _plan_arrays(self, cparams):
         """The per-CHECKPOINT table arrays of the render plan:
@@ -555,7 +562,15 @@ class FusedCFEval:
             line_lens = meta["line_lens"]
             time_hs = meta["time_hs"]
             dens_c, app_c = meta["dens_c"], meta["app_c"]
-        tile = pick_tile(meta["scratch"])
+        # uniform-time premix (see below): hoisted here because the
+        # premixed time table is (TH+2)x smaller, which changes BOTH
+        # VMEM budgets (kernel scratch + the fused-patch fp_lane) and
+        # can keep tile=128 (the pack-build kernel's requirement)
+        # where the un-premixed estimate would shrink the tile.
+        uniform_t = bool(render_kwargs.get("uniform_time")) \
+            and self.flow is not None
+        tile = pick_tile(meta["scratch_ut" if uniform_t
+                              else "scratch"])
         # coherent patch-gather: rays are PERMUTED at chunk entry
         # (original ray 4j+p -> position p*B/4 + j) so each phase is a
         # contiguous quarter of the flat kernel order; quarters must be
@@ -577,11 +592,29 @@ class FusedCFEval:
         fuse_env = os.environ.get(
             "HYPERREEL_FUSED_PATCH", "1") not in ("0", "false")
         Rb = 4
-        if self.patch_block == 8 and dyn1:
-            # both dyn1 routes take R blocks: the fused kernel shades
-            # R phases per J-block; the two-kernel route blends
-            # [R*C, J] and the shade reads R row-blocks (phase_major)
+        if self.patch_block == 8:
+            # all four patch routes take R blocks: the fused kernels
+            # (dyn1 AND multi-axis) shade R phases per J-block; the
+            # two-kernel routes blend [R*C_a, J] and the shade reads
+            # R phase row-blocks (phase_major). R=8 halves the per-row
+            # gather floor again at the price of a wider patch for
+            # coverage (the in-graph witness gates exactness).
             Rb = 8
+        # STRUCTURAL SUBLANE GATE (HW-found, verify_r8_multi2.log):
+        # the phase_major rows BlockSpec is (C_a, blk) and Pallas TPU
+        # requires the sublane block dim divisible by 8 (C_a = 8 is
+        # HW-proven — the llff/n3d presets' smallest axis). Sub-preset
+        # channel counts (e.g. [4,2,2] -> C_a 4) crash the remote
+        # compile, so the patch route structurally falls back to the
+        # exact quad path for them instead.
+        if self.patch_cfg is not None:
+            if dyn1:
+                cs_gate = [meta["C"]]
+            else:
+                cs_gate = [meta["dens_c"][a] + meta["app_c"][a]
+                           for a in range(len(meta["dens_c"]))]
+            if any(c % 8 for c in cs_gate):
+                ptabs = None
         if self.patch_cfg is not None and ptabs is not None:
             # THE FUSED VARIANT MUST SHARE THE CHUNK TILE: the pack's
             # S-major lane order is baked at `tile` (tbo below), and
@@ -615,18 +648,28 @@ class FusedCFEval:
                 # bench point ((3,2) -> est 14.9 <= cap, real <= 16).
                 if dyn1:
                     cs_ = [meta["C"]]
-                    tt_rows = (meta["TH"] + 2) * meta["C"]
+                    tt_rows = meta["C"] if uniform_t \
+                        else (meta["TH"] + 2) * meta["C"]
                 else:
                     cs_ = [meta["dens_c"][a] + meta["app_c"][a]
                            for a in range(len(meta["dens_c"]))]
                     tt_rows = max(
-                        ((th + 2) * c if th else c)
+                        ((th + 2) * c if th and not uniform_t else c)
                         for th, c in zip(meta["time_hs"], cs_))
+                # the fused kernels keep the patch transpose in bf16
+                # (lossless — the gathered rows ARE bf16) and cast
+                # texel slices to f32 at use, so the transpose term is
+                # x2 not x4
                 fp_lane = (sum(P_t * c * 2 for c in cs_) * 2
-                           + max(P_t * c * 4 for c in cs_)
+                           + max(P_t * c * 2 for c in cs_)
                            + Rb * 16 * 4 + 1024 + tt_rows * 4
                            + 2 * max(cs_) * 4 + 3 * n_basis * 8
                            + 8 * Rb * 4)
+                if not dyn1:
+                    # the multi fused kernel keeps R per-phase density
+                    # + app-basis accumulators live across the axis
+                    # loop (dyn1 shades each phase immediately)
+                    fp_lane += Rb * (3 * n_basis + 1) * 4
                 fp_lane = int(fp_lane * 1.25)
             pt = tile
             while pt > 4 and (
@@ -636,6 +679,12 @@ class FusedCFEval:
             if pt > 4 and B % (Rb * pt) == 0:
                 tile = pt
                 patch = self.patch_cfg[:2]
+        if os.environ.get("HYPERREEL_ROUTE_DEBUG"):
+            import sys as _sys
+            print(f"# route: dyn1={dyn1} tile={tile} patch={patch} "
+                  f"Rb={Rb} pm_rays={pm_rays} "
+                  f"pack_ok={self._pack_ok and tile == 128}",
+                  file=_sys.stderr, flush=True)
         if patch and not pm_rays:
             D_in = rays.shape[1]
             rays = rays.reshape(B // Rb, Rb, D_in).transpose(
@@ -1056,8 +1105,7 @@ class FusedCFEval:
         # outputs["uniform_time_viol"] = max|tn - tn[0]| is returned
         # for callers to enforce (same pattern as the patch coverage
         # witness) — it is exactly 0 on frame renders.
-        uniform_t = bool(render_kwargs.get("uniform_time")) \
-            and self.flow is not None
+        # (uniform_t hoisted above the tile choice — VMEM budgets)
         ut_viol = None
         if uniform_t:
             ut_viol = jnp.max(jnp.abs(tn_ray - tn_ray[0]))
@@ -1125,7 +1173,8 @@ class FusedCFEval:
                     distance_scale=net.distance_scale,
                     tile=tile, s_major=True,
                     preblended="fused_patch",
-                    anchors_list=anchors_list, patch_pxy=patch)
+                    anchors_list=anchors_list, patch_pxy=patch,
+                    patch_block=Rb)
             else:
                 out = fused_shade_composite_multi(
                     rows_list, pack, line_tabs, wb_t,
@@ -1135,7 +1184,8 @@ class FusedCFEval:
                     shading=shading, density_shift=0.0,
                     distance_scale=net.distance_scale,
                     tile=tile, s_major=True,
-                    preblended="phase_major" if patch else False)
+                    preblended="phase_major" if patch else False,
+                    patch_block=Rb)
 
         if patch and not pm_rays:
             # un-permute back to original ray order (the entry

@@ -256,7 +256,11 @@ def _shade_kernel_fused_patch(*refs, S, blk, W, H, TW, TH, Rt, C,
     rows_ref, anc_ref = refs[0], refs[1]
     pk_refs = refs[2:2 + R]
     ttab_ref, wb_ref, out_ref = refs[2 + R], refs[3 + R], refs[4 + R]
-    patch = rows_ref[:].astype(jnp.float32).T          # [P*C, blk]
+    # the transpose stays at TABLE dtype (bf16 — lossless); texel
+    # slices cast to f32 at use. Halves the dominant fp_lane VMEM term
+    # (fused_eval), which keeps tile=128 (the pack-build kernel's
+    # requirement) at R=8 patch widths.
+    patch = rows_ref[:].T                              # [P*C, blk]
     x0 = anc_ref[0:1]                                  # [1, blk]
     y0 = anc_ref[1:2]
     for p, pk_ref in enumerate(pk_refs):
@@ -271,7 +275,8 @@ def _shade_kernel_fused_patch(*refs, S, blk, W, H, TW, TH, Rt, C,
             for tx in range(px):
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - tx))
                 t = ty * px + tx
-                feat_s = feat_s + (wx * wy) * patch[t * C:(t + 1) * C]
+                feat_s = feat_s + (wx * wy) * patch[
+                    t * C:(t + 1) * C].astype(jnp.float32)
         _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, 8 * p,
                     S=S, blk=blk, TW=TW, TH=TH, Rt=Rt, C=C,
                     n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
@@ -692,7 +697,7 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
                                     px, py, n_basis, sh_deg,
                                     density_shift, distance_scale,
                                     acc_dtype, s_major,
-                                    use_weights_row, shading):
+                                    use_weights_row, shading, R=4):
     """Multi-axis blend+shade fusion: one invocation reads one J-block
     of per-axis gathered patch rows + anchors and shades all four
     phases (see _shade_kernel_fused_patch).
@@ -717,16 +722,16 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
     n_ax = len(axes)
     rows_refs = refs[:n_ax]
     anc_refs = refs[n_ax:2 * n_ax]
-    pk_refs = refs[2 * n_ax:2 * n_ax + 4]
-    ttab_refs = refs[2 * n_ax + 4:3 * n_ax + 4]
-    wb_ref = refs[3 * n_ax + 4]
-    out_ref = refs[3 * n_ax + 5]
+    pk_refs = refs[2 * n_ax:2 * n_ax + R]
+    ttab_refs = refs[2 * n_ax + R:3 * n_ax + R]
+    wb_ref = refs[3 * n_ax + R]
+    out_ref = refs[3 * n_ax + R + 1]
 
-    pks = [r[:] for r in pk_refs]                       # 4 x [16, blk]
+    pks = [r[:] for r in pk_refs]                       # R x [16, blk]
     wb = wb_ref[:]                                      # [3K, sum app_c]
-    dfeats = [jnp.zeros((1, blk), jnp.float32) for _ in range(4)]
+    dfeats = [jnp.zeros((1, blk), jnp.float32) for _ in range(R)]
     apps = [jnp.zeros((3 * n_basis, blk), jnp.float32)
-            for _ in range(4)]
+            for _ in range(R)]
 
     app_off = 0
     for a, ax in enumerate(axes):
@@ -737,12 +742,12 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
         L = line_lens[a]
         TH = time_hs[a]
         Rt = ttab_refs[a].shape[1]
-        patch_a = rows_refs[a][:].astype(jnp.float32).T  # [P*C_a, blk]
+        patch_a = rows_refs[a][:].T      # [P*C_a, blk] at table dtype
         x0 = anc_refs[a][0:1]
         y0 = anc_refs[a][1:2]
         wb_a = wb[:, app_off:app_off + app_c[a]]
         app_off += app_c[a]
-        for p in range(4):
+        for p in range(R):
             pk = pks[p]
             u = (pk[m0:m0 + 1] + 1.0) * 0.5 * (W - 1) - x0
             vv = (pk[m1:m1 + 1] + 1.0) * 0.5 * (H - 1) - y0
@@ -753,7 +758,7 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
                     wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - tx))
                     t = ty * px + tx
                     feat_p = feat_p + (wx * wy) * patch_a[
-                        t * C_a:(t + 1) * C_a]
+                        t * C_a:(t + 1) * C_a].astype(jnp.float32)
             # second factor (identical op order to _multi_core)
             pz = (pk[v:v + 1] + 1.0) * 0.5 * (L - 1)
             zb, fz, z_lo, z_hi = _corner_weights(pz, L)
@@ -781,7 +786,7 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
                 wb_a, prod[dens_c[a]:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-    for p in range(4):
+    for p in range(R):
         pk = pks[p]
         dist = pk[4:5]
         valid = ((jnp.abs(pk[0:1]) <= 1.0) & (jnp.abs(pk[1:2]) <= 1.0)
@@ -804,7 +809,8 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
                                 acc_dtype=jnp.bfloat16, interpret=None,
                                 s_major=False, use_weights_row=False,
                                 shading="sh", preblended=False,
-                                anchors_list=None, patch_pxy=None):
+                                anchors_list=None, patch_pxy=None,
+                                patch_block=4):
     """Multi-axis static fused render.
 
     rows_list: per-axis [N, 4*C_a] bf16 gathered quad rows, or with
@@ -818,7 +824,7 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
     if preblended == "fused_patch":
         N = pack.shape[1]
     elif preblended == "phase_major":
-        N = rows_list[0].shape[1] * 4
+        N = rows_list[0].shape[1] * patch_block
     elif preblended:
         N = rows_list[0].shape[1]
     else:
@@ -835,8 +841,9 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
 
     if preblended == "fused_patch":
         px, py = patch_pxy
-        q4 = (N // blk) // 4
-        assert (N // blk) % 4 == 0, (N, blk)
+        R = patch_block
+        qR = (N // blk) // R
+        assert (N // blk) % R == 0, (N, blk, R)
         kern = functools.partial(
             _shade_kernel_multi_fused_patch, axes=tuple(axes), S=S,
             blk=blk, grid_dims=tuple(tuple(g) for g in grid_dims),
@@ -847,7 +854,7 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
             density_shift=float(density_shift),
             distance_scale=float(distance_scale), acc_dtype=acc_dtype,
             s_major=s_major, use_weights_row=use_weights_row,
-            shading=shading)
+            shading=shading, R=R)
         in_specs = [pl.BlockSpec((blk, r.shape[1]), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
                     for r in rows_list]
@@ -855,9 +862,9 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
                                   memory_space=pltpu.VMEM)
                      for _ in rows_list]
         in_specs += [pl.BlockSpec((PACK_ROWS, blk),
-                                  lambda i, _p=p: (0, i + _p * q4),
+                                  lambda i, _p=p: (0, i + _p * qR),
                                   memory_space=pltpu.VMEM)
-                     for p in range(4)]
+                     for p in range(R)]
         in_specs += [pl.BlockSpec(t.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
                      for t in line_tabs]
@@ -865,16 +872,17 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
                                      memory_space=pltpu.VMEM))
         out = pl.pallas_call(
             kern,
-            grid=(q4,),
+            grid=(qR,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((32, pt), lambda i: (0, i),
+            out_specs=pl.BlockSpec((8 * R, pt), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((32, q4 * pt), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((8 * R, qR * pt),
+                                           jnp.float32),
             interpret=interpret,
-        )(*rows_list, *anchors_list, pack, pack, pack, pack,
+        )(*rows_list, *anchors_list, *([pack] * R),
           *line_tabs, wb_t)
-        out = out.reshape(4, 8, q4, pt).transpose(1, 0, 2, 3).reshape(
-            8, 4 * q4 * pt)
+        out = out.reshape(R, 8, qR, pt).transpose(1, 0, 2, 3).reshape(
+            8, R * qR * pt)
         if pt != tile:
             out = out.reshape(8, N // blk, pt)[:, :, :tile].reshape(
                 8, N // S)
@@ -893,11 +901,11 @@ def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
 
     if preblended == "phase_major":
         # see fused_shade_composite: phase p = contiguous flat-column
-        # quarter, so the relayout is a BlockSpec index map
-        q4 = (N // blk) // 4
-        assert (N // blk) % 4 == 0, (N, blk)
-        in_specs = [pl.BlockSpec((r.shape[0] // 4, blk),
-                                 lambda i: (i // q4, i % q4),
+        # 1/R section, so the relayout is a BlockSpec index map
+        qR = (N // blk) // patch_block
+        assert (N // blk) % patch_block == 0, (N, blk, patch_block)
+        in_specs = [pl.BlockSpec((r.shape[0] // patch_block, blk),
+                                 lambda i: (i // qR, i % qR),
                                  memory_space=pltpu.VMEM)
                     for r in rows_list]
     elif preblended:

@@ -748,7 +748,7 @@ class TestCoherentGather:
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
         cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
         cfg["color"]["net"].update(
-            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+            {"n_lamb_sigma": [8, 4, 4], "n_lamb_sh": [8, 4, 4],
              "bf16_tables": True, "fused_render": True})
         cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
             "contract"] = {"type": "identity"}
@@ -783,8 +783,8 @@ class TestCoherentGather:
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
                                  num_frames=4, num_keyframes=2)
         cfg = self._dyn_cfg()
-        cfg["color"]["net"]["n_lamb_sigma"] = [4, 2, 2]
-        cfg["color"]["net"]["n_lamb_sh"] = [4, 2, 2]
+        cfg["color"]["net"]["n_lamb_sigma"] = [8, 4, 4]
+        cfg["color"]["net"]["n_lamb_sh"] = [8, 4, 4]
         cfg_p = with_coherent_gather(cfg, 4, 3)
         m_p = build_model(cfg_p, dataset_info=ds.info())
         assert m_p._cf_eval is not None
@@ -826,7 +826,7 @@ class TestCoherentGather:
         ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
         cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
         cfg["color"]["net"].update(
-            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+            {"n_lamb_sigma": [8, 4, 4], "n_lamb_sh": [8, 4, 4],
              "bf16_tables": True, "fused_render": True})
         cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
             "contract"] = {"type": "identity"}
@@ -1004,6 +1004,120 @@ class TestCoherentGather:
         b = np.asarray(m8.apply(params, rays, ctx)["rgb"])  # 2-kernel
         d = np.abs(a - b).max()
         assert d < 2e-4, d
+
+    def test_patch_block8_multi_axis(self, monkeypatch):
+        """R=8 coherent blocks on the MULTI-AXIS families (round 5):
+        the [8, 4, 4] llff/n3d class gathers one patch row per axis
+        per 8-ray block — halving the worst gather floor in the repo
+        (3 axes x per-row cost). Parity vs the general path and the
+        R=4 route on BOTH multi routes (two-kernel default and the
+        opt-in fused variant) at exact-class; dynamic keyframe family
+        + premix composition included."""
+        import copy
+        from hyperreel_tpu.configs.presets import (
+            tiny_static, with_coherent_gather)
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"].update(
+            {"n_lamb_sigma": [8, 4, 4], "n_lamb_sh": [8, 4, 4],
+             "bf16_tables": True, "fused_render": True})
+        cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
+            "contract"] = {"type": "identity"}
+        m8 = build_model(with_coherent_gather(cfg, 5, 3, block=8),
+                         dataset_info=ds.info())
+        assert m8._cf_eval is not None
+        assert m8._cf_eval.patch_block == 8
+        m4 = build_model(with_coherent_gather(cfg, 4, 3),
+                         dataset_info=ds.info())
+        cfg_g = copy.deepcopy(cfg)
+        cfg_g["color"]["net"]["fused_render"] = False
+        cfg_g["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg_g, dataset_info=ds.info())
+        params = m8.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()[:, :6]
+        ctx = make_ctx(it=5000, training=False)
+        ref = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        o4 = np.asarray(m4.apply(params, rays, ctx)["rgb"])
+        monkeypatch.delenv("HYPERREEL_FUSED_PATCH_MULTI", raising=False)
+        o8 = m8.apply(params, rays, ctx)        # two-kernel default
+        assert float(o8["patch_coverage_viol"]) == 0.0
+        a = np.asarray(o8["rgb"])
+        assert np.abs(a - ref).max() < 2e-4, np.abs(a - ref).max()
+        assert np.abs(a - o4).max() < 2e-4, np.abs(a - o4).max()
+        monkeypatch.setenv("HYPERREEL_FUSED_PATCH_MULTI", "1")
+        b = np.asarray(m8.apply(params, rays, ctx)["rgb"])  # fused
+        assert np.abs(b - ref).max() < 2e-4, np.abs(b - ref).max()
+
+    def test_patch_block8_multi_axis_dynamic_premix(self):
+        """R=8 on the dynamic keyframe multi family composed with the
+        uniform-time premix (the n3d bench-candidate configuration)."""
+        from hyperreel_tpu.configs.presets import with_coherent_gather
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = self._dyn_cfg()
+        cfg["color"]["net"]["n_lamb_sigma"] = [8, 4, 4]
+        cfg["color"]["net"]["n_lamb_sh"] = [8, 4, 4]
+        m8 = build_model(with_coherent_gather(cfg, 5, 3, block=8),
+                         dataset_info=ds.info())
+        assert m8._cf_eval is not None
+        import copy
+        cfg_g = copy.deepcopy(cfg)
+        cfg_g["color"]["net"]["fused_render"] = False
+        cfg_g["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg_g, dataset_info=ds.info())
+        params = m8.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()
+        ctx = make_ctx(it=5000, training=False)
+        ref = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        o8 = m8.apply(params, rays, ctx)
+        assert float(o8["patch_coverage_viol"]) == 0.0
+        d = np.abs(np.asarray(o8["rgb"]) - ref).max()
+        assert d < 2e-4, d
+        o8u = m8.apply(params, rays, ctx, {"uniform_time": True})
+        assert float(o8u["uniform_time_viol"]) == 0.0
+        d_u = np.abs(np.asarray(o8u["rgb"]) - ref).max()
+        assert d_u < 2e-4, d_u
+
+    def test_patch_sublane_gate(self, monkeypatch):
+        """STRUCTURAL SUBLANE GATE (HW-found, verify_r8_multi2.log):
+        the phase_major rows BlockSpec is (C_a, blk) and Pallas TPU
+        requires the sublane block dim divisible by 8. Channel counts
+        like [4,2,2] (C_a = 8, 4, 4) crash the REMOTE compile while
+        passing CPU interpret — so the patch route must structurally
+        fall back to the exact quad path for them, never ship a
+        non-lowering default."""
+        import copy
+        import hyperreel_tpu.ops.pallas.patch_blend as PBL
+        calls = []
+        orig = PBL.patch_anchor_idx
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+        monkeypatch.setattr(PBL, "patch_anchor_idx", spy)
+
+        from hyperreel_tpu.configs.presets import (
+            tiny_static, with_coherent_gather)
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16))
+        cfg = convert_epochs_to_iters(tiny_static(), iters_per_epoch=50)
+        cfg["color"]["net"].update(
+            {"n_lamb_sigma": [4, 2, 2], "n_lamb_sh": [4, 2, 2],
+             "bf16_tables": True, "fused_render": True})
+        cfg["embedding"]["embeddings"]["ray_intersect_0"]["intersect"][
+            "contract"] = {"type": "identity"}
+        m_p = build_model(with_coherent_gather(cfg, 4, 3),
+                          dataset_info=ds.info())
+        cfg_g = copy.deepcopy(cfg)
+        cfg_g["color"]["net"]["fused_render"] = False
+        cfg_g["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg_g, dataset_info=ds.info())
+        params = m_p.init(jax.random.PRNGKey(0))
+        rays = self._scanline_rays()[:, :6]
+        ctx = make_ctx(it=5000, training=False)
+        a = np.asarray(m_p.apply(params, rays, ctx)["rgb"])
+        assert not calls, "sub-8 C_a must fall back to the quad path"
+        b = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
 
     def test_uniform_time_premix_parity_patch(self):
         """Premix composed with the coherent patch route — the BENCH
