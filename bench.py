@@ -53,20 +53,21 @@ def main():
     # production fast point.
     ap.add_argument("--compact-samples", type=int,
                     default=int(os.environ.get("BENCH_COMPACT_SAMPLES", 0)))
-    # Patch texel extent (px py). Both (4,3) and (3,2) are
+    # Patch texel extent (px py). (4,3), (3,2) R=4 and (5,2) R=8 are
     # HW-parity-verified exact at this bench's 1024^2 pixel density
-    # (verify_pm_patch_hw 8.2e-5); (3,2) rows are half the bytes and
-    # the gather rate at these widths is byte-sensitive, so (3,2) is
-    # the default (official legs: 13.63 vs 11.42 Mrays/s).
-    ps_env = os.environ.get("BENCH_PATCH_SHAPE", "3,2")
+    # (verify_pm_patch_hw 8.2e-5; R=8 witness 8.6e-6). Default is the
+    # round-5 best official route: R=8 coherent blocks with the (5,2)
+    # patch (16.11 Mrays/s post skip-split/emit_idx/batched-compaction
+    # vs 15.07 pre, bench_r8c.log; R=4 (3,2) official was 14.87).
+    ps_env = os.environ.get("BENCH_PATCH_SHAPE", "5,2")
     ap.add_argument("--patch-shape", type=int, nargs=2, default=(
         tuple(int(v) for v in ps_env.split(",")) if ps_env else None))
     # coherent block size: rays per gathered patch row. 8 halves the
-    # per-row gather floor again (round-5; dyn1 fused route only) but
-    # needs a wider patch, e.g. BENCH_PATCH_SHAPE=5,2 — the coverage
-    # witness gates exactness either way.
+    # per-row gather floor vs 4 (round-5; dyn1 fused route only) and
+    # needs the wider (5,2) patch — the coverage witness gates
+    # exactness either way (under-covered shapes fall back to quad).
     ap.add_argument("--patch-block", type=int,
-                    default=int(os.environ.get("BENCH_PATCH_BLOCK", 4)))
+                    default=int(os.environ.get("BENCH_PATCH_BLOCK", 8)))
     args = ap.parse_args()
 
     # prepared=True: per-checkpoint tables (quad/patch/time) are built

@@ -284,8 +284,11 @@ class FusedCFEval:
         last = net.depth + 1
         perm = np.arange(self.S * self.preds).reshape(
             self.S, self.preds).T.reshape(-1) if field_major else None
+        skip_split = os.environ.get(
+            "HYPERREEL_MLP_SKIP_SPLIT", "1") != "0"
         for i in range(net.depth + 2):
-            if i in net.skips:
+            skip = i in net.skips
+            if skip and not skip_split:
                 x = jnp.concatenate([input_x.astype(x.dtype), x], 0)
             p = params[f"layer_{i}"]
             w = p["w"]
@@ -296,7 +299,28 @@ class FusedCFEval:
             if cd is not None:
                 x = x.astype(cd)
                 w = w.astype(cd)
-            x = w.T @ x
+            if skip and skip_split:
+                # SKIP-SPLIT: w.T @ [input_x; x] == w[:ci].T @ input_x
+                # + w[ci:].T @ x (trace-time weight split). The concat
+                # materialized a [Cin+hidden, B] activation buffer
+                # (concatenate.7, 0.83 ms/chunk at bench scale — round-5
+                # fused_glue trace) and left the next matmul with a
+                # ragged 265-row contraction; the split keeps the hot
+                # matmul at [hidden, hidden] and folds the tiny input
+                # term in as an f32 add. Accumulation is f32 either way
+                # (one bf16 round-off at the end, same as the fused
+                # matmul) — only f32 reassociation-level divergence.
+                ci = input_x.shape[0]
+                xi = input_x.astype(x.dtype)
+                acc = jax.lax.dot_general(
+                    w[ci:], x, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    w[:ci], xi, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                x = acc.astype(x.dtype)
+            else:
+                x = w.T @ x
             if b is not None:
                 x = x + b.astype(x.dtype)[:, None]
             if i < act_until:
@@ -809,7 +833,8 @@ class FusedCFEval:
                 if isect.contract.name != "identity" else None,
                 inv_cdist=isect.contract.inverse_contract_distance
                 if isect.contract.contract_samples else None,
-                stride=stride_pk)
+                stride=stride_pk,
+                emit_idx=not patch)
             rows_list = None if patch else [
                 tabs[a][0][idx8[a]] for a in range(len(axis_specs))]
             S = Sr

@@ -87,7 +87,7 @@ def _bitonic_sublane(v, n):
 
 
 def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
-                       pack_ref, idx_ref, *, spec):
+                       pack_ref, *idx_refs, spec):
     s = spec
     S, k, T = s.S, s.k, s.tile
     ctx = SimpleNamespace(it=it_ref[0], training=False)
@@ -193,26 +193,32 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
         [r.reshape(1, k * T) for r in rows16], 0)
 
     # ---- quad-table gather indices per active axis
-    # (matches fused_eval.gather_idx / ops/grid_sample.py quad layout)
-    idx_rows = []
-    for (W, H, m0, m1) in s.axis_specs:
-        px = (comp[m0] + 1.0) * 0.5 * (W - 1)
-        py = (comp[m1] + 1.0) * 0.5 * (H - 1)
-        xi = (jnp.clip(jnp.floor(px), -1.0, W - 1.0) + 1.0).astype(
-            jnp.int32)
-        yi = (jnp.clip(jnp.floor(py), -1.0, H - 1.0) + 1.0).astype(
-            jnp.int32)
-        idx_rows.append((yi * (W + 1) + xi).reshape(1, k * T))
-    izero = jnp.zeros((1, k * T), jnp.int32)
-    idx_ref[:] = jnp.concatenate(
-        idx_rows + [izero] * (8 - len(idx_rows)), 0)
+    # (matches fused_eval.gather_idx / ops/grid_sample.py quad layout);
+    # skipped entirely in patch mode (emit_idx=False): the patch route
+    # gathers via patch_anchor_idx, so the s32[8, N] output would be a
+    # dead 268 MB/chunk HBM write XLA cannot DCE out of a custom call
+    if idx_refs:
+        idx_ref = idx_refs[0]
+        idx_rows = []
+        for (W, H, m0, m1) in s.axis_specs:
+            px = (comp[m0] + 1.0) * 0.5 * (W - 1)
+            py = (comp[m1] + 1.0) * 0.5 * (H - 1)
+            xi = (jnp.clip(jnp.floor(px), -1.0, W - 1.0) + 1.0).astype(
+                jnp.int32)
+            yi = (jnp.clip(jnp.floor(py), -1.0, H - 1.0) + 1.0).astype(
+                jnp.int32)
+            idx_rows.append((yi * (W + 1) + xi).reshape(1, k * T))
+        izero = jnp.zeros((1, k * T), jnp.int32)
+        idx_ref[:] = jnp.concatenate(
+            idx_rows + [izero] * (8 - len(idx_rows)), 0)
 
 
 def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
                field_offsets, field_acts, isect_act, flow_act, po_act,
                has_sigma, has_flow, po_use_sigma, po_sigma_field,
                far_sentinel, aabb, axis_specs, contract_rows=None,
-               inv_cdist=None, stride=None, interpret=None):
+               inv_cdist=None, stride=None, interpret=None,
+               emit_idx=True):
     """Run the pack-build kernel.
 
     Args:
@@ -238,7 +244,9 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
                  reference's inference_samples knob); None = first-k.
 
     Returns (pack [16, N], idx8 [8, N] int32), N = k * B, in S-major
-    block order (lane = s*tile + r within each tile*k block).
+    block order (lane = s*tile + r within each tile*k block). With
+    emit_idx=False (the patch-gather route, which never reads idx8)
+    the kernel skips the index build + write and returns (pack, None).
     """
     PS, B = out_cf_fm.shape
     assert B % tile == 0, (B, tile)
@@ -267,7 +275,7 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
     kern = functools.partial(_pack_build_kernel, spec=spec)
     blk = k * tile
     grid = (B // tile,)
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -282,13 +290,13 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
         out_specs=[
             pl.BlockSpec((PACK_ROWS, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, blk), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((8, blk), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)] if emit_idx else []),
         out_shape=[
             jax.ShapeDtypeStruct((PACK_ROWS, k * B), jnp.float32),
-            jax.ShapeDtypeStruct((8, k * B), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((8, k * B), jnp.int32)]
+             if emit_idx else []),
         interpret=interpret,
     )(out_cf_fm, ray_pack, jnp.asarray(consts),
       jnp.asarray(it, jnp.int32).reshape(1))
+    return (outs[0], outs[1]) if emit_idx else (outs[0], None)

@@ -122,7 +122,7 @@ def _corner_weights(p, lim):
 def _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, row0,
                 *, S, blk, TW, TH, Rt, C, n_density, n_basis, sh_deg,
                 density_shift, distance_scale, acc_dtype, s_major,
-                use_weights_row, shading, ablate):
+                use_weights_row, shading, ablate, collect=None):
     """Everything downstream of the space features: validity, the
     separable time-plane blend, density, the basis matmul, and the
     shade/composite tail. Writes out_ref rows [row0, row0+8)."""
@@ -192,7 +192,7 @@ def _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, row0,
     _shade_tail(out_ref, pk, sigma, app, dist, S=S, blk=blk,
                 n_basis=n_basis, sh_deg=sh_deg, shading=shading,
                 distance_scale=distance_scale, s_major=s_major,
-                ablate=ablate, row0=row0)
+                ablate=ablate, row0=row0, collect=collect)
 
 
 def _shade_kernel(rows_ref, pack_ref, ttab_ref, wb_ref, out_ref,
@@ -263,36 +263,54 @@ def _shade_kernel_fused_patch(*refs, S, blk, W, H, TW, TH, Rt, C,
     patch = rows_ref[:].T                              # [P*C, blk]
     x0 = anc_ref[0:1]                                  # [1, blk]
     y0 = anc_ref[1:2]
+    vs_list = []
     for p, pk_ref in enumerate(pk_refs):
         pk = pk_ref[:]
         # in-kernel texel scale + anchor offset (bit-identical op order
         # to the patch-blend kernel, ops/pallas/patch_blend.py)
         u = (pk[m0:m0 + 1] + 1.0) * 0.5 * (W - 1) - x0
         v = (pk[m1:m1 + 1] + 1.0) * 0.5 * (H - 1) - y0
-        feat_s = jnp.zeros((C, blk), jnp.float32)
-        for ty in range(py):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - ty))
-            for tx in range(px):
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - tx))
-                t = ty * px + tx
-                feat_s = feat_s + (wx * wy) * patch[
-                    t * C:(t + 1) * C].astype(jnp.float32)
+        if "blend" in ablate:
+            # timing ablation: one texel slice, no hat FMA ladder
+            feat_s = patch[0:C].astype(jnp.float32) + (u + v)
+        else:
+            feat_s = jnp.zeros((C, blk), jnp.float32)
+            for ty in range(py):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - ty))
+                for tx in range(px):
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - tx))
+                    t = ty * px + tx
+                    feat_s = feat_s + (wx * wy) * patch[
+                        t * C:(t + 1) * C].astype(jnp.float32)
         _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, 8 * p,
                     S=S, blk=blk, TW=TW, TH=TH, Rt=Rt, C=C,
                     n_density=n_density, n_basis=n_basis, sh_deg=sh_deg,
                     density_shift=density_shift,
                     distance_scale=distance_scale, acc_dtype=acc_dtype,
                     s_major=s_major, use_weights_row=use_weights_row,
-                    shading=shading, ablate=ablate)
+                    shading=shading, ablate=ablate, collect=vs_list)
+    # ONE compaction matmul for all R phases ([8R (x2 hi/lo), blk] @
+    # [blk, pt]): phase rows are independent dot products, so batching
+    # is value-exact; M goes 8 -> 8R*2 (the MXU M dim was 16x
+    # underutilized) and the mseg indicator is built once, not R times.
+    # (empty under the outmm ablate: _shade_tail wrote rows directly)
+    if vs_list:
+        _compact_rows(out_ref, vs_list, 0, S=S, blk=blk, s_major=s_major)
 
 
 def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
                 sh_deg, shading, distance_scale, s_major, ablate=(),
-                row0=0):
+                row0=0, collect=None):
     """Shared kernel tail: per-channel shading (SH or RGB), per-sample
     color scale/shift, the segmented composite, and the compacted
     per-ray totals (written to out rows [row0, row0+8) — the fused
-    patch kernel stacks four phases in one 32-row output block)."""
+    patch kernel stacks four phases in one 32-row output block).
+
+    collect: when a list, append the [8, blk] vs rows and RETURN
+    without compacting — the caller batches all phases' rows into ONE
+    segment-indicator matmul (M = 8*R*2 with the hi/lo split instead
+    of 2 matmuls of M=8 per phase: the MXU's M dim was 16x
+    underutilized and mseg was rebuilt per phase)."""
     rgb = []
     if "sh" in ablate:
         rgb = [app[c:c + 1] for c in range(3)]
@@ -352,41 +370,67 @@ def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
         t_excl = jnp.exp(jnp.where(seg == 0, 0.0, prev))
         w = alpha * t_excl                                 # [1, blk]
 
-    # per-ray totals as a segment-indicator matmul, compacting the output
-    # to [8, rays] (the old [8, N] write was ~268 MB/call + a 3.3 ms
-    # strided host-side gather to extract lane S-1). M[r, j] = (r//S == j).
-    # Precision: the default MXU path truncates f32 operands to bf16
-    # (measured 2e-3 rgb error) and Precision.HIGHEST costs ~8 ms/8.4M
-    # samples; but mseg is 0/1 — EXACT in bf16 — so splitting only v into
-    # bf16 hi+lo gives f32-accurate totals in 2 default-precision passes.
-    # (A [1, blk] -> [rays, S] reshape + lane-sum would avoid the MXU
-    # entirely but Mosaic rejects the shape cast.)
-    pt = out_ref.shape[1]
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, pt), 0)
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, pt), 1)
-    if s_major:
-        mseg = (r_iota % tile_r == j_iota).astype(jnp.float32)
-    else:
-        mseg = (r_iota // S == j_iota).astype(jnp.float32)
-
     vs = jnp.concatenate(
         [w * rgb[0], w * rgb[1], w * rgb[2], w, w * dist,
          jnp.zeros((3, blk), jnp.float32)], 0)             # [8, blk]
     if "outmm" in ablate:
-        out_ref[row0:row0 + 8, :] = vs[:, :pt]
+        out_ref[row0:row0 + 8, :] = vs[:, :out_ref.shape[1]]
         return
-    hi = vs.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = vs - hi
-
-    def dot(a):
-        return jax.lax.dot_general(
-            a, mseg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [8, pt]
-
-    if "outmm1" in ablate:
-        out_ref[row0:row0 + 8, :] = dot(hi)
+    # bf16 hi/lo split HERE (phase-loop scope) so the f32 vs rows die
+    # per phase — only 8+8 bf16 rows per phase stay live for the
+    # batched compaction (same bytes as the f32 rows the per-phase
+    # form kept; the fp_lane VMEM model is unchanged). Storing lo in
+    # bf16 is value-identical to the MXU's own operand truncation of
+    # an f32 lo at default precision.
+    hi = vs.astype(jnp.bfloat16)
+    lo = None if "outmm1" in ablate \
+        else (vs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if collect is not None:
+        collect.append((hi, lo))
         return
-    out_ref[row0:row0 + 8, :] = dot(hi) + dot(lo)
+    _compact_rows(out_ref, [(hi, lo)], row0, S=S, blk=blk,
+                  s_major=s_major)
+
+
+def _seg_indicator(pt, *, S, blk, s_major):
+    """[blk, pt] per-ray segment-indicator matrix M[n, j] = (ray(n) == j)
+    for the compaction matmul; 0/1 so EXACT in bf16 (built bf16 — the
+    MXU's default-precision path truncates f32 operands to bf16
+    operand-side anyway, so the dtype is free)."""
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, pt), 0)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, pt), 1)
+    if s_major:
+        return (r_iota % (blk // S) == j_iota).astype(jnp.bfloat16)
+    return (r_iota // S == j_iota).astype(jnp.bfloat16)
+
+
+def _compact_rows(out_ref, pairs, row0, *, S, blk, s_major):
+    # per-ray totals as a segment-indicator matmul, compacting the output
+    # to [rows, rays] (the old [8, N] write was ~268 MB/call + a 3.3 ms
+    # strided host-side gather to extract lane S-1). M[r, j] = (r//S == j).
+    # Precision: the default MXU path truncates f32 operands to bf16
+    # (measured 2e-3 rgb error) and Precision.HIGHEST costs ~8 ms/8.4M
+    # samples; but mseg is 0/1 — EXACT in bf16 — so splitting v into bf16
+    # hi+lo gives f32-accurate totals at default precision. All phases'
+    # hi AND lo rows ride ONE bf16 matmul (each output row is an
+    # independent dot product, so batching is value-exact): M goes 8 per
+    # dot (16x MXU M-underutilization, 2 dots per phase, mseg rebuilt
+    # per phase) -> one M=16*R dot with mseg built once.
+    # (A [1, blk] -> [rays, S] reshape + lane-sum would avoid the MXU
+    # entirely but Mosaic rejects the shape cast.)
+    pt = out_ref.shape[1]
+    nv = 8 * len(pairs)
+    mseg = _seg_indicator(pt, S=S, blk=blk, s_major=s_major)
+    his = [h for h, _ in pairs]
+    lows = [l for _, l in pairs if l is not None]
+    d = jax.lax.dot_general(
+        jnp.concatenate(his + lows, 0), mseg,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)    # [nv(*2), pt]
+    if lows:
+        out_ref[row0:row0 + nv, :] = d[:nv] + d[nv:]
+    else:
+        out_ref[row0:row0 + nv, :] = d[:nv]
 
 
 def build_scalar_pack(xn, yn, zn, tn, cs, csh, dist, vd_rows,
@@ -786,6 +830,7 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
                 wb_a, prod[dens_c[a]:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
+    vs_list = []
     for p in range(R):
         pk = pks[p]
         dist = pk[4:5]
@@ -799,7 +844,11 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
         _shade_tail(out_ref, pk, sigma, apps[p], dist, S=S, blk=blk,
                     n_basis=n_basis, sh_deg=sh_deg, shading=shading,
                     distance_scale=distance_scale, s_major=s_major,
-                    row0=8 * p)
+                    row0=8 * p, collect=vs_list)
+    # ONE batched compaction matmul across phases (see
+    # _shade_kernel_fused_patch) — value-exact row batching
+    if vs_list:
+        _compact_rows(out_ref, vs_list, 0, S=S, blk=blk, s_major=s_major)
 
 
 def fused_shade_composite_multi(rows_list, pack, line_tabs, wb_t, *,
