@@ -100,7 +100,7 @@ def main():
     # distinct, spatially coherent like production rendering — not a tiled
     # repeat of a small ray set (repeated gather addresses flatter HBM
     # behavior vs a real frame).
-    chunk = 1 << 18
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 18))
     n = 1 << 20
     k = n // chunk
     side = 1 << 10

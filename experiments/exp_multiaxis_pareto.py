@@ -79,8 +79,12 @@ def main():
     dynamic = family == "n3d"
     preset = neural_3d_z_plane if dynamic else llff_z_plane
     z_full = 64 if dynamic else 32
-    if dynamic:
-        os.environ["HYPERREEL_EVAL_TILE"] = "128"
+    # NOTE: no HYPERREEL_EVAL_TILE force. The round-5 first runs forced
+    # 128 to chase the published exp_multiaxis_patch tile128 rows, but
+    # that bypasses pick_tile's structural VMEM cap and the n3d
+    # holdout render (z=64, un-premixed, chunk 2^15) OOMs the Mosaic
+    # scoped vmem at that width (pareto_n3d3.log) — the pareto must
+    # measure the SHIPPING default route, which picks its tile.
 
     log("devices:", jax.devices(), "family:", family)
 
@@ -141,15 +145,56 @@ def main():
         val = float(psnr(np.asarray(pred), np.asarray(hold["rgb"])))
 
         import copy
-        cfg_f = with_coherent_gather(copy.deepcopy(cfg), *patch,
-                                     block=block)
-        cfg_f["color"]["net"]["fused_render"] = True
-        m_f = build_model(cfg_f, dataset_info=ds.info(),
-                          compute_dtype=jnp.bfloat16)
-        init_f = m_f.init(jax.random.PRNGKey(0))
-        emb_f = dict(init_f["embedding"])
-        emb_f.update(state.params["embedding"])
-        params_f = dict(state.params, embedding=emb_f)
+
+        def build_fast(p):
+            if p is None:
+                c2 = copy.deepcopy(cfg)
+            else:
+                c2 = with_coherent_gather(copy.deepcopy(cfg), *p,
+                                          block=block)
+            c2["color"]["net"]["fused_render"] = True
+            m = build_model(c2, dataset_info=ds.info(),
+                            compute_dtype=jnp.bfloat16)
+            ip = m.init(jax.random.PRNGKey(0))
+            ef = dict(ip["embedding"])
+            ef.update(state.params["embedding"])
+            return m, dict(state.params, embedding=ef)
+
+        # PRODUCTION exactness gate (bench.py / viewer probe): the
+        # patch path ships only when the coverage witness passes the
+        # calibrated 1e-4 gate at the target pixel density — coverage
+        # is geometry-dependent (ops/patch_gather.py), and these
+        # families' mid-scale planes are denser per pixel than the
+        # flagship's, so a shape that is exact on the flagship can
+        # violate here (llff (3,2) R=4 measured 6.6e-3). Auto-WIDEN
+        # through a shape ladder; quad fallback when none passes —
+        # the row then reports what production would actually ship.
+        ladder = [patch] + [s for s in ([(4, 3), (5, 3)] if block == 4
+                                        else [(6, 3), (7, 3)])
+                            if s != patch] + [None]
+        ctx0 = StepCtx(it=jnp.asarray(state.it, jnp.int32),
+                       rng=jax.random.PRNGKey(0), training=False)
+        # probe at the FULL timing chunk size: pick_tile depends on B,
+        # so a shape that lowers at a small probe batch can still VMEM
+        # OOM at the 2^18 chunk (n3d R=8 tile128, pareto_n3d2.log) —
+        # the probe must compile the same kernel config as the timing
+        sl = jnp.asarray(frame_np[: 1 << 18])
+        viol = 0.0
+        for patch in ladder:
+            m_f, params_f = build_fast(patch)
+            if patch is None:
+                break
+            try:
+                viol = float(m_f.apply(params_f, sl, ctx0).get(
+                    "patch_coverage_viol", 0.0))
+            except Exception as e:  # noqa: BLE001 - shape may not lower
+                log(f"[{family}] {label}: patch {patch} COMPILE FAIL "
+                    f"({type(e).__name__}) -> widen/fallback")
+                continue
+            if viol <= 1e-4:
+                break
+            log(f"[{family}] {label}: patch {patch} viol {viol:.2e} "
+                f"> 1e-4 gate -> widen/fallback")
 
         def fn(params, rays, itv, rng):
             ctx = StepCtx(it=itv, rng=rng, training=False)
@@ -173,7 +218,8 @@ def main():
         float(outs[-1][0, 0, 0])
         dt = (time.perf_counter() - t0) / n_timed
         log(json.dumps({"family": family, "mode": label, "k": k,
-                        "patch": list(patch), "block": block,
+                        "patch": list(patch) if patch else "quad",
+                        "block": block, "viol": round(viol, 6),
                         "holdout_psnr": round(val, 2),
                         "rays_per_sec": round(n / dt, 1)}))
         return m_f, params_f
@@ -186,20 +232,25 @@ def main():
     m_f8, params_f8 = measure(base_cfg, "full-r8", z_full,
                               patch=(5, 3), block=8)
 
-    # coverage-witness gate per family (the viewer probe's contract):
-    # scanline 4-blocks -> viol 0; scattered -> viol > 0
+    # coverage-witness separation check (the viewer probe's contract):
+    # whatever shape the ladder selected must pass the calibrated gate
+    # on scanline blocks AND trip it on scattered rays — if the ladder
+    # fell back to quad there is no witness to check.
     ctx = StepCtx(it=jnp.asarray(state.it, jnp.int32),
                   rng=jax.random.PRNGKey(0), training=False)
     sl = jnp.asarray(frame_np[: 1 << 12])
-    v0 = float(m_f.apply(params_f, sl, ctx)["patch_coverage_viol"])
     sc = jnp.asarray(scattered_rays(1 << 12, dynamic))
-    v1 = float(m_f.apply(params_f, sc, ctx)["patch_coverage_viol"])
-    log(f"[{family}] witness gate: scanline {v0:.2e} (expect 0), "
-        f"scattered {v1:.2e} (expect > 0)")
-    assert v0 == 0.0 and v1 > 0.0, (v0, v1)
-    v8 = float(m_f8.apply(params_f8, sl, ctx)["patch_coverage_viol"])
-    log(f"[{family}] R=8 (5,3) witness: scanline {v8:.2e} (expect 0)")
-    assert v8 == 0.0, v8
+    for tag, (mm, pp) in (("full", (m_f, params_f)),
+                          ("full-r8", (m_f8, params_f8))):
+        out0 = mm.apply(pp, sl, ctx)
+        if "patch_coverage_viol" not in out0:
+            log(f"[{family}] {tag}: quad fallback (no witness)")
+            continue
+        v0 = float(out0["patch_coverage_viol"])
+        v1 = float(mm.apply(pp, sc, ctx)["patch_coverage_viol"])
+        log(f"[{family}] {tag} witness: scanline {v0:.2e} "
+            f"(gate 1e-4), scattered {v1:.2e} (expect > gate)")
+        assert v0 <= 1e-4 < v1, (tag, v0, v1)
 
     for k in (z_full // 2, z_full // 4):
         measure(with_compact_samples(compact_base, k), "compact", k)

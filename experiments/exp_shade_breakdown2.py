@@ -81,25 +81,54 @@ def main():
                 patch_block=R, ablate=ablate)
         return jax.jit(fn)
 
-    def timeit(f):
+    def timeit(f, tag):
+        # DEVICE trace, not wall: standalone dispatch wall through the
+        # tunnel is dominated by input streaming + round-trip latency
+        # (leg-4 first run: "full" 151.9 ms artifact vs ~9 ms legs, all
+        # ablation deltas buried in tunnel variance). Sum the X events
+        # of the pallas kernel only.
+        import collections
+        import glob
+        import gzip
+        import json
         out = f(rows, pack, ttab, wb)
         jax.block_until_ready(out)
-        reps = 6
-        variants = [rows.at[0, 0].add(jnp.bfloat16(1e-3 * (i + 1)))
-                    for i in range(reps)]
-        for v in variants:
-            float(v[0, 0])
-        t0 = time.perf_counter()
-        outs = [f(v, pack, ttab, wb) for v in variants]
-        float(outs[-1][0, 0])
-        return (time.perf_counter() - t0) / reps * 1e3
+        v1 = rows.at[0, 0].add(jnp.bfloat16(1e-3))
+        v2 = rows.at[0, 1].add(jnp.bfloat16(2e-3))
+        jax.block_until_ready(f(v1, pack, ttab, wb))
+        d = f"/tmp/shade_bd2_{tag}"
+        with jax.profiler.trace(d):
+            jax.block_until_ready(f(v2, pack, ttab, wb))
+        files = sorted(glob.glob(f"{d}/**/*.trace.json.gz",
+                                 recursive=True))
+        with gzip.open(files[-1], "rt") as fh:
+            tr = json.load(fh)
+        pid_names = {}
+        for ev in tr.get("traceEvents", []):
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_names[ev["pid"]] = ev["args"].get("name", "")
+        dev_pids = {p for p, nm in pid_names.items()
+                    if "TPU" in nm or "/device" in nm.lower()
+                    or "XLA" in nm}
+        tot = collections.Counter()
+        for ev in tr.get("traceEvents", []):
+            if (ev.get("ph") == "X" and ev.get("pid") in dev_pids
+                    and "dur" in ev):
+                tot[ev.get("name", "?")] += ev["dur"]
+        # the pallas kernel is the dominant single op; report it and
+        # the device total
+        top = tot.most_common(3)
+        kern = max(tot.values()) / 1e3 if tot else 0.0
+        log(f"    [{tag}] top ops: "
+            + "; ".join(f"{k}={v/1e3:.2f}ms" for k, v in top))
+        return kern
 
     base = None
     for ab in ["full", "blend", "amm", "time", "sh", "comp",
-               "outmm1", "outmm"]:
+               "outmm1"]:
         ablate = () if ab == "full" else (ab,)
         try:
-            dt = timeit(make(ablate))
+            dt = timeit(make(ablate), ab)
         except Exception as e:  # noqa: BLE001 - per-leg survival
             log(f"{ab:8s} FAILS: {type(e).__name__}: {str(e)[:200]}")
             continue

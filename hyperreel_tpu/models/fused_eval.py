@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from hyperreel_tpu.models.activations import get_activation
+from hyperreel_tpu.ops.pallas.shade import kmajor_perm as _kmajor_perm
 
 
 def _stage_cfgs(model):
@@ -441,6 +442,7 @@ class FusedCFEval:
             w = cparams["basis_mat"]["w"].astype(jnp.float32)
             wb_t = jnp.concatenate(
                 [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+            wb_t = wb_t[_kmajor_perm(wb_t.shape[0])]
             if self.patch_cfg is not None:
                 from hyperreel_tpu.ops.patch_gather import (
                     build_patch_table_2d)
@@ -484,6 +486,7 @@ class FusedCFEval:
                     line.astype(jnp.float32).T,
                     ((0, 0), (1, lp - L - 1))))
         wb_t = cparams["basis_mat"]["w"].astype(jnp.float32).T
+        wb_t = wb_t[_kmajor_perm(wb_t.shape[0])]
         if self.patch_cfg is not None:
             from hyperreel_tpu.ops.patch_gather import build_patch_table_2d
             ptabs = []

@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hyperreel_tpu.ops.pallas.shade import kmajor_perm as _kmajor_perm
+
 from hyperreel_tpu.ops.grid_sample import (
     grid_sample_2d,
     grid_sample_1d,
@@ -575,6 +577,7 @@ class TensorVMNoSample:
         nd = self.density_n_comp[0]
         wb_t = jnp.concatenate(
             [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+        wb_t = wb_t[_kmajor_perm(wb_t.shape[0])]
 
         vd_ray = viewdirs[:, 0, :]
         vd_rows = [jnp.broadcast_to(vd_ray[:, c:c + 1], (B, S)).reshape(-1)
@@ -684,6 +687,7 @@ class TensorVMNoSample:
 
         w = params["basis_mat"]["w"].astype(jnp.float32)
         wb_t = w.T                                   # [3K, sum app_c]
+        wb_t = wb_t[_kmajor_perm(wb_t.shape[0])]
 
         vd_ray = viewdirs[:, 0, :]
         vd_rows = [jnp.broadcast_to(vd_ray[:, c:c + 1], (B, S)).reshape(-1)
@@ -1272,6 +1276,7 @@ class TensorVMKeyframeTime(TensorVMNoSample):
 
         w = params["basis_mat"]["w"].astype(jnp.float32)
         wb_t = w.T                                     # [3K, sum app_c]
+        wb_t = wb_t[_kmajor_perm(wb_t.shape[0])]
 
         vd_ray = viewdirs[:, 0, :]
         vd_rows = [jnp.broadcast_to(vd_ray[:, c:c + 1], (B, S)).reshape(-1)
@@ -1384,6 +1389,7 @@ class TensorVMKeyframeTime(TensorVMNoSample):
         nd = self.density_n_comp[0]
         wb_t = jnp.concatenate(
             [jnp.zeros((w.shape[1], nd), jnp.float32), w.T], 1)
+        wb_t = wb_t[_kmajor_perm(wb_t.shape[0])]
 
         # viewdir component rows ([N] each); SH basis is computed in-kernel.
         # viewdirs are the ray direction broadcast to every sample

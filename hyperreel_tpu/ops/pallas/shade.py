@@ -38,6 +38,7 @@ pack's HBM traffic by a third (~270 MB/call at 8.4M samples).
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -48,6 +49,19 @@ from hyperreel_tpu.ops.sh import C0, C1, C2, C3, C4
 _LOG_EPS = -23.025850929940457
 _EXP_CLAMP = 70.0
 PACK_ROWS = 16
+
+
+def kmajor_perm(rows3k):
+    """Row permutation [3K] -> K-MAJOR (new row i = old row
+    (i%3)*K + i//3): _shade_tail reads each basis coefficient's three
+    channels as ONE contiguous [3, blk] slice instead of 3K single-row
+    sublane extracts + [1, blk] FMAs at 1/8 vreg utilization (the tail
+    was the kernel's largest stage, 1.39 ms/chunk of fn.1 4.52 —
+    shade_breakdown2b.log). Apply to wb_t rows at trace time; bit-exact
+    (per-channel accumulation order unchanged)."""
+    K = rows3k // 3
+    i = np.arange(rows3k)
+    return (i % 3) * K + i // 3
 
 
 def _sh_basis_rows(deg, x, y, z):
@@ -87,20 +101,30 @@ def _sh_basis_rows(deg, x, y, z):
     return out
 
 
-def _twohot_matmul(ttab_ref, zb, w0, w1, Rt, blk, acc_dtype, out_rows):
-    """zfeat = ttab @ two_hot(zb), built in 128-ROW STRIPS: the full
+def _twohot_matmul(ttab_ref, zb, w0, w1, Rt, blk, acc_dtype, out_rows,
+                   rt_real=None):
+    """zfeat = ttab @ two_hot(zb), built in <=128-ROW STRIPS: the full
     [Rt, blk] f32 two-hot was the largest in-kernel temporary and drove
     Mosaic VMEM exhaustion at tile=128 multi-axis blocks
     (exp_multiaxis_tile.py); per-strip peak is [128, blk]. Masks stay
     in the 32-bit domain — bf16 `where` operands force an i1 mask
-    relayout "(8,128) -> (16,128)" that this Mosaic version rejects."""
+    relayout "(8,128) -> (16,128)" that this Mosaic version rejects.
+
+    rt_real: the REAL two-hot support (table width before the lane-dim
+    pad to 128), rounded up to the sublane multiple of 8. The strip
+    build is the kernel's dominant VPU term (iota + 2 compares + 2
+    selects per [strip, blk] element), and at the flagship's premixed
+    z width (TW+2 = 82 -> 88) trimming the strip to 88 rows cuts ~31%
+    of it; zb+1 <= TW < rt_real so the trimmed rows are always zero."""
+    lim = Rt if rt_real is None else min(rt_real, Rt)
     zfeat = jnp.zeros((out_rows, blk), jnp.float32)
-    for r0 in range(0, Rt, 128):
-        iota = jax.lax.broadcasted_iota(jnp.int32, (128, blk), 0) + r0
+    for r0 in range(0, lim, 128):
+        h = min(128, lim - r0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (h, blk), 0) + r0
         strip = (jnp.where(iota == zb, w0, 0.0)
                  + jnp.where(iota == zb + 1, w1, 0.0))
         zfeat = zfeat + jax.lax.dot_general(
-            ttab_ref[:, r0:r0 + 128].astype(acc_dtype),
+            ttab_ref[:, r0:r0 + h].astype(acc_dtype),
             strip.astype(acc_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -159,7 +183,8 @@ def _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, row0,
             # FLOPs in the kernel's dominant matmul.
             zfeat = _twohot_matmul(ttab_ref, zb, (1.0 - fz) * z_lo,
                                    fz * z_hi, Rt, blk, acc_dtype,
-                                   (TH + 2) * C if TH else C)
+                                   (TH + 2) * C if TH else C,
+                                   rt_real=-(-(TW + 2) // 8) * 8)
         if TH == 0 or "tmix" in ablate:
             feat_t = zfeat[:C]
         else:
@@ -311,26 +336,31 @@ def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
     segment-indicator matmul (M = 8*R*2 with the hi/lo split instead
     of 2 matmuls of M=8 per phase: the MXU's M dim was 16x
     underutilized and mseg was rebuilt per phase)."""
-    rgb = []
+    # app rows are K-MAJOR (row k*3 + c; wb_t rows permuted at trace
+    # time, fused_eval._plan_arrays): each basis coefficient's three
+    # channels are a CONTIGUOUS [3, blk] slice, so the SH contraction
+    # is n_basis FMAs on [3, blk] and the color scale/shift rides the
+    # contiguous pk[5:8]/pk[8:11] rows. The previous channel-major
+    # layout did 3*n_basis single-row sublane extracts + [1, blk] FMAs
+    # (1/8 vreg utilization) — the tail was the kernel's largest stage
+    # (1.39 ms/chunk of fn.1 4.52, shade_breakdown2b.log). Accumulation
+    # stays k-ascending per channel — bit-identical to the row-major
+    # form.
     if "sh" in ablate:
-        rgb = [app[c:c + 1] for c in range(3)]
+        rgb3 = app[0:3]
     elif shading == "rgb":
         # RGBRender: rgb = sigmoid(app features)
         # (reference utils/tensorf_utils.py:341-343)
-        for c in range(3):
-            v = 1.0 / (1.0 + jnp.exp(-app[c:c + 1]))
-            v = v * (pk[5 + c:6 + c] + 1.0) + pk[8 + c:9 + c]
-            rgb.append(v)
+        v = 1.0 / (1.0 + jnp.exp(-app[0:3]))
+        rgb3 = v * (pk[5:8] + 1.0) + pk[8:11]
     else:
         shb = _sh_basis_rows(sh_deg, pk[11:12], pk[12:13], pk[13:14])
-        for c in range(3):
-            e = jnp.zeros((1, blk), jnp.float32)
-            for k in range(n_basis):
-                e = e + app[c * n_basis + k:c * n_basis + k + 1] * shb[k]
-            v = jnp.maximum(e + 0.5, 0.0)                  # sh_render
-            # rgb * (scale + 1) + shift (tensorf_utils.py:267-273)
-            v = v * (pk[5 + c:6 + c] + 1.0) + pk[8 + c:9 + c]
-            rgb.append(v)
+        e = jnp.zeros((3, blk), jnp.float32)
+        for k in range(n_basis):
+            e = e + app[3 * k:3 * k + 3] * shb[k]
+        v = jnp.maximum(e + 0.5, 0.0)                      # sh_render
+        # rgb * (scale + 1) + shift (tensorf_utils.py:267-273)
+        rgb3 = v * (pk[5:8] + 1.0) + pk[8:11]
 
     # ---- composite: segmented (per-ray) scan in lane space. Two lane
     # orders: ray-major (lane = r*S + s — a ray's samples contiguous) and
@@ -371,7 +401,7 @@ def _shade_tail(out_ref, pk, sigma, app, dist, *, S, blk, n_basis,
         w = alpha * t_excl                                 # [1, blk]
 
     vs = jnp.concatenate(
-        [w * rgb[0], w * rgb[1], w * rgb[2], w, w * dist,
+        [w * rgb3, w, w * dist,
          jnp.zeros((3, blk), jnp.float32)], 0)             # [8, blk]
     if "outmm" in ablate:
         out_ref[row0:row0 + 8, :] = vs[:, :out_ref.shape[1]]
@@ -660,7 +690,8 @@ def _multi_core(pk, get_feat_p, ttab_refs, wb_ref, out_ref, row0,
         TH = time_hs[a]
         zfeat = _twohot_matmul(ttab_refs[a], zb, (1.0 - fz) * z_lo,
                                fz * z_hi, Rt, blk, acc_dtype,
-                               (TH + 2) * C_a if TH else C_a)
+                               (TH + 2) * C_a if TH else C_a,
+                               rt_real=-(-(L + 2) // 8) * 8)
         if TH == 0:
             feat_l = zfeat                                 # [C_a, blk]
         else:
@@ -808,7 +839,8 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
             zb, fz, z_lo, z_hi = _corner_weights(pz, L)
             zfeat = _twohot_matmul(ttab_refs[a], zb, (1.0 - fz) * z_lo,
                                    fz * z_hi, Rt, blk, acc_dtype,
-                                   (TH + 2) * C_a if TH else C_a)
+                                   (TH + 2) * C_a if TH else C_a,
+                                   rt_real=-(-(L + 2) // 8) * 8)
             if TH == 0:
                 feat_l = zfeat
             else:
