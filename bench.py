@@ -208,7 +208,12 @@ def main():
     # (c) the clock stops on a value readback of the LAST output — device
     #     execution is in-order, so its completion implies all completed
     #     (block_until_ready alone resolves early through the tunnel).
-    n_timed = 8
+    # 24 frames: the clock's final value readback pays one tunnel RTT
+    # (~20-40 ms) regardless of n_timed; at 8 frames that tail alone
+    # depressed the steady-state rate by ~3 ms/frame (bench 17.1 vs
+    # the identical-protocol trace harness 19.5, round-5 queue 24).
+    # The reference's 18 FPS contract is steady-state streaming too.
+    n_timed = int(os.environ.get("BENCH_FRAMES", 24))
     frame_variants = [frame.at[0, 0, 0].add(1e-6 * (i + 1))
                       for i in range(n_timed)]
     for v in frame_variants:

@@ -75,6 +75,26 @@ def main():
                 f"({1.0/dt:5.2f} FPS, {side*side/dt/1e6:5.2f} Mrays/s) "
                 f"patch_gate={'on' if v.last_used_patch else 'off'}")
 
+            # depth-2 PIPELINED throughput (submit pose N+1 before
+            # reading frame N): recovers the unpipelined tunnel RTT;
+            # 8 frames, distinct poses, clock stops on the last frame's
+            # readback (in-order execution covers the rest)
+            h = v.submit_frame(pose)
+            t0 = time.perf_counter()
+            nf = 8
+            for i in range(nf):
+                p2 = pose.copy()
+                p2[0, 3] += 1e-4 * (i + 1)
+                h2 = v.submit_frame(p2)
+                frame, _ = v.read_frame(h)
+                h = h2
+            frame, _ = v.read_frame(h)
+            assert frame.sum() >= 0
+            dtp = (time.perf_counter() - t0) / (nf + 1)
+            log(f"[{mode}] {side}x{side} PIPELINED: {dtp*1e3:7.1f} "
+                f"ms/frame ({1.0/dtp:5.2f} FPS, "
+                f"{side*side/dtp/1e6:5.2f} Mrays/s)")
+
 
 if __name__ == "__main__":
     sys.exit(main())

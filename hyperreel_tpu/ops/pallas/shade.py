@@ -102,7 +102,7 @@ def _sh_basis_rows(deg, x, y, z):
 
 
 def _twohot_matmul(ttab_ref, zb, w0, w1, Rt, blk, acc_dtype, out_rows,
-                   rt_real=None):
+                   rt_real=None, pzp=None):
     """zfeat = ttab @ two_hot(zb), built in <=128-ROW STRIPS: the full
     [Rt, blk] f32 two-hot was the largest in-kernel temporary and drove
     Mosaic VMEM exhaustion at tile=128 multi-axis blocks
@@ -112,17 +112,31 @@ def _twohot_matmul(ttab_ref, zb, w0, w1, Rt, blk, acc_dtype, out_rows,
 
     rt_real: the REAL two-hot support (table width before the lane-dim
     pad to 128), rounded up to the sublane multiple of 8. The strip
-    build is the kernel's dominant VPU term (iota + 2 compares + 2
-    selects per [strip, blk] element), and at the flagship's premixed
-    z width (TW+2 = 82 -> 88) trimming the strip to 88 rows cuts ~31%
-    of it; zb+1 <= TW < rt_real so the trimmed rows are always zero."""
+    build is the kernel's dominant VPU term, and at the flagship's
+    premixed z width (TW+2 = 82 -> 88) trimming the strip to 88 rows
+    cuts ~31% of it; zb+1 <= TW < rt_real so the trimmed rows are
+    always zero.
+
+    pzp: the continuous RING-SHIFTED coord (pz + 1). When given, the
+    strip is built as the HAT function max(0, 1 - |r - pzp|) — sub /
+    abs / rsub / max per element instead of iota-compare + 2 selects.
+    BIT-IDENTICAL to the masked two-hot for ring-padded tables: in the
+    support the weights equal 1-frac / frac exactly (all three
+    subtractions are exact in f32 at these magnitudes), at the edges
+    the hat puts weight on the table's ZERO ring columns (same zero
+    contribution the in_lo/in_hi masks produced), and out of range all
+    weights clamp to 0."""
     lim = Rt if rt_real is None else min(rt_real, Rt)
     zfeat = jnp.zeros((out_rows, blk), jnp.float32)
     for r0 in range(0, lim, 128):
         h = min(128, lim - r0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (h, blk), 0) + r0
-        strip = (jnp.where(iota == zb, w0, 0.0)
-                 + jnp.where(iota == zb + 1, w1, 0.0))
+        if pzp is not None:
+            dist_r = jnp.abs(iota.astype(jnp.float32) - pzp)
+            strip = jnp.maximum(0.0, 1.0 - dist_r)
+        else:
+            strip = (jnp.where(iota == zb, w0, 0.0)
+                     + jnp.where(iota == zb + 1, w1, 0.0))
         zfeat = zfeat + jax.lax.dot_general(
             ttab_ref[:, r0:r0 + h].astype(acc_dtype),
             strip.astype(acc_dtype),
@@ -184,7 +198,8 @@ def _shade_core(pk, feat_s, ttab_ref, wb_ref, out_ref, row0,
             zfeat = _twohot_matmul(ttab_ref, zb, (1.0 - fz) * z_lo,
                                    fz * z_hi, Rt, blk, acc_dtype,
                                    (TH + 2) * C if TH else C,
-                                   rt_real=-(-(TW + 2) // 8) * 8)
+                                   rt_real=-(-(TW + 2) // 8) * 8,
+                                   pzp=pz + 1.0)
         if TH == 0 or "tmix" in ablate:
             feat_t = zfeat[:C]
         else:
@@ -691,7 +706,8 @@ def _multi_core(pk, get_feat_p, ttab_refs, wb_ref, out_ref, row0,
         zfeat = _twohot_matmul(ttab_refs[a], zb, (1.0 - fz) * z_lo,
                                fz * z_hi, Rt, blk, acc_dtype,
                                (TH + 2) * C_a if TH else C_a,
-                               rt_real=-(-(L + 2) // 8) * 8)
+                               rt_real=-(-(L + 2) // 8) * 8,
+                               pzp=pz + 1.0)
         if TH == 0:
             feat_l = zfeat                                 # [C_a, blk]
         else:
@@ -840,7 +856,8 @@ def _shade_kernel_multi_fused_patch(*refs, axes, S, blk, grid_dims,
             zfeat = _twohot_matmul(ttab_refs[a], zb, (1.0 - fz) * z_lo,
                                    fz * z_hi, Rt, blk, acc_dtype,
                                    (TH + 2) * C_a if TH else C_a,
-                                   rt_real=-(-(L + 2) // 8) * 8)
+                                   rt_real=-(-(L + 2) // 8) * 8,
+                                   pzp=pz + 1.0)
             if TH == 0:
                 feat_l = zfeat
             else:

@@ -334,9 +334,16 @@ class InteractiveRenderer:
                 [rays, np.full((rays.shape[0], 1), t, np.float32)], -1)
         return rays
 
-    def render_frame(self, pose, K=None, t=0.0, cam_id=1.0):
-        """Render one frame at the current ladder level; adapt the level to
-        the measured frame time."""
+    def submit_frame(self, pose, K=None, t=0.0, cam_id=1.0):
+        """ASYNC dispatch of one frame: returns an opaque handle for
+        read_frame. Submitting pose N+1 before reading frame N
+        pipelines device execution against the host/tunnel round trip
+        — the viewer ladder measured ~150 ms/frame of UNPIPELINED
+        tunnel RTT at 1MP (viewer_ladder4); with depth-2 pipelining
+        throughput approaches the device rate while interaction
+        latency stays one frame (the reference GUI renders strictly
+        synchronously, utils/gui_utils.py:139-213 — on a
+        locally-attached chip both designs converge)."""
         import jax.numpy as jnp
         W, H = self._wh_for(self._level)
         if K is None:
@@ -356,12 +363,20 @@ class InteractiveRenderer:
         jf, k, cs, pad = self._frame_fn(W, H, use_patch, self.ray_width)
 
         t0 = time.perf_counter()
-        out_u8 = np.asarray(jf(
+        dev_out = jf(
             self.params, self._patch_prepared if use_patch
             else self._prepared,
             jnp.asarray(K), jnp.asarray(np.asarray(pose, np.float32)),
             jnp.asarray(t, jnp.float32),
-            jnp.asarray(cam_id, jnp.float32)))
+            jnp.asarray(cam_id, jnp.float32))
+        return (dev_out, W, H, n, use_patch, k, cs, t0)
+
+    def read_frame(self, handle):
+        """Materialize a submit_frame handle -> (HxWx3 u8 frame, dt).
+        dt covers submit->readback of THIS frame (for a pipelined
+        caller that's ~the pipeline stage time, not latency)."""
+        dev_out, W, H, n, use_patch, k, cs, t0 = handle
+        out_u8 = np.asarray(dev_out)
         if use_patch:
             Rb = self._patch_R
             out_u8 = out_u8.reshape(k, Rb, cs // Rb, 3).transpose(
@@ -379,6 +394,11 @@ class InteractiveRenderer:
             self._level -= 1
 
         return out_u8[:n].reshape(H, W, 3), dt
+
+    def render_frame(self, pose, K=None, t=0.0, cam_id=1.0):
+        """Render one frame synchronously (submit + read); adapts the
+        ladder level to the measured frame time."""
+        return self.read_frame(self.submit_frame(pose, K, t, cam_id))
 
 
 def fast_mode_probe(model, params, fast_model, fast_params, coords,
