@@ -57,3 +57,9 @@ BENCH_COMPACT_SAMPLES=16 timeout 5400 python -u bench.py \
   > /tmp/hw_queue/bench_r8g_c16.log 2>&1
 log "leg 9 rc=$?"; harvest /tmp/hw_queue/bench_r8g_c16.log
 log "queue 24 done (with legs 8-9)"
+
+log "leg 10: viewer ladder (cam_pack single upload + pipelined)"
+timeout 5400 python -u experiments/exp_viewer_ladder.py \
+  > /tmp/hw_queue/viewer_ladder6.log 2>&1
+log "leg 10 rc=$?"; harvest /tmp/hw_queue/viewer_ladder6.log
+log "queue 24 done (with leg 10)"

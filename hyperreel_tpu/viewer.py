@@ -270,7 +270,16 @@ class InteractiveRenderer:
             # structurally 0 here; non-CF models ignore the kwarg.
             base_rk["uniform_time"] = True
 
-        def fn(params, prepared, K, pose, t, cam):
+        def fn(params, prepared, cam_pack):
+            # ONE [23] f32 upload per frame (K 9 + pose 12 + t + cam):
+            # four separate tiny jnp.asarray uploads each paid a tunnel
+            # round trip, dominating the pipelined frame time
+            # (viewer_ladder5: pipelining recovered only ~30 ms of the
+            # ~150 ms/frame host share). Split in-graph — free.
+            K = cam_pack[:9].reshape(3, 3)
+            pose = cam_pack[9:21].reshape(3, 4)
+            t = cam_pack[21]
+            cam = cam_pack[22]
             ctx = make_ctx(it=self.it, training=False)
             # get_ray_directions_K semantics (ops/ray_math.py:8-26,
             # centered_pixels) + get_rays rotation/normalize (29-39)
@@ -363,12 +372,13 @@ class InteractiveRenderer:
         jf, k, cs, pad = self._frame_fn(W, H, use_patch, self.ray_width)
 
         t0 = time.perf_counter()
+        cam_pack = np.concatenate([
+            K.reshape(-1).astype(np.float32),
+            np.asarray(pose, np.float32).reshape(-1),
+            np.asarray([t, cam_id], np.float32)])
         dev_out = jf(
             self.params, self._patch_prepared if use_patch
-            else self._prepared,
-            jnp.asarray(K), jnp.asarray(np.asarray(pose, np.float32)),
-            jnp.asarray(t, jnp.float32),
-            jnp.asarray(cam_id, jnp.float32))
+            else self._prepared, jnp.asarray(cam_pack))
         return (dev_out, W, H, n, use_patch, k, cs, t0)
 
     def read_frame(self, handle):
