@@ -338,6 +338,57 @@ class FusedCFEval:
             return x
         return x.astype(jnp.float32)
 
+    def _mlp_kernel_spec(self, params, net_in_cf):
+        """Trace-time weight prep for the IN-KERNEL prediction MLP
+        (ops/pallas/pack_build.py _mlp_rows; HYPERREEL_PK_MLP).
+
+        Per layer the weight is augmented with the bias as an extra
+        input ROW (the kernel appends a ones row to the activation, so
+        the bias rides the MXU — no [out, T] broadcast in Mosaic) plus
+        zero rows up to the sublane multiple of 8. The skip layer
+        splits into (main+bias, input-term) like the XLA skip-split.
+        The LAST layer's columns carry the field-major permutation
+        (same trace-time trick as _mlp_cf field_major)."""
+        net = self.pred.net
+        last = net.depth + 1
+        perm = np.arange(self.S * self.preds).reshape(
+            self.S, self.preds).T.reshape(-1)
+        cin = net_in_cf.shape[0]
+        cin_pad = -(-cin // 8) * 8
+        x0 = jnp.pad(net_in_cf.astype(jnp.bfloat16),
+                     ((0, cin_pad - cin), (0, 0)))
+
+        def aug(w, b, d_pad):
+            # rows: [w (padded to d_pad); bias; 7 zeros] -> d_pad + 8
+            z1 = jnp.zeros((d_pad - w.shape[0], w.shape[1]), w.dtype)
+            z7 = jnp.zeros((7, w.shape[1]), w.dtype)
+            return jnp.concatenate(
+                [w, z1, b[None, :], z7], 0).astype(jnp.bfloat16)
+
+        w_augs, layout = [], []
+        for i in range(net.depth + 2):
+            p = params[f"layer_{i}"]
+            w = p["w"].astype(jnp.float32)
+            b = p.get("b")
+            b = jnp.zeros((w.shape[1],), jnp.float32) if b is None \
+                else b.astype(jnp.float32)
+            if i == last:
+                w = w[:, perm]
+                b = b[perm]
+            if i in net.skips:
+                w_in = jnp.pad(w[:cin].astype(jnp.bfloat16),
+                               ((0, cin_pad - cin), (0, 0)))
+                w_augs += [aug(w[cin:], b, w.shape[0] - cin), w_in]
+                layout.append("skip")
+            else:
+                d_pad = cin_pad if i == 0 else w.shape[0]
+                w_augs.append(aug(w, b, d_pad))
+                layout.append("dense")
+        return {"x0": x0, "w_augs": w_augs, "layout": layout,
+                "act_until": net.depth if net.linear_last
+                else net.depth + 1,
+                "layer_act": net.layer_act}
+
     # -- render plan --------------------------------------------------------
 
     def _plan_meta(self, cparams):
@@ -757,14 +808,32 @@ class FusedCFEval:
         # are dtype no-ops). Default OFF pending the HW A/B.
         bf16_in = use_pk and os.environ.get(
             "HYPERREEL_BF16_PACK_INPUT") == "1"
-        out_cf = self._mlp_cf(eparams["ray_prediction_0"]["net"],
-                              net_in_cf, ctx, field_major=use_pk,
-                              keep_dtype=bf16_in)    # [S*preds, B]
-        if out_cf.dtype != jnp.float32 and (
-                out_cf.dtype != jnp.bfloat16 or out_cf.shape[0] % 16):
-            # bf16 VMEM blocks tile at 16 sublanes; odd row counts (and
-            # any non-bf16 compute dtype) take the f32 path
-            out_cf = out_cf.astype(jnp.float32)
+        # MLP INSIDE the pack kernel (round 5, HYPERREEL_PK_MLP): the
+        # XLA MLP materializes every [256, B] inter-layer activation in
+        # HBM (~2.1 GB/chunk) plus the f32 [P*S, B] boundary the pack
+        # kernel re-reads (~2.4 ms/chunk total, fused_glue_r8c).
+        # In-kernel, activations stay VMEM-resident per ray tile and
+        # only the tiny net input crosses HBM. Requires a bf16-compute
+        # BaseMLP with a Mosaic-safe layer activation.
+        pk_mlp = None
+        if use_pk and os.environ.get(
+                "HYPERREEL_PK_MLP", "1") != "0":
+            from hyperreel_tpu.ops.pallas.pack_build import (
+                act_cfg_supported)
+            if (net_mlp := self.pred.net).compute_dtype == jnp.bfloat16 \
+                    and act_cfg_supported(net_mlp.layer_activation):
+                pk_mlp = self._mlp_kernel_spec(
+                    eparams["ray_prediction_0"]["net"], net_in_cf)
+        out_cf = None
+        if pk_mlp is None:
+            out_cf = self._mlp_cf(eparams["ray_prediction_0"]["net"],
+                                  net_in_cf, ctx, field_major=use_pk,
+                                  keep_dtype=bf16_in)    # [S*preds, B]
+            if out_cf.dtype != jnp.float32 and (
+                    out_cf.dtype != jnp.bfloat16 or out_cf.shape[0] % 16):
+                # bf16 VMEM blocks tile at 16 sublanes; odd row counts
+                # (and any non-bf16 compute dtype) take the f32 path
+                out_cf = out_cf.astype(jnp.float32)
 
         def field_rows(name):
             off, width = self.field_offsets[name]
@@ -837,7 +906,7 @@ class FusedCFEval:
                 inv_cdist=isect.contract.inverse_contract_distance
                 if isect.contract.contract_samples else None,
                 stride=stride_pk,
-                emit_idx=not patch)
+                emit_idx=not patch, mlp=pk_mlp)
             rows_list = None if patch else [
                 tabs[a][0][idx8[a]] for a in range(len(axis_specs))]
             S = Sr

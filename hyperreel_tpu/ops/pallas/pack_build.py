@@ -86,11 +86,77 @@ def _bitonic_sublane(v, n):
     return v
 
 
-def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
-                       pack_ref, *idx_refs, spec):
+def _mlp_rows(x0_ref, wrefs, spec, ctx, T):
+    """The prediction MLP inside the kernel (HYPERREEL_PK_MLP): per
+    ray-tile [cin, T] -> [P*S, T] f32 with ALL inter-layer activations
+    VMEM-resident. The XLA MLP materialized every [256, B] layer
+    activation in HBM (~2.1 GB/chunk of inter-layer traffic) plus the
+    f32 [480, B] boundary write the pack kernel re-read (fusion.4
+    0.94 + fusion.8 0.60 + act selects 0.87 ms/chunk — round-5
+    fused_glue_r8c trace). Weights live in VMEM via constant-index
+    BlockSpecs (~1.2 MB bf16 total; Pallas keeps constant blocks
+    resident across grid steps).
+
+    Bias rides the MXU: each layer's weight is augmented with the bias
+    as an extra input ROW and the activation vector with a ones row —
+    no [out, T] broadcast needed. One bf16 rounding per layer (the
+    dot-operand cast), f32 accumulation inside each dot, and the LAST
+    layer stays f32 (un-rounded accumulation — the round-4b pack-input
+    precision contract). Mirrors models/fused_eval._mlp_cf under
+    --xla_allow_excess_precision (the flag the compile env sets)."""
+    m = spec.mlp
+    x0 = x0_ref[:].astype(jnp.float32)          # [cin_pad, T] (zero pad)
+    ones = jnp.ones((1, T), jnp.float32)
+    zpad = jnp.zeros((7, T), jnp.float32)
+
+    def aug(v):
+        # [in, T] -> [in + 8, T]: ones row (bias) + 7 zero rows (the
+        # weight arrays are row-padded to the matching multiple of 8)
+        return jnp.concatenate([v, ones, zpad], 0)
+
+    def dot(w_ref, v):
+        return jax.lax.dot_general(
+            w_ref[:].astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    h = x0
+    ri = 0
+    nl = len(m.layout)
+    for li, kind in enumerate(m.layout):
+        if kind == "skip":
+            acc = dot(wrefs[ri], aug(h)) + dot(wrefs[ri + 1], x0)
+            ri += 2
+        else:
+            acc = dot(wrefs[ri], aug(h))
+            ri += 1
+        h = m.layer_act(acc, ctx) if li < m.act_until else acc
+    return h                                     # [P*S, T] f32
+
+
+def _pack_build_kernel(*refs, spec):
     s = spec
     S, k, T = s.S, s.k, s.tile
+    if s.mlp is not None:
+        x0_ref = refs[0]
+        nw = s.mlp.n_w
+        wrefs = refs[1:1 + nw]
+        ray_ref, const_ref, it_ref = refs[1 + nw:4 + nw]
+        pack_ref = refs[4 + nw]
+        idx_refs = refs[5 + nw:]
+    else:
+        cf_ref, ray_ref, const_ref, it_ref, pack_ref = refs[:5]
+        idx_refs = refs[5:]
     ctx = SimpleNamespace(it=it_ref[0], training=False)
+    if s.mlp is not None:
+        cf_val = _mlp_rows(x0_ref, wrefs, s, ctx, T)
+
+    def cf_rows(r0, n_rows):
+        if s.mlp is not None:
+            return cf_val[r0:r0 + n_rows]
+        # bf16 inputs (lossless storage of the bf16-valued MLP output —
+        # fused_eval._mlp_cf keep_dtype) upcast on load; math stays f32
+        return cf_ref[r0:r0 + n_rows].astype(jnp.float32)
 
     def substride(rows):
         """Positional rows[::stride] of [S, T] via a sublane->lane merge
@@ -105,11 +171,9 @@ def _pack_build_kernel(cf_ref, ray_ref, const_ref, it_ref,
         if s.stride is not None and n_rows == k:
             # stride mode: every-stride-th prediction-order row (the
             # reference's inference_samples positional subselection)
-            rows = cf_ref[r0:r0 + S].astype(jnp.float32)
+            rows = cf_rows(r0, S)
             return substride(s.field_acts[name](rows, ctx))
-        # bf16 inputs (lossless storage of the bf16-valued MLP output —
-        # fused_eval._mlp_cf keep_dtype) upcast on load; math stays f32
-        rows = cf_ref[r0:r0 + n_rows].astype(jnp.float32)
+        rows = cf_rows(r0, n_rows)
         return s.field_acts[name](rows, ctx)
 
     o2 = ray_ref[2:3]
@@ -218,7 +282,7 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
                has_sigma, has_flow, po_use_sigma, po_sigma_field,
                far_sentinel, aabb, axis_specs, contract_rows=None,
                inv_cdist=None, stride=None, interpret=None,
-               emit_idx=True):
+               emit_idx=True, mlp=None):
     """Run the pack-build kernel.
 
     Args:
@@ -247,14 +311,29 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
     block order (lane = s*tile + r within each tile*k block). With
     emit_idx=False (the patch-gather route, which never reads idx8)
     the kernel skips the index build + write and returns (pack, None).
+
+    mlp: optional dict {x0 [cin_pad, B] (zero row-padded), w_augs
+    (list of row-padded bias-augmented weights, see _mlp_rows),
+    layout ("dense"/"skip" per layer), act_until, layer_act} — runs
+    the prediction MLP inside the kernel; out_cf_fm is then ignored
+    (pass None) and PS comes from the last weight's column count.
     """
-    PS, B = out_cf_fm.shape
+    if mlp is not None:
+        B = mlp["x0"].shape[1]
+        PS = mlp["w_augs"][-1].shape[1]
+    else:
+        PS, B = out_cf_fm.shape
     assert B % tile == 0, (B, tile)
     assert stride is None or (k * stride == S and stride >= 2), \
         (S, k, stride)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     aabb = np.asarray(aabb, np.float32)
+    mspec = None
+    if mlp is not None:
+        mspec = SimpleNamespace(
+            n_w=len(mlp["w_augs"]), layout=tuple(mlp["layout"]),
+            act_until=int(mlp["act_until"]), layer_act=mlp["layer_act"])
     spec = SimpleNamespace(
         S=S, k=k, tile=tile, field_offsets=dict(field_offsets),
         field_acts=dict(field_acts), isect_act=isect_act,
@@ -264,7 +343,7 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
         contract_rows=contract_rows, inv_cdist=inv_cdist, stride=stride,
         aabb_lo=tuple(float(v) for v in aabb[0]),
         aabb_inv=tuple(float(v) for v in 2.0 / (aabb[1] - aabb[0])),
-        axis_specs=tuple(tuple(a) for a in axis_specs))
+        axis_specs=tuple(tuple(a) for a in axis_specs), mlp=mspec)
     # [S, 128] per-sample consts: col 0 = samples anchor, col 1 = z_scale
     # ([S, 1] lane-slice broadcast inside the kernel — probe5 #7)
     consts = np.zeros((S, 128), np.float32)
@@ -275,12 +354,26 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
     kern = functools.partial(_pack_build_kernel, spec=spec)
     blk = k * tile
     grid = (B // tile,)
+    if mlp is not None:
+        # x0 streams per ray tile; weights are whole-array constant
+        # blocks (fetched once, kept VMEM-resident across grid steps)
+        first_specs = [
+            pl.BlockSpec((mlp["x0"].shape[0], tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for w in mlp["w_augs"]
+        ]
+        first_args = [mlp["x0"]] + list(mlp["w_augs"])
+    else:
+        first_specs = [pl.BlockSpec((PS, tile), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)]
+        first_args = [out_cf_fm]
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((PS, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs=first_specs + [
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 128), lambda i: (0, 0),
@@ -297,6 +390,6 @@ def pack_build(out_cf_fm, ray_pack, it, *, S, k, tile, samples, z_scale,
         ] + ([jax.ShapeDtypeStruct((8, k * B), jnp.int32)]
              if emit_idx else []),
         interpret=interpret,
-    )(out_cf_fm, ray_pack, jnp.asarray(consts),
+    )(*first_args, ray_pack, jnp.asarray(consts),
       jnp.asarray(it, jnp.int32).reshape(1))
     return (outs[0], outs[1]) if emit_idx else (outs[0], None)

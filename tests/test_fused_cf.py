@@ -455,9 +455,13 @@ class TestPackBuildKernel:
 
     def _bf16_input_run(self, monkeypatch):
         """Shared driver: compute_dtype=bf16 model through the pack
-        kernel with a dtype spy; returns (dtypes_seen, max|cf - gen|)."""
+        kernel with a dtype spy; returns (dtypes_seen, max|cf - gen|).
+        Forces the XLA MLP/kernel BOUNDARY mode (PK_MLP=0) — these
+        tests pin the boundary dtype contract, which only exists when
+        the MLP is not fused into the kernel."""
         import copy
         import hyperreel_tpu.ops.pallas.pack_build as PB
+        monkeypatch.setenv("HYPERREEL_PK_MLP", "0")
         dtypes = []
         orig = PB.pack_build
 
@@ -508,6 +512,49 @@ class TestPackBuildKernel:
         dtypes, err = self._bf16_input_run(monkeypatch)
         assert err < 1e-3, err
         assert dtypes and all(d == jnp.bfloat16 for d in dtypes), dtypes
+
+    def test_pk_mlp_in_kernel_default_and_parity(self, monkeypatch):
+        """HYPERREEL_PK_MLP default: the prediction MLP runs INSIDE the
+        pack kernel (pack_build mlp=..., out_cf_fm=None) and matches
+        the general path at the exact-class gate. The A/B against the
+        XLA-boundary MLP (PK_MLP=0) must agree to bf16-rounding order
+        (the in-kernel chain differs only in excess-precision rounding
+        placement)."""
+        import copy
+        import hyperreel_tpu.ops.pallas.pack_build as PB
+        seen = []
+        orig = PB.pack_build
+
+        def spy(out_cf_fm, *a, **k):
+            seen.append((out_cf_fm is None, k.get("mlp") is not None))
+            return orig(out_cf_fm, *a, **k)
+
+        monkeypatch.setattr(PB, "pack_build", spy)
+        ds = gaussian_blob_scene(n_views=2, wh=(16, 16), dynamic=True,
+                                 num_frames=4, num_keyframes=2)
+        cfg = convert_epochs_to_iters(tiny_dynamic(z_channels=16),
+                                      iters_per_epoch=50)
+        cfg["color"]["net"]["fused_render"] = True
+        cfg["color"]["net"]["bf16_tables"] = True
+        m_cf = build_model(cfg, dataset_info=ds.info(),
+                           compute_dtype=jnp.bfloat16)
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["color"]["net"]["fused_render"] = False
+        cfg2["color"]["net"]["fused_render_cf"] = False
+        m_g = build_model(cfg2, dataset_info=ds.info(),
+                          compute_dtype=jnp.bfloat16)
+        params = m_cf.init(jax.random.PRNGKey(0))
+        rays = jnp.asarray(ds.all_coords[:256])
+        ctx = make_ctx(it=5000, training=False)
+        monkeypatch.delenv("HYPERREEL_PK_MLP", raising=False)
+        a = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        assert seen and seen[-1] == (True, True), seen
+        g = np.asarray(m_g.apply(params, rays, ctx)["rgb"])
+        assert np.abs(a - g).max() < 2e-4, np.abs(a - g).max()
+        monkeypatch.setenv("HYPERREEL_PK_MLP", "0")
+        b = np.asarray(m_cf.apply(params, rays, ctx)["rgb"])
+        assert seen[-1] == (False, False), seen
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
 
     def test_dynamic_compact_kernel_parity(self, monkeypatch):
         from hyperreel_tpu.configs.presets import with_compact_samples
